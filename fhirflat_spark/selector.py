@@ -1,0 +1,162 @@
+"""Stats-driven per-chunk codec auto-selection.
+
+The analog of the reference's evidence-driven ``_dense`` demotion (keep
+nested only when the data proves it's needed, reference
+fhirflat/fhir2flat.py:56-61 + resources/base.py:278-291): cheap sampled
+statistics pick the codec, and for content-like strings the two finalists
+(fsst, zstd) are *race-tested* on a bounded sample — measured ratio, not
+guesswork, decides.
+
+All statistics come from pyarrow C++ compute or numpy — nothing here loops
+over rows in Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fhirflat_spark.codecs import fsst as fsst_mod
+from fhirflat_spark.codecs.core import string_parts
+from fhirflat_spark.codecs.kernels import _zstd, prefix_viable
+
+_TRIAL_SAMPLE = 1 << 16  # 64 KiB trial-compression sample
+_DICT_MAX = 1 << 16
+# fsst must beat zstd's ratio by this factor to win the race despite its
+# slower (pure-Python-orchestrated) kernel; zstd here is C via pyarrow.
+_FSST_EDGE = 0.85
+
+
+def _is_stringlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def column_stats(arr: pa.Array) -> dict:
+    """Cheap chunk-level stats used by choose_codec (and by the manifest)."""
+    n = len(arr)
+    st: dict = {"n": n}
+    if n == 0:
+        return {"n": 0, "distinct": 0, "runs": 0, "sorted": True, "bytes": 0}
+    st["distinct"] = pc.count_distinct(arr).as_py()
+    if n > 1:
+        a, b = arr.slice(0, n - 1), arr.slice(1, n - 1)
+        neq = pc.not_equal(a, b)
+        st["runs"] = 1 + pc.sum(neq.cast(pa.int64())).as_py()
+        st["sorted"] = bool(pc.min(pc.less_equal(a, b)).as_py())
+    else:
+        st["runs"] = 1
+        st["sorted"] = True
+    if _is_stringlike(arr.type):
+        lengths = pc.binary_length(arr)
+        st["bytes"] = pc.sum(lengths.cast(pa.int64())).as_py() or 0
+        st["max_len"] = pc.max(lengths).as_py() or 0
+        st["avg_len"] = st["bytes"] / n
+    else:
+        st["bytes"] = n * arr.type.bit_width // 8
+        if pa.types.is_integer(arr.type):
+            st["min"] = pc.min(arr).as_py()
+            st["max"] = pc.max(arr).as_py()
+    return st
+
+
+def _avg_prefix_share(arr: pa.Array, stats: dict, sample: int = 512) -> float:
+    """Mean adjacent-row common-prefix length / mean length, on a sample."""
+    n = len(arr)
+    if n < 2 or stats.get("avg_len", 0) == 0:
+        return 0.0
+    k = min(n, sample)
+    sub = arr.slice(0, k)
+    lengths, data = string_parts(sub)
+    max_len = int(lengths.max()) if k else 0
+    if max_len == 0 or not prefix_viable(k, max_len):
+        return 0.0
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offsets = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    mat = np.zeros((k, max_len), dtype=np.uint8)
+    row = np.repeat(np.arange(k, dtype=np.int64), lengths)
+    col = np.arange(len(buf), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    mat[row, col] = buf
+    eq = np.logical_and.accumulate(mat[1:] == mat[:-1], axis=1)
+    pl = np.minimum(eq.sum(axis=1), np.minimum(lengths[1:], lengths[:-1]))
+    return float(pl.mean() / max(lengths.mean(), 1.0))
+
+
+def _trial_ratios(arr: pa.Array) -> tuple[float, float, list[bytes] | None]:
+    """(zstd_ratio, fsst_ratio, trained_symbols) on a bounded byte sample."""
+    _, data = string_parts(arr)
+    sample = data[:_TRIAL_SAMPLE]
+    if len(sample) < 64:
+        return 1.0, 1.0, None
+    z_ratio = len(_zstd(sample)) / len(sample)
+    symbols = fsst_mod.train_symbols(sample)
+    if not symbols:
+        return z_ratio, 1.0, None
+    codes, lit_lens, lit_data = fsst_mod.fsst_encode_buffer(sample, symbols)
+    fsst_size = len(codes) + len(lit_data) + len(lit_lens) * 2 + sum(map(len, symbols))
+    return z_ratio, fsst_size / len(sample), symbols
+
+
+def choose_codec(
+    arr: pa.Array, depth: int = 0, opts: dict | None = None
+) -> tuple[str, dict]:
+    """Pick (codec, opts) for a null-free physical-typed array."""
+    opts = dict(opts or {})
+    forced = opts.pop("force", None)
+    if forced:
+        return forced, opts
+    n = len(arr)
+    if n == 0:
+        return "raw", opts
+    stats = opts.pop("stats", None) or column_stats(arr)
+    t = arr.type
+
+    if stats["distinct"] == 1:
+        return "constant", opts
+
+    if _is_stringlike(t):
+        if depth == 0 and stats["runs"] <= max(2, n * 0.05):
+            return "rle", opts
+        if depth == 0 and stats["distinct"] <= min(_DICT_MAX, max(16, n * 0.1)):
+            return "dict", opts
+        if (
+            stats.get("avg_len", 0) > 4
+            and prefix_viable(n, stats.get("max_len", 0))
+            and _avg_prefix_share(arr, stats) > 0.3
+        ):
+            return "prefix", opts
+        z_ratio, f_ratio, symbols = _trial_ratios(arr)
+        if f_ratio < z_ratio * _FSST_EDGE and symbols:
+            opts["symbols"] = symbols
+            return "fsst", opts
+        if z_ratio < 0.98:
+            return "zstd", opts
+        return "raw", opts
+
+    if pa.types.is_integer(t) or pa.types.is_unsigned_integer(t):
+        item_bits = t.bit_width
+        if depth == 0 and stats["runs"] <= max(2, n * 0.05):
+            return "rle", opts
+        if stats["sorted"] and n > 2:
+            return "delta", opts
+        lo, hi = stats.get("min"), stats.get("max")
+        if lo is not None and hi is not None:
+            width = int(hi - lo).bit_length()
+            if width <= item_bits * 0.75:
+                return "for", opts
+        if depth == 0 and stats["distinct"] <= min(_DICT_MAX, max(16, n * 0.1)):
+            return "dict", opts
+        return "zstd", opts
+
+    if pa.types.is_floating(t):
+        if depth == 0 and stats["distinct"] <= min(_DICT_MAX, max(16, n * 0.1)):
+            return "dict", opts
+        return "bss", opts
+
+    return "arrowz", opts
