@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship end-to-end run of the encode engine on
+  sf0.001 — encode the ``documents`` table (columnar lightweight
+  compression with codec auto-selection), verify every chunk round-trips
+  bit-identically, and return the per-column codec report.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator
+  from SURVEY.md §2 + the training-data ops, each DuckDB-cross-checkable.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode → verify → codec report on sf0.001 documents."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import codec_report, verify_table
+    from fhirflat_spark.encode import encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = tempfile.mkdtemp(prefix="fhirflat_spark_entry_") + "/ds"
+    res = encode_table(docs, out, rows_per_bucket=2000)
+    verified = verify_table(spark, out)
+    n_bad = verified.where(~F.col("ok")).count()
+    report = codec_report(spark, out)
+    return report.withColumn("rows_total", F.lit(res.rows)).withColumn(
+        "chunks_failed_verification", F.lit(n_bad)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fhirflat_spark.operators import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fhirflat_spark.operators import oracles
+
+    return oracles()

@@ -61,8 +61,12 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
         grams = wins.view(f"V{length}").ravel()
         uniq, counts = np.unique(grams, return_counts=True)
         gain = counts * step * (length - 1)  # approx bytes saved
-        keep = gain >= _MIN_GAIN
-        for g, s in zip(uniq[keep], gain[keep]):
+        # only the top candidates per length ever matter — keep the python
+        # loop off the long tail (vectorized top-k instead of gain>=min scan)
+        top = min(2 * max_symbols, len(gain))
+        idx = np.argpartition(gain, -top)[-top:]
+        idx = idx[gain[idx] >= _MIN_GAIN]
+        for g, s in zip(uniq[idx], gain[idx]):
             b = g.tobytes()
             if b"\x00" in b or b"\xff" in b:
                 continue

@@ -1,0 +1,192 @@
+"""Distributed decode: chunk table → original DataFrame, bit-identical.
+
+The inverse ``mapInArrow`` kernel of fhirflat_spark.encode — the engine's
+analog of the reference's ``from_flat`` decode + re-validation entry point
+(reference fhirflat/resources/base.py:152-198): every chunk is decoded
+column-by-column and (optionally) re-verified against the checksum its
+manifest row recorded at encode time, with failures surfaced on a
+side-channel instead of poisoning the run (the valid/errors split,
+reference fhirflat/ingest.py:571-580).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fhirflat_spark.codecs import decode_array
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("chunk_seq", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("expected_sha", T.StringType(), True),
+        T.StructField("actual_sha", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _decode_chunk_row(payload_map, columns: list[str]) -> dict[str, pa.Array]:
+    blob_by_col = dict(payload_map)
+    return {name: decode_array(blob_by_col[name]) for name in columns}
+
+
+def decode_kernel_factory(columns: list[str]):
+    def kernel(batches):
+        for batch in batches:
+            payloads = batch.column("payload")
+            for i in range(batch.num_rows):  # iterates CHUNKS (≈8k rows each), not rows
+                arrays = _decode_chunk_row(payloads[i].as_py(), columns)
+                yield pa.RecordBatch.from_pydict(
+                    {name: arrays[name] for name in columns}
+                )
+
+    return kernel
+
+
+def decode_table(spark: SparkSession, out_dir: str,
+                 columns: list[str] | None = None,
+                 part_ids: list[int] | None = None) -> DataFrame:
+    """Read + decode an encoded dataset back to its original schema.
+
+    ``part_ids`` prunes to specific partitions — parquet partition pruning
+    on the ``part_id`` directory key makes this a metadata-only skip, the
+    mechanism behind manifest-driven selective re-reads.
+    """
+    from fhirflat_spark.manifest import read_summary
+
+    from fhirflat_spark.encode import CHUNK_SCHEMA
+
+    summary = read_summary(spark, out_dir)
+    if columns is None:
+        columns = summary["columns"]
+    # explicit schema: no footer sniffing, and empty datasets stay readable
+    chunks = spark.read.schema(CHUNK_SCHEMA).parquet(f"{out_dir}/chunks")
+    if part_ids is not None:
+        chunks = chunks.where(F.col("part_id").isin(part_ids))
+    if summary.get("spark_schema"):
+        full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+        by_name = {f.name: f for f in full.fields}
+        schema = T.StructType([by_name[c] for c in columns])
+    else:
+        schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+    return chunks.select("payload").mapInArrow(decode_kernel_factory(columns), schema=schema)
+
+
+def verify_kernel_factory(columns: list[str]):
+    """Decode each chunk and recompute its content checksum; compare with
+    the checksum recorded at encode time. One hash per column per chunk —
+    chunk-bytes equality ⟺ per-row bit-identical equality."""
+    from fhirflat_spark.encode import _col_raw_sha
+
+    def kernel(batches):
+        for batch in batches:
+            for i in range(batch.num_rows):  # chunk granularity
+                part_id = batch.column("part_id")[i].as_py()
+                seq = batch.column("chunk_seq")[i].as_py()
+                n = batch.column("n_rows")[i].as_py()
+                expected = batch.column("content_sha")[i].as_py()
+                try:
+                    arrays = _decode_chunk_row(batch.column("payload")[i].as_py(), columns)
+                    sha_all = hashlib.sha256()
+                    for name in columns:
+                        sha, _ = _col_raw_sha(arrays[name])
+                        sha_all.update(sha.encode())
+                    actual = sha_all.hexdigest()
+                    err = None
+                except Exception as e:  # failure localized to this chunk
+                    actual, err = None, f"{type(e).__name__}: {e}"
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "part_id": [part_id],
+                        "chunk_seq": [seq],
+                        "n_rows": [n],
+                        "ok": [bool(err is None and actual == expected)],
+                        "expected_sha": [expected],
+                        "actual_sha": [actual],
+                        "error": [err],
+                    },
+                    schema=pa.schema(
+                        [
+                            ("part_id", pa.int32()),
+                            ("chunk_seq", pa.int32()),
+                            ("n_rows", pa.int64()),
+                            ("ok", pa.bool_()),
+                            ("expected_sha", pa.string()),
+                            ("actual_sha", pa.string()),
+                            ("error", pa.string()),
+                        ]
+                    ),
+                )
+
+    return kernel
+
+
+def verify_table(spark: SparkSession, out_dir: str,
+                 columns: list[str] | None = None) -> DataFrame:
+    """Per-chunk round-trip verification status — the error side-channel."""
+    from fhirflat_spark.manifest import read_summary
+
+    from fhirflat_spark.encode import CHUNK_SCHEMA
+
+    if columns is None:
+        columns = read_summary(spark, out_dir)["columns"]
+    chunks = spark.read.schema(CHUNK_SCHEMA).parquet(f"{out_dir}/chunks").select(
+        "part_id", "chunk_seq", "n_rows", "content_sha", "payload"
+    )
+    return chunks.mapInArrow(verify_kernel_factory(columns), schema=VERIFY_SCHEMA)
+
+
+def verify_against_source(source: DataFrame, decoded: DataFrame,
+                          key_cols: list[str], content_col: str = "content") -> DataFrame:
+    """Per-row sha256(content) equality vs the source — the BASELINE.json
+    invariant, computed JVM-side (F.sha2) with a key-equijoin. Returns the
+    rows that FAILED (empty == pass)."""
+    s = source.select(*key_cols, F.sha2(F.col(content_col), 256).alias("src_sha"))
+    d = decoded.select(*key_cols, F.sha2(F.col(content_col), 256).alias("dec_sha"))
+    return (
+        s.join(d, key_cols, "full_outer")
+        .where(
+            F.col("src_sha").isNull()
+            | F.col("dec_sha").isNull()
+            | (F.col("src_sha") != F.col("dec_sha"))
+        )
+    )
+
+
+def codec_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Which codec won per column, with sizes — from chunk stats JSON."""
+    chunks = spark.read.parquet(f"{out_dir}/chunks").select("stats")
+    stat_map = F.from_json(
+        "stats",
+        T.MapType(
+            T.StringType(),
+            T.StructType(
+                [
+                    T.StructField("codec", T.StringType()),
+                    T.StructField("raw", T.LongType()),
+                    T.StructField("enc", T.LongType()),
+                    T.StructField("sha", T.StringType()),
+                ]
+            ),
+        ),
+    )
+    exploded = chunks.select(F.explode(stat_map).alias("column", "s"))
+    return (
+        exploded.groupBy("column", F.col("s.codec").alias("codec"))
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("s.raw").alias("raw_bytes"),
+            F.sum("s.enc").alias("encoded_bytes"),
+        )
+        .withColumn("ratio", F.round(F.col("encoded_bytes") / F.col("raw_bytes"), 4))
+        .orderBy("column", "codec")
+    )

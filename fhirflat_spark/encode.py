@@ -1,0 +1,338 @@
+"""Distributed columnar encode: DataFrame → per-partition compressed chunk
+table + manifest.
+
+Spark-first shape (SURVEY.md §7 M3):
+
+1. **Skew plan**: per-repo row counts → bucket counts (a giant repo gets
+   many buckets) → broadcast join → ``salt`` column. This is explicit
+   salted repartitioning on ``repo`` — the cluster-scale analog of the
+   reference's joblib fan-out over resource types
+   (reference fhirflat/ingest.py:582-594), except skew-aware.
+2. ``repartition(P, repo, salt)`` then ``sortWithinPartitions(repo, path,
+   commit)`` so front-coding/RLE see sorted path prefixes.
+3. ``mapInArrow`` encode kernel: each Arrow batch becomes one *chunk row*
+   — a map of column → serialized codec blob, plus stats and a
+   content checksum (sha256 of the concatenated raw column bytes, which
+   is equivalent to per-row equality without per-row hashing).
+4. Chunk rows written as parquet (uncompressed — payloads are already
+   compressed); a **manifest** table + dataset summary records lineage
+   (the ``fhirflat.toml`` + ``sha256sums.txt`` analog, reference
+   fhirflat/ingest.py:381-432) and drives checkpoint resume.
+
+At 100 TB the only shuffle is the single salted repartition, sized so each
+partition holds ~``rows_per_bucket`` rows; the per-repo count aggregation
+is map-side-combined and tiny (#repos ≪ #rows). Everything after the
+shuffle is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fhirflat_spark.codecs import encode_array
+from fhirflat_spark.codecs.core import string_parts
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("chunk_seq", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("payload", T.MapType(T.StringType(), T.BinaryType()), False),
+        T.StructField("stats", T.StringType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("encoded_bytes", T.LongType(), False),
+        T.StructField("repo_min", T.StringType(), True),
+        T.StructField("repo_max", T.StringType(), True),
+    ]
+)
+
+
+def _col_raw_sha(arr: pa.Array) -> tuple[str, int]:
+    """sha256 + byte count of a column's raw value stream (lengths + data).
+
+    Equality of this digest is equivalent to bit-identical per-row equality
+    for the chunk (lengths delimit rows), with ONE hash call per column per
+    chunk instead of one per row.
+    """
+    h = hashlib.sha256()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        lengths, data = string_parts(arr)
+        h.update(lengths.tobytes())
+        h.update(data)
+        nbytes = len(data) + 0  # value bytes only; offsets counted as raw overhead below
+        return h.hexdigest(), nbytes + lengths.nbytes
+    if arr.null_count > 0:
+        h.update(arr.is_null().to_numpy(zero_copy_only=False).tobytes())
+        arr = arr.drop_null()
+    buf = arr.to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    b = np.ascontiguousarray(buf)
+    try:
+        raw = b.tobytes()
+    except Exception:
+        raw = str(b).encode()
+    h.update(raw)
+    return h.hexdigest(), len(raw)
+
+
+def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
+                          skip_parts: frozenset[int] | None = None,
+                          manifest_dir: str | None = None):
+    overrides = codec_overrides or {}
+    skip = skip_parts or frozenset()
+
+    def kernel(batches):
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        if part_id in skip:
+            return
+        frag: list[dict] = []
+        for seq, batch in enumerate(batches):
+            n = batch.num_rows
+            if n == 0:
+                continue
+            payload = {}
+            stats = {}
+            raw_total = 0
+            enc_total = 0
+            sha_all = hashlib.sha256()
+            for name in columns:
+                arr = batch.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                blob = encode_array(arr, codec=overrides.get(name, "auto"))
+                sha, raw_bytes = _col_raw_sha(arr)
+                sha_all.update(sha.encode())
+                payload[name] = blob
+                from fhirflat_spark.codecs.core import unpack_chunk
+
+                codec_name = unpack_chunk(blob)[0]
+                stats[name] = {
+                    "codec": codec_name,
+                    "raw": raw_bytes,
+                    "enc": len(blob),
+                    "sha": sha,
+                }
+                raw_total += raw_bytes
+                enc_total += len(blob)
+            repo_col = batch.column("repo") if "repo" in batch.schema.names else None
+            rmin = rmax = None
+            if repo_col is not None and n:
+                import pyarrow.compute as pc
+
+                mm = pc.min_max(repo_col)
+                rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
+            frag.append(
+                {
+                    "part_id": part_id,
+                    "chunk_seq": seq,
+                    "n_rows": n,
+                    "raw_bytes": raw_total,
+                    "encoded_bytes": enc_total,
+                    "content_sha": sha_all.hexdigest(),
+                    "repo_min": rmin,
+                    "repo_max": rmax,
+                }
+            )
+            out = pa.RecordBatch.from_pydict(
+                {
+                    "part_id": [part_id],
+                    "chunk_seq": [seq],
+                    "n_rows": [n],
+                    "payload": [list(payload.items())],
+                    "stats": [json.dumps(stats, separators=(",", ":"))],
+                    "content_sha": [sha_all.hexdigest()],
+                    "raw_bytes": [raw_total],
+                    "encoded_bytes": [enc_total],
+                    "repo_min": [rmin],
+                    "repo_max": [rmax],
+                },
+                schema=pa.schema(
+                    [
+                        ("part_id", pa.int32()),
+                        ("chunk_seq", pa.int32()),
+                        ("n_rows", pa.int64()),
+                        ("payload", pa.map_(pa.string(), pa.binary())),
+                        ("stats", pa.string()),
+                        ("content_sha", pa.string()),
+                        ("raw_bytes", pa.int64()),
+                        ("encoded_bytes", pa.int64()),
+                        ("repo_min", pa.string()),
+                        ("repo_max", pa.string()),
+                    ]
+                ),
+            )
+            yield out
+        # task-commit metadata (the Iceberg-manifest pattern): each task
+        # durably records its own chunk inventory; the driver merges
+        # fragments with a glob instead of a second Spark job over chunks.
+        # tmp+rename keeps retried/speculative tasks idempotent.
+        if manifest_dir is not None and frag:
+            import json as _json
+            import os as _os
+
+            _os.makedirs(manifest_dir, exist_ok=True)
+            tmp = f"{manifest_dir}/.{part_id:06d}.json.tmp.{_os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(frag, f)
+            _os.replace(tmp, f"{manifest_dir}/{part_id:06d}.json")
+
+    return kernel
+
+
+def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
+                num_partitions: int | None = None,
+                salt_col: str | None = "repo",
+                sort_cols: list[str] | None = None,
+                key_counts: list[tuple] | None = None) -> tuple[DataFrame, int]:
+    """Skew-defusing salted repartition + in-partition sort.
+
+    Buckets per repo scale with that repo's observed row count, so the one
+    giant repo (~40% of rows) spreads over many partitions while small
+    repos coalesce. ``xxhash64(*other cols)`` gives a deterministic,
+    uniform in-repo split. Tables without the salt column fall back to a
+    plain round-robin repartition (no skew key to defuse).
+    """
+    spark = df.sparkSession
+    if salt_col == "repo" and "repo" not in df.columns:
+        salt_col = None
+    if sort_cols is None:
+        sort_cols = [c for c in ("repo", "path", "commit") if c in df.columns]
+    default_par = spark.sparkContext.defaultParallelism
+
+    if salt_col is None:
+        n = df.count()
+        P = num_partitions or max(math.ceil(n / rows_per_bucket), default_par)
+        out = df.repartition(P)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        return out, P
+
+    hash_cols = [c for c in df.columns if c != salt_col][:3] or [salt_col]
+    # one pruned-scan job; bucket math on the driver (#keys ≪ #rows —
+    # at 10^12 files this is #repos rows, still driver-sized).
+    # ``key_counts`` lets callers supply maintained table statistics
+    # (the Iceberg partition-stats pattern) instead of rescanning.
+    if key_counts is None:
+        key_counts = [(r[0], r["count"]) for r in df.groupBy(salt_col).count().collect()]
+    bucket_rows = [
+        (k, max(1, math.ceil(c / rows_per_bucket))) for k, c in key_counts
+    ]
+    if not bucket_rows:  # empty input: nothing to salt, keep a valid plan
+        P = num_partitions or 1
+        return df.repartition(P), P
+    total_buckets = sum(b for _, b in bucket_rows) or 1
+    P = num_partitions or max(int(total_buckets), default_par)
+    buckets = spark.createDataFrame(bucket_rows, [salt_col, "n_buckets"])
+    salted = (
+        df.join(F.broadcast(buckets), salt_col)
+        .withColumn("salt", F.pmod(F.xxhash64(*hash_cols), F.col("n_buckets")).cast("int"))
+        .drop("n_buckets")
+    )
+    out = salted.repartition(P, salt_col, "salt").drop("salt")
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    return out.select(df.columns), P
+
+
+@dataclass
+class EncodeResult:
+    out_dir: str
+    num_partitions: int
+    seconds: float
+    rows: int
+    raw_bytes: int
+    encoded_bytes: int
+
+    @property
+    def ratio(self) -> float:
+        return self.encoded_bytes / max(self.raw_bytes, 1)
+
+    @property
+    def throughput_gbps(self) -> float:
+        return self.raw_bytes / 1e9 / max(self.seconds, 1e-9)
+
+
+def encode_table(
+    df: DataFrame,
+    out_dir: str,
+    columns: list[str] | None = None,
+    codec_overrides: dict | None = None,
+    rows_per_bucket: int = 250_000,
+    num_partitions: int | None = None,
+    resume: bool = False,
+    key_counts: list[tuple] | None = None,
+) -> EncodeResult:
+    """Encode ``df`` into ``out_dir`` (chunks + manifest + summary)."""
+    from fhirflat_spark.manifest import (
+        _local,
+        completed_partitions,
+        load_fragments,
+        write_manifest,
+        write_summary,
+    )
+
+    spark = df.sparkSession
+    columns = columns or df.columns
+    t0 = time.time()
+
+    salted, P = plan_salted(
+        df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
+        key_counts=key_counts,
+    )
+
+    skip: frozenset[int] = frozenset()
+    mode = "overwrite"
+    if resume:
+        skip = completed_partitions(spark, out_dir)
+        mode = "append" if skip else "overwrite"
+
+    frag_dir = _local(out_dir) + "/manifest_parts"
+    if not resume:
+        import shutil
+
+        shutil.rmtree(frag_dir, ignore_errors=True)
+    kernel = encode_kernel_factory(
+        columns, codec_overrides, skip_parts=skip, manifest_dir=frag_dir
+    )
+    chunks = salted.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+    # ONE data-sized job: encode + write chunks; tasks commit their own
+    # manifest fragments alongside. partitionBy(part_id) keeps the
+    # Iceberg-style partitioned layout that resume prunes/replaces by
+    # directory.
+    (
+        chunks.write.mode(mode)
+        .option("compression", "uncompressed")
+        .partitionBy("part_id")
+        .parquet(f"{out_dir}/chunks")
+    )
+    meta_rows = load_fragments(frag_dir)
+    manifest_stats = write_manifest(spark, out_dir, meta_rows)
+    seconds = time.time() - t0
+    result = EncodeResult(
+        out_dir=out_dir,
+        num_partitions=P,
+        seconds=seconds,
+        rows=manifest_stats["rows"],
+        raw_bytes=manifest_stats["raw_bytes"],
+        encoded_bytes=manifest_stats["encoded_bytes"],
+    )
+    write_summary(
+        spark, out_dir, result, columns,
+        spark_schema=df.select(*columns).schema.json(),
+        dataset_sha=manifest_stats["dataset_sha256"],
+    )
+    return result

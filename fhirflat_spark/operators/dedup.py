@@ -1,0 +1,256 @@
+"""Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Cross-engine determinism: every hash is derived from sha256 hex prefixes
+(``conv(substr(sha2(x),1,15),16,10)`` in Spark ≡
+``('0x'||substr(sha256(x),1,15))::BIGINT`` in DuckDB), so the DuckDB
+oracles verify the *same* numeric minhashes/simhashes — not just row
+counts.
+
+Scale shape: token explode → hash → per-doc min-agg is a single shuffle on
+doc_id with map-side partial min; the LSH band bucket-join replaces the
+O(n²) pair scan with an equi-join on (band, signature) — the standard
+web-scale near-dup layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhirflat_spark.operators.relational import load
+
+N_HASHES = 8
+BAND_SIZE = 4  # 2 bands of 4 hashes
+SIM_BITS = 16
+
+
+def _spark_hash64(col):
+    """Portable 60-bit hash from sha256 hex prefix (matches the DuckDB oracle)."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_hash64(expr: str) -> str:
+    return f"(('0x' || substr(sha256({expr}), 1, 15))::BIGINT)"
+
+
+def _tokens_df(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+"))
+        ).alias("token"),
+    ).where(F.length("token") > 0)
+
+
+_SQL_TOKENS = r"""
+  SELECT DISTINCT doc_id, lang, token
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents)
+  WHERE length(token) > 0
+"""
+
+
+# --- exact dedup: content-hash groupBy, keep min doc_id (hash-groupBy —
+#     one shuffle, map-side combine)
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("n_copies").alias("n_total"),
+            F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT count(*) AS n_unique,
+       sum(n_copies) AS n_total,
+       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_dropped
+FROM (SELECT sha256(text) AS text_sha, min(doc_id) AS keeper, count(*) AS n_copies
+      FROM documents GROUP BY sha256(text))
+"""
+
+
+# --- minhash signatures: per-doc min of k seeded hashes over word shingles
+
+def q_minhash_signatures(spark, sf_dir):
+    toks = _tokens_df(spark, sf_dir)
+    aggs = [
+        F.min(_spark_hash64(F.concat(F.col("token"), F.lit(f"#s{i}")))).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _sql_min_exprs() -> list[str]:
+    out = []
+    for i in range(N_HASHES):
+        h = _sql_hash64(f"token || '#s{i}'")
+        out.append(f"min({h}) AS mh{i}")
+    return out
+
+
+def _sql_minhash_signatures() -> str:
+    mins = ",\n       ".join(_sql_min_exprs())
+    return f"""
+WITH toks AS ({_SQL_TOKENS})
+SELECT doc_id,
+       {mins}
+FROM toks GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- minhash + LSH banding: candidate pairs via equi-join on band signature
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    sigs = q_minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [F.col(f"mh{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("sig"),
+            )
+        )
+    banded = bands[0].unionByName(bands[1])
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    band_rows = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    mins = ", ".join(_sql_min_exprs())
+    return f"""
+WITH toks AS ({_SQL_TOKENS}),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM toks GROUP BY doc_id
+),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band, sig)
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- simhash: 16-bit fingerprint by per-bit token voting
+
+def q_simhash(spark, sf_dir):
+    toks = _tokens_df(spark, sf_dir)
+    h = _spark_hash64(F.col("token"))
+    votes = toks.select("doc_id", *[
+        ((F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"v{b}")
+        for b in range(SIM_BITS)
+    ])
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(SIM_BITS)]
+    )
+    fp = None
+    for b in range(SIM_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    h = _sql_hash64("token")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIM_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS))
+    return f"""
+WITH toks AS ({_SQL_TOKENS}),
+votes AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+# --- n-gram (word) Jaccard near-dup pairs within language blocks:
+#     explode→equi-join→group replaces the quadratic pair scan
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    toks = _tokens_df(spark, sf_dir)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.lang") == F.col("b.lang")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH toks AS ({_SQL_TOKENS}),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter / (sa.n_tok + sb.n_tok - inter), 6) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+    "simhash": (q_simhash, _sql_simhash()),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+}

@@ -1,0 +1,419 @@
+"""Relational operators from SURVEY.md §2, re-expressed as Catalyst plans.
+
+Each query cites the reference operator it covers (file:line from
+/root/reference) and is paired with a DuckDB oracle in QUERIES. Column
+aliases match between Spark and SQL exactly (driver hash-compares by
+sorted column name).
+
+Scale notes (100 TB discipline):
+- dimension joins are explicitly ``broadcast()`` (J1's pandas multi-index
+  lookup analog, reference fhirflat/ingest.py:357-366);
+- aggregations are expressed so Catalyst plans partial (map-side) agg;
+- filters/projections sit directly on the scan so parquet pushdown and
+  column pruning fire (visible in .explain as PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- P1/P4: projection pruning + null/predicate filter (ingest.py:310-311, 353)
+
+def q_filter_project(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") < "1996-01-01") & F.col("l_quantity").isNotNull())
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity IS NOT NULL
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- P6: validity split — one pass, error-flag column, both channels counted
+#     (base.py:136-147: boolean validity mask -> valid/error frames)
+
+def q_validity_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    flagged = docs.withColumn(
+        "error",
+        F.when(F.length("text") != F.col("n_chars"), F.lit("length_mismatch"))
+        .when(~F.col("lang").rlike("^[a-z]{2}$"), F.lit("bad_lang"))
+        .otherwise(F.lit(None)),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_VALIDITY_SPLIT = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN length(text) = n_chars AND regexp_matches(lang, '^[a-z]{2}$')
+                THEN 1 ELSE 0 END) AS n_valid,
+       sum(CASE WHEN length(text) != n_chars OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                THEN 1 ELSE 0 END) AS n_errors
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --- J1: broadcast dimension join (the mapping-table lookup,
+#     ingest.py:148-175 / 357-366) — TPC-H Q5 shape
+
+def q_broadcast_join_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name", "r_name")
+    )
+
+
+SQL_BROADCAST_JOIN_REVENUE = """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name ORDER BY n_name, r_name
+"""
+
+
+# --- J1 missing-key channel: left join + isNull count (the missing-mapping
+#     warning path, ingest.py:155-160)
+
+def q_left_antijoin_missing(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customers_without_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_LEFT_ANTIJOIN_MISSING = """
+SELECT c_mktsegment, count(*) AS customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- A1: implode (inverse explode; single-or-list per group,
+#     fhir2flat.py:89-115) — list rendered as sorted joined string so the
+#     oracle hash matches across engines
+
+def q_implode(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+SQL_IMPLODE = """
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- A2: one-to-one condense — single non-null value per group or flag
+#     (ingest.py:319-348; error surfaced as a flag column, not an exception)
+
+def q_condense_one_to_one(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count_distinct("o_orderstatus").alias("n_distinct"),
+            F.min("o_orderstatus").alias("condensed"),
+        )
+        .withColumn("conflict", (F.col("n_distinct") > 1).cast("int"))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_CONDENSE_ONE_TO_ONE = """
+SELECT o_custkey,
+       count(DISTINCT o_orderstatus) AS n_distinct,
+       min(o_orderstatus) AS condensed,
+       CASE WHEN count(DISTINCT o_orderstatus) > 1 THEN 1 ELSE 0 END AS conflict
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- A3: distinct-N for the manifest (ingest.py:400-404)
+
+def q_distinct_count(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders FROM orders
+"""
+
+
+# --- R4: melt/unpivot wide->long (ingest.py:350-353), id carried through
+#     (the J2 cross-row fetch avoidance, ingest.py:78-89)
+
+def q_unpivot(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'p_size', cast(p_size as double), "
+                "'p_retailprice', p_retailprice) as (metric, value)"
+            ),
+        )
+        .where(F.col("value").isNotNull())
+        .orderBy("p_partkey", "metric")
+    )
+
+
+SQL_UNPIVOT = """
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+) WHERE value IS NOT NULL
+ORDER BY p_partkey, metric
+"""
+
+
+# --- R6/R7: union + dedup (base.py:350; fhir2flat.py:96)
+
+def q_union_dedup(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        hi.unionByName(urgent)
+        .distinct()
+        .agg(F.count("*").alias("n_custkeys"))
+    )
+
+
+SQL_UNION_DEDUP = """
+SELECT count(*) AS n_custkeys FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# --- F1/F3/F4: system|code symbol fusion (fhir2flat.py:118-199,
+#     util.py:189-208) and D2: its split-decode inverse (flat2fhir.py:42-126)
+
+def q_condense_system_code(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    fused = ev.select(
+        "event_id",
+        F.concat_ws("|", F.col("event_type"), F.col("user_id").cast("string")).alias("code"),
+    )
+    return (
+        fused.select(
+            "event_id",
+            "code",
+            F.split(F.col("code"), "\\|").getItem(0).alias("system_decoded"),
+            F.split(F.col("code"), "\\|").getItem(1).cast("bigint").alias("code_decoded"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_CONDENSE_SYSTEM_CODE = """
+SELECT event_id,
+       event_type || '|' || CAST(user_id AS VARCHAR) AS code,
+       split_part(event_type || '|' || CAST(user_id AS VARCHAR), '|', 1) AS system_decoded,
+       CAST(split_part(event_type || '|' || CAST(user_id AS VARCHAR), '|', 2) AS BIGINT) AS code_decoded
+FROM events ORDER BY event_id
+"""
+
+
+# --- F6/F7: date normalization to ISO strings (ingest.py:98-131,
+#     util.py:150-172)
+
+def q_format_dates(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_FORMAT_DATES = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_date
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- F9/F10: the mapping-cell mini-DSL compiled to Column exprs
+#     (find_field_value ingest.py:49-95; '<A> if not <B>' ingest.py:67-77)
+
+def q_expr_dsl(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            # '<event_type> + <user_id>' concat rule
+            F.concat_ws(" ", "event_type", F.col("user_id").cast("string")).alias("concat_rule"),
+            # '<value> if not <props>' inverse-coalesce rule
+            F.when(F.col("props").isNull(), F.col("value")).alias("if_not_rule"),
+            # constant rule
+            F.lit("completed").alias("constant_rule"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_EXPR_DSL = """
+SELECT event_id,
+       event_type || ' ' || CAST(user_id AS VARCHAR) AS concat_rule,
+       CASE WHEN props IS NULL THEN value END AS if_not_rule,
+       'completed' AS constant_rule
+FROM events ORDER BY event_id
+"""
+
+
+# --- F11: sha256 checksums (ingest.py:381-390), JVM-side
+
+def q_sha256(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_SHA256 = """
+SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id
+"""
+
+
+# --- headline: TPC-H Q1 pricing summary (partial-agg showcase)
+
+def q_tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- window functions: top order per customer (absent in reference —
+#     engine extension; SURVEY §2.8)
+
+def q_window_top_order(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_WINDOW_TOP_ORDER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+QUERIES = {
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "validity_split": (q_validity_split, SQL_VALIDITY_SPLIT),
+    "broadcast_join_revenue": (q_broadcast_join_revenue, SQL_BROADCAST_JOIN_REVENUE),
+    "left_antijoin_missing": (q_left_antijoin_missing, SQL_LEFT_ANTIJOIN_MISSING),
+    "implode": (q_implode, SQL_IMPLODE),
+    "condense_one_to_one": (q_condense_one_to_one, SQL_CONDENSE_ONE_TO_ONE),
+    "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
+    "condense_system_code": (q_condense_system_code, SQL_CONDENSE_SYSTEM_CODE),
+    "format_dates": (q_format_dates, SQL_FORMAT_DATES),
+    "expr_dsl": (q_expr_dsl, SQL_EXPR_DSL),
+    "sha256_rows": (q_sha256, SQL_SHA256),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "window_top_order": (q_window_top_order, SQL_WINDOW_TOP_ORDER),
+}

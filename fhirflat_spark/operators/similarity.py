@@ -1,0 +1,169 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- brute-force cosine scoring: pure Catalyst (``zip_with`` + ``aggregate``)
+  — no UDF, whole-stage-codegen'd, with a DuckDB oracle;
+- LSH-bucketed ANN: sign-bit bucketing prunes the candidate set before
+  exact rescoring (the scale path: bucket equi-join instead of a full
+  cross product). Spark-only (no clean ANSI-SQL equivalent) → rows-only
+  driver check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhirflat_spark.operators.relational import load
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+SIGN_BITS = 6
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_cosine_score_all(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_COSINE_SCORE_ALL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       round(list_dot_product(embedding, qvec)
+             / (sqrt(list_dot_product(embedding, embedding))
+                * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+FROM embeddings, q ORDER BY vec_id
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force top-k by cosine — the exact baseline ANN answers are
+    measured against. Deterministic ordering (cosine desc, vec_id asc)."""
+    scored = q_cosine_score_all(spark, sf_dir)
+    return (
+        scored.where(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding, qvec)
+               / (sqrt(list_dot_product(embedding, embedding))
+                  * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, cosine FROM scored WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def _sign_bucket(vec):
+    """Deterministic LSH bucket: sign bits of the first SIGN_BITS dims."""
+    bucket = F.lit(0)
+    for b in range(SIGN_BITS):
+        bucket = bucket + F.when(vec.getItem(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """IVF/LSH-style ANN: candidates = query's sign bucket (plus its
+    1-bit-flip neighbors), exact cosine rescoring only inside them.
+
+    At 10^9 vectors the bucket column is a partition key: the probe is an
+    equi-join touching ~n/2^SIGN_BITS of the data, not a full scan."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    query = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probes = query.select(
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(SIGN_BITS)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    return (
+        emb.join(F.broadcast(probes), "bucket")
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# embedding-cosine near-duplicate pairs within label blocks (blocked
+# quadratic — the exact-rescore stage of embedding dedup)
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.95)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.95
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "cosine_score_all": (q_cosine_score_all, SQL_COSINE_SCORE_ALL),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),  # non-SQL: LSH probe set
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
+}

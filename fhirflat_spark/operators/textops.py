@@ -1,0 +1,161 @@
+"""Text-analysis operators for a training-data pipeline, over `documents`.
+
+All JVM-side Catalyst expressions (regexp_count, sha2, split) — no Python
+in the row path; each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhirflat_spark.operators.relational import load
+
+# --- token counting (whitespace + a BPE-ish word/punct regex)
+
+def q_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.when(F.length(F.trim("text")) == 0, F.lit(0))
+            .otherwise(F.size(F.split(F.trim("text"), "\\s+")))
+            .alias("ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")).alias("bpeish_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS bpeish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- quality scoring: length / punctuation / stopword / uppercase ratios
+
+def q_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    length = F.length("text")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[.,!?;:]"))
+    stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|in|a|is)\b"))
+    words = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+"))
+    return (
+        docs.select(
+            "doc_id",
+            length.alias("n_chars_measured"),
+            F.round(punct / F.greatest(length, F.lit(1)), 6).alias("punct_ratio"),
+            F.round(stop / F.greatest(words, F.lit(1)), 6).alias("stopword_ratio"),
+            F.round(
+                (stop / F.greatest(words, F.lit(1)) * 0.5)
+                + F.least(length / F.lit(500.0), F.lit(1.0)) * 0.5,
+                6,
+            ).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY_SCORE = r"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       round(len(regexp_extract_all(text, '[.,!?;:]'))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))
+             / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 6) AS stopword_ratio,
+       round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))
+             / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) * 0.5
+             + least(length(text) / 500.0, 1.0) * 0.5, 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- n-gram-heuristic language id: marker-word votes per language
+
+_MARKERS = {
+    "en": r"\b(the|and|of|is|was)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|es|y)\b",
+}
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    scores = [
+        F.regexp_count(F.lower(F.col("text")), F.lit(pat)).alias(f"score_{lang}")
+        for lang, pat in _MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _MARKERS])
+    pred = F.lit("other")
+    # ties broken by iteration order: first language reaching the max wins
+    for lang in reversed(list(_MARKERS)):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return (
+        scored.withColumn("predicted", pred)
+        .select("doc_id", "lang", "predicted", *[f"score_{lang}" for lang in _MARKERS])
+        .orderBy("doc_id")
+    )
+
+
+def _sql_lang_id() -> str:
+    score_exprs = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS score_{lang}"
+        for lang, pat in _MARKERS.items()
+    )
+    langs = list(_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:  # first max wins — mirror the Spark when-chain
+        case += f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'other' END"
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {score_exprs}
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS predicted, {cols}
+FROM scored ORDER BY doc_id
+"""
+
+
+# --- document fingerprinting: sha256 over normalized text
+#     (rolling-hash-style canonicalization: lower, strip punct, collapse ws)
+
+def q_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                  '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, _sql_lang_id()),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+}

@@ -88,13 +88,20 @@ def _avg_prefix_share(arr: pa.Array, stats: dict, sample: int = 512) -> float:
     return float(pl.mean() / max(lengths.mean(), 1.0))
 
 
-def _trial_ratios(arr: pa.Array) -> tuple[float, float, list[bytes] | None]:
-    """(zstd_ratio, fsst_ratio, trained_symbols) on a bounded byte sample."""
+def _trial_ratios(arr: pa.Array, try_fsst: bool = True) -> tuple[float, float, list[bytes] | None]:
+    """(zstd_ratio, fsst_ratio, trained_symbols) on a bounded byte sample.
+
+    The fsst race-trial (train + sample encode) costs ~10x the zstd trial,
+    so it only runs when zstd's measured ratio leaves room for fsst to win
+    (zstd poor) — the common content case short-circuits to zstd.
+    """
     _, data = string_parts(arr)
     sample = data[:_TRIAL_SAMPLE]
     if len(sample) < 64:
         return 1.0, 1.0, None
     z_ratio = len(_zstd(sample)) / len(sample)
+    if not try_fsst or z_ratio <= 0.5:
+        return z_ratio, 1.0, None
     symbols = fsst_mod.train_symbols(sample)
     if not symbols:
         return z_ratio, 1.0, None
@@ -131,7 +138,7 @@ def choose_codec(
             and _avg_prefix_share(arr, stats) > 0.3
         ):
             return "prefix", opts
-        z_ratio, f_ratio, symbols = _trial_ratios(arr)
+        z_ratio, f_ratio, symbols = _trial_ratios(arr, try_fsst=depth == 0)
         if f_ratio < z_ratio * _FSST_EDGE and symbols:
             opts["symbols"] = symbols
             return "fsst", opts

@@ -1,0 +1,210 @@
+"""End-to-end encode→decode round-trip tests on Spark (SURVEY.md §5).
+
+The golden-file round-trip pattern of the reference
+(reference tests/test_patient_resource.py:26-56: object → to_flat →
+parquet == golden; parquet → from_flat == object), re-expressed for the
+encode engine: source table → encode → manifest checksums pinned →
+decode → per-row sha256 equality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhirflat_spark.datagen import gen_pandas, gen_spark
+from fhirflat_spark.decode import (
+    codec_report,
+    decode_table,
+    verify_against_source,
+    verify_table,
+)
+from fhirflat_spark.encode import encode_table, plan_salted
+from fhirflat_spark.manifest import dataset_checksum, read_manifest, read_summary
+
+N_ROWS = 6000
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc") / "ds")
+    df = gen_spark(spark, N_ROWS, seed=42)
+    res = encode_table(df, out, rows_per_bucket=1000)
+    return df, out, res
+
+
+def test_encode_counts(encoded):
+    df, out, res = encoded
+    assert res.rows == N_ROWS
+    assert 0 < res.encoded_bytes < res.raw_bytes
+
+
+def test_compression_beats_half(encoded):
+    _, _, res = encoded
+    assert res.ratio < 0.5, f"expected <0.5 compression on synthetic code, got {res.ratio}"
+
+
+def test_roundtrip_sha_equality(spark, encoded):
+    df, out, _ = encoded
+    decoded = decode_table(spark, out)
+    assert decoded.count() == N_ROWS
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+
+
+def test_roundtrip_full_row_equality(spark, encoded):
+    df, out, _ = encoded
+    decoded = decode_table(spark, out)
+    # exact multiset equality of full rows, not just hashes
+    diff = decoded.exceptAll(df).count() + df.exceptAll(decoded).count()
+    assert diff == 0
+
+
+def test_chunk_verification(spark, encoded):
+    _, out, _ = encoded
+    v = verify_table(spark, out)
+    assert v.where(~F.col("ok")).count() == 0
+
+
+def test_manifest_contents(spark, encoded):
+    _, out, res = encoded
+    m = read_manifest(spark, out)
+    rows = m.agg(F.sum("rows")).collect()[0][0]
+    assert rows == N_ROWS
+    assert m.where(F.col("status") != "ok").count() == 0
+    summary = read_summary(spark, out)
+    assert summary["rows"] == N_ROWS
+    assert summary["columns"] == ["repo", "path", "commit", "lang", "content"]
+    assert len(summary["dataset_sha256"]) == 64
+
+
+def test_manifest_deterministic(spark, encoded, tmp_path):
+    """Same input + config → identical dataset checksum (the
+    METADATA_CHECKSUM golden pattern, reference tests/test_ingest.py:31)."""
+    _, out, _ = encoded
+    out2 = str(tmp_path / "ds2")
+    df2 = gen_spark(spark, N_ROWS, seed=42)
+    encode_table(df2, out2, rows_per_bucket=1000)
+    sha1 = dataset_checksum(read_manifest(spark, out))
+    sha2 = dataset_checksum(read_manifest(spark, out2))
+    assert sha1 == sha2
+
+
+def test_salting_spreads_giant_repo(spark):
+    df = gen_spark(spark, N_ROWS, seed=42)
+    salted, P = plan_salted(df, rows_per_bucket=500)
+    # the giant repo (~40% of rows) must span multiple buckets
+    from fhirflat_spark.datagen import repo_boundaries
+
+    giant_rows = int(repo_boundaries(N_ROWS)[1])
+    assert giant_rows > 500
+    counts = (
+        df.groupBy("repo").count().orderBy(F.desc("count")).limit(1).collect()
+    )
+    assert counts[0]["count"] == giant_rows
+    assert P >= giant_rows // 500
+
+
+def test_corruption_localized(spark, encoded, tmp_path):
+    """Corrupt one chunk's payload → verify flags exactly that chunk and
+    no other (the error side-channel, reference fhirflat/ingest.py:571-580)."""
+    import pyarrow.parquet as pq
+
+    _, out, _ = encoded
+    out2 = str(tmp_path / "corrupt")
+    import shutil
+
+    shutil.copytree(out, out2)
+    # flip bytes in one chunk file's payload column
+    part_dirs = sorted(
+        d for d in os.listdir(f"{out2}/chunks") if d.startswith("part_id=")
+    )
+    victim_dir = f"{out2}/chunks/{part_dirs[0]}"
+    f = [x for x in os.listdir(victim_dir) if x.endswith(".parquet")][0]
+    t = pq.read_table(f"{victim_dir}/{f}")
+    import pyarrow as pa
+
+    payloads = t.column("payload").to_pylist()
+    k0 = payloads[0][0][0]
+    blob = bytearray(payloads[0][0][1])
+    blob[len(blob) // 2] ^= 0xFF
+    payloads[0] = [(k0, bytes(blob))] + payloads[0][1:]
+    t = t.set_column(
+        t.schema.get_field_index("payload"),
+        "payload",
+        pa.array(payloads, type=pa.map_(pa.string(), pa.binary())),
+    )
+    pq.write_table(t, f"{victim_dir}/{f}", compression="none")
+    # drop hadoop's local-FS checksum sidecars (stale after the rewrite)
+    for root, _, files in os.walk(f"{out2}/chunks"):
+        for name in files:
+            if name.endswith(".crc"):
+                os.remove(os.path.join(root, name))
+    v = verify_table(spark, out2).collect()
+    bad = [r for r in v if not r["ok"]]
+    assert len(bad) == 1
+    assert bad[0]["part_id"] == int(part_dirs[0].split("=")[1])
+
+
+def test_resume_skips_completed(spark, encoded, tmp_path):
+    """Re-encode with resume=True → completed partitions skipped, output
+    unchanged (idempotent re-run from manifest lineage)."""
+    df, out, res = encoded
+    sha_before = dataset_checksum(read_manifest(spark, out))
+    res2 = encode_table(df, out, rows_per_bucket=1000, resume=True)
+    sha_after = dataset_checksum(read_manifest(spark, out))
+    assert sha_before == sha_after
+    assert res2.rows == N_ROWS  # manifest still accounts for all rows
+    decoded = decode_table(spark, out)
+    assert decoded.count() == N_ROWS
+
+
+def test_resume_reencodes_missing(spark, tmp_path):
+    """Drop one partition's chunks + manifest row → resume re-encodes ONLY
+    that partition and restores the full dataset."""
+    import shutil
+
+    out = str(tmp_path / "resume")
+    df = gen_spark(spark, 3000, seed=7)
+    encode_table(df, out, rows_per_bucket=500)
+    m = read_manifest(spark, out)
+    all_parts = sorted(r["part_id"] for r in m.select("part_id").collect())
+    victim = all_parts[0]
+    shutil.rmtree(f"{out}/chunks/part_id={victim}")
+    # rewrite manifest without the victim row (simulates a failed task)
+    m.where(F.col("part_id") != victim).write.mode("overwrite").parquet(
+        f"{out}/manifest2"
+    )
+    shutil.rmtree(f"{out}/manifest")
+    os.rename(f"{out}/manifest2", f"{out}/manifest")
+    res = encode_table(df, out, rows_per_bucket=500, resume=True)
+    assert res.rows == 3000
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 3000
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+
+
+def test_codec_report_shape(spark, encoded):
+    _, out, _ = encoded
+    rep = codec_report(spark, out).collect()
+    cols = {r["column"] for r in rep}
+    assert cols == {"repo", "path", "commit", "lang", "content"}
+    assert all(r["encoded_bytes"] > 0 for r in rep)
+
+
+def test_typed_table_roundtrip(spark, tmp_path):
+    """Non-string types (ints, floats, timestamps, bools) round-trip through
+    the same pipeline — the engine is generic over flat tables."""
+    out = str(tmp_path / "typed")
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    res = encode_table(li, out, rows_per_bucket=2000)
+    assert res.rows == li.count()
+    decoded = decode_table(spark, out)
+    assert decoded.schema == li.schema
+    diff = decoded.exceptAll(li).count() + li.exceptAll(decoded).count()
+    assert diff == 0
