@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""spark-submit entry point (SURVEY §7 M8).
+
+Usage (ships the engine as a zip via --py-files — no install needed on
+executors):
+
+    python tools/build_pyfiles.py              # -> dist/fhirflat_spark.zip
+    spark-submit --py-files dist/fhirflat_spark.zip driver.py \
+        encode --rows 1000000 --out /data/encoded
+    spark-submit --py-files dist/fhirflat_spark.zip driver.py \
+        verify --out /data/encoded
+    spark-submit --py-files dist/fhirflat_spark.zip driver.py \
+        decode --out /data/encoded --show 5
+
+In this sandbox ``spark-submit`` and plain ``python`` are equivalent
+(local mode); on a cluster the same command line works unchanged because
+all kernels live in the zip and the driver only orchestrates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="fhirflat_spark driver")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="generate/read source table and encode it")
+    enc.add_argument("--rows", type=int, default=100_000, help="synthetic rows (ignored with --src)")
+    enc.add_argument("--src", help="existing parquet table to encode instead of synthetic")
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--rows-per-bucket", type=int, default=250_000)
+    enc.add_argument("--resume", action="store_true")
+
+    ver = sub.add_parser("verify", help="re-verify every chunk round-trips bit-identically")
+    ver.add_argument("--out", required=True)
+
+    dec = sub.add_parser("decode", help="decode and show rows")
+    dec.add_argument("--out", required=True)
+    dec.add_argument("--show", type=int, default=5)
+
+    args = p.parse_args()
+
+    from fhirflat_spark.session import get_spark
+
+    spark = get_spark("fhirflat_spark_driver")
+
+    if args.cmd == "encode":
+        from fhirflat_spark.encode import encode_table
+
+        if args.src:
+            df = spark.read.parquet(args.src)
+        else:
+            from fhirflat_spark.datagen import gen_spark
+
+            df = gen_spark(spark, args.rows, seed=42)
+        res = encode_table(df, args.out, rows_per_bucket=args.rows_per_bucket,
+                           resume=args.resume)
+        print(json.dumps({
+            "rows": res.rows, "raw_bytes": res.raw_bytes,
+            "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),
+            "seconds": round(res.seconds, 2), "gbps": round(res.throughput_gbps, 4),
+            "partitions": res.num_partitions,
+        }))
+    elif args.cmd == "verify":
+        from pyspark.sql import functions as F
+
+        from fhirflat_spark.decode import verify_table
+
+        v = verify_table(spark, args.out)
+        bad = v.where(~F.col("ok"))
+        n_bad = bad.count()
+        print(json.dumps({"chunks": v.count(), "failed": n_bad}))
+        if n_bad:
+            bad.show(20, truncate=False)
+            raise SystemExit(1)
+    elif args.cmd == "decode":
+        from fhirflat_spark.decode import decode_table
+
+        df = decode_table(spark, args.out)
+        print(json.dumps({"rows": df.count()}))
+        df.show(args.show, truncate=60)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
