@@ -90,9 +90,12 @@ def _col_raw_sha(arr: pa.Array) -> tuple[str, int]:
 
 def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           skip_parts: frozenset[int] | None = None,
-                          manifest_dir: str | None = None):
+                          manifest_dir: str | None = None,
+                          name_map: dict[str, str] | None = None):
     overrides = codec_overrides or {}
     skip = skip_parts or frozenset()
+    name_map = name_map or {c: c for c in columns}
+    repo_batch_col = next((b for b, o in name_map.items() if o == "repo"), None)
 
     def kernel(batches):
         ctx = TaskContext.get()
@@ -110,17 +113,18 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
             enc_total = 0
             sha_all = hashlib.sha256()
             for name in columns:
+                out_name = name_map[name]
                 arr = batch.column(name)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                blob = encode_array(arr, codec=overrides.get(name, "auto"))
+                blob = encode_array(arr, codec=overrides.get(out_name, "auto"))
                 sha, raw_bytes = _col_raw_sha(arr)
                 sha_all.update(sha.encode())
-                payload[name] = blob
+                payload[out_name] = blob
                 from fhirflat_spark.codecs.core import unpack_chunk
 
                 codec_name = unpack_chunk(blob)[0]
-                stats[name] = {
+                stats[out_name] = {
                     "codec": codec_name,
                     "raw": raw_bytes,
                     "enc": len(blob),
@@ -128,7 +132,11 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                 }
                 raw_total += raw_bytes
                 enc_total += len(blob)
-            repo_col = batch.column("repo") if "repo" in batch.schema.names else None
+            repo_col = (
+                batch.column(repo_batch_col)
+                if repo_batch_col in batch.schema.names
+                else None
+            ) if repo_batch_col else None
             rmin = rmax = None
             if repo_col is not None and n:
                 import pyarrow.compute as pc
@@ -207,6 +215,10 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
     plain round-robin repartition (no skew key to defuse).
     """
     spark = df.sparkSession
+
+    def bq(c: str):  # flat tables may carry dotted names (period.start)
+        return F.col(f"`{c}`")
+
     if salt_col == "repo" and "repo" not in df.columns:
         salt_col = None
     if sort_cols is None:
@@ -218,7 +230,7 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
         P = num_partitions or max(math.ceil(n / rows_per_bucket), default_par)
         out = df.repartition(P)
         if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
+            out = out.sortWithinPartitions(*[bq(c) for c in sort_cols])
         return out, P
 
     hash_cols = [c for c in df.columns if c != salt_col][:3] or [salt_col]
@@ -239,13 +251,16 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
     buckets = spark.createDataFrame(bucket_rows, [salt_col, "n_buckets"])
     salted = (
         df.join(F.broadcast(buckets), salt_col)
-        .withColumn("salt", F.pmod(F.xxhash64(*hash_cols), F.col("n_buckets")).cast("int"))
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
+        )
         .drop("n_buckets")
     )
-    out = salted.repartition(P, salt_col, "salt").drop("salt")
+    out = salted.repartition(P, bq(salt_col), F.col("salt")).drop("salt")
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    return out.select(df.columns), P
+        out = out.sortWithinPartitions(*[bq(c) for c in sort_cols])
+    return out.select(*[bq(c) for c in df.columns]), P
 
 
 @dataclass
@@ -305,8 +320,17 @@ def encode_table(
         import shutil
 
         shutil.rmtree(frag_dir, ignore_errors=True)
+    # pyspark's mapInArrow resolves plain column names, which breaks on
+    # dotted flat names (period.start) — feed it positional safe names and
+    # keep the original names inside the kernel for payload/stats keys
+    safe_names = [f"__c{i}" for i in range(len(columns))]
+    name_map = dict(zip(safe_names, columns))
+    salted = salted.select(
+        *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)]
+    )
     kernel = encode_kernel_factory(
-        columns, codec_overrides, skip_parts=skip, manifest_dir=frag_dir
+        safe_names, codec_overrides, skip_parts=skip, manifest_dir=frag_dir,
+        name_map=name_map,
     )
     chunks = salted.mapInArrow(kernel, schema=CHUNK_SCHEMA)
     # ONE data-sized job: encode + write chunks; tasks commit their own
@@ -332,7 +356,7 @@ def encode_table(
     )
     write_summary(
         spark, out_dir, result, columns,
-        spark_schema=df.select(*columns).schema.json(),
+        spark_schema=df.select(*[F.col(f"`{c}`") for c in columns]).schema.json(),
         dataset_sha=manifest_stats["dataset_sha256"],
     )
     return result

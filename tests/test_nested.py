@@ -1,0 +1,111 @@
+"""Nested reshaping unit tests — the reference's flatten/unflatten operator
+layer (reference tests/test_fhir2flat_units.py + test_flat2fhir_units.py),
+driven on constructed nested rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fhirflat_spark.nested import (
+    condense_coding,
+    expand_coding,
+    extensions_to_map,
+    flatten_structs,
+    unflatten_structs,
+    zip_backbone,
+)
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(
+                id="e1",
+                period=Row(start="2021-01-01", end="2021-01-09"),
+                klass=[Row(system="sys", code="IMP", display="inpatient")],
+                diagnosis=[
+                    Row(condition="c1", use="AD"),
+                    Row(condition="c2", use="DD"),
+                ],
+            ),
+            Row(
+                id="e2",
+                period=Row(start="2021-02-01", end=None),
+                klass=[Row(system="sys", code="AMB", display="ambulatory")],
+                diagnosis=[Row(condition="c3", use="AD")],
+            ),
+        ]
+    )
+
+
+def test_flatten_dotted_names(spark, nested_df):
+    flat = flatten_structs(nested_df)
+    assert "period.start" in flat.columns and "period.end" in flat.columns
+    # length-1 arrays of structs unwrap then flatten; >1 becomes _dense
+    assert "diagnosis_dense" in flat.columns
+    assert "klass.system" in flat.columns  # max len 1 -> unwrapped
+    rows = {r["id"]: r for r in flat.collect()}
+    assert rows["e1"]["period.start"] == "2021-01-01"
+    assert rows["e1"]["klass.code"] == "IMP"
+    assert len(rows["e1"]["diagnosis_dense"]) == 2
+
+
+def test_unflatten_roundtrip(spark, nested_df):
+    flat = flatten_structs(nested_df.select("id", "period"))
+    rebuilt = unflatten_structs(flat)
+    assert set(rebuilt.columns) == {"id", "period"}
+    orig = {r["id"]: r["period"] for r in nested_df.select("id", "period").collect()}
+    back = {r["id"]: r["period"] for r in rebuilt.collect()}
+    assert {k: tuple(v) for k, v in orig.items()} == {k: tuple(v) for k, v in back.items()}
+
+
+def test_condense_expand_coding_roundtrip(spark, nested_df):
+    df = nested_df.select("id", F.col("klass").alias("coding"))
+    condensed = condense_coding(df, "coding")
+    rows = {r["id"]: r for r in condensed.collect()}
+    assert rows["e1"]["coding.code"] == ["sys|IMP"]
+    assert rows["e1"]["coding.text"] == ["inpatient"]
+    expanded = expand_coding(condensed, "coding.code", "coding.text", "coding")
+    back = {r["id"]: r["coding"] for r in expanded.collect()}
+    assert back["e1"][0]["system"] == "sys"
+    assert back["e1"][0]["code"] == "IMP"
+    assert back["e1"][0]["display"] == "inpatient"
+
+
+def test_zip_backbone(spark):
+    df = spark.createDataFrame(
+        [("a", ["c1", "c2"], ["AD", "DD"])],
+        ["id", "conditions", "uses"],
+    )
+    out = zip_backbone(df, "diagnosis", {"condition": "conditions", "use": "uses"})
+    row = out.collect()[0]["diagnosis"]
+    assert [tuple(x) for x in row] == [("c1", "AD"), ("c2", "DD")]
+
+
+def test_extensions_to_map(spark):
+    df = spark.createDataFrame(
+        [("a", [Row(url="age", value="33"), Row(url="site", value="uk")])],
+        ["id", "extension"],
+    )
+    out = extensions_to_map(df, "extension")
+    m = out.collect()[0]["extension"]
+    assert m == {"age": "33", "site": "uk"}
+
+
+def test_flatten_then_encode_roundtrip(spark, nested_df, tmp_path):
+    """Nested table -> flatten -> columnar encode -> decode -> unflatten:
+    the full reference pipeline shape, bit-identical at the flat layer."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+
+    flat = flatten_structs(nested_df)
+    out = str(tmp_path / "nested_ds")
+    res = encode_table(flat, out, rows_per_bucket=10)
+    assert res.rows == 2
+    dec = decode_table(spark, out)
+    assert dec.schema == flat.schema
+    assert sorted(map(tuple, dec.collect())) == sorted(map(tuple, flat.collect()))

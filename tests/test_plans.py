@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the scale disciplines the engine claims
+(pushdown, pruning, broadcast, partial agg, no Python in relational paths)
+must be visible in ``explain``, not just intended.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "filter_project")
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan, plan
+    # column pruning: the scan must not read the unused wide columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_broadcast_join_chosen(spark):
+    plan = plan_of(spark, "broadcast_join_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the big fact-fact join may be SMJ; the dims must broadcast
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_partial_aggregation(spark):
+    plan = plan_of(spark, "tpch_q1")
+    # map-side combine: HashAggregate appears twice (partial + final)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    for name in ["tpch_q1", "broadcast_join_revenue", "minhash_signatures",
+                 "token_count", "simhash", "cosine_score_all"]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} fell back to python UDF"
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE defers codegen until execution — inspect the non-adaptive plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["tpch_q1"](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Found 0 WholeStageCodegen" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_antijoin_strategy(spark):
+    plan = plan_of(spark, "left_antijoin_missing")
+    assert "LeftAnti" in plan
+
+
+def test_encode_plan_single_shuffle(spark):
+    """The encode pipeline must contain exactly ONE data-sized exchange
+    (the salted repartition) — a second shuffle would be a 100-TB bug."""
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.encode import CHUNK_SCHEMA, encode_kernel_factory, plan_salted
+
+    df = gen_spark(spark, 2000, seed=3)
+    salted, _ = plan_salted(df, rows_per_bucket=500)
+    kernel = encode_kernel_factory(df.columns, None)
+    chunks = salted.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+    plan = chunks._sc._jvm.PythonSQLUtils.explainString(
+        chunks._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    data_exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(data_exchanges) == 1, plan

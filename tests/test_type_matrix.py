@@ -1,0 +1,94 @@
+"""Type-matrix round-trip (FIXTURES.md §3): the reference's golden parquet
+schemas pin string, bool, double, decimal, date, array<string>,
+array<struct> — all must survive encode→decode bit-identically. Plus a
+golden-manifest checksum pinned for a fixed seed/config (the
+METADATA_CHECKSUM pattern, reference tests/test_ingest.py:31).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from fhirflat_spark.decode import decode_table
+from fhirflat_spark.encode import encode_table
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("gender", T.StringType(), True),
+        T.StructField("birthDate", T.DateType(), True),
+        T.StructField("deceasedBoolean", T.BooleanType(), True),
+        T.StructField("relativeStart", T.DoubleType(), True),
+        T.StructField("timingValue", T.DecimalType(10, 2), True),
+        T.StructField("class_code", T.ArrayType(T.StringType()), True),
+        T.StructField(
+            "diagnosis_dense",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("condition", T.StringType()),
+                        T.StructField("use", T.StringType()),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+ROWS = [
+    ("p1", "female", date(1980, 1, 2), False, 1.5, Decimal("12.25"),
+     ["sys|IMP", "sys|AMB"], [Row(condition="c1", use="AD")]),
+    ("p2", None, None, True, -3.25, None, [], None),
+    ("p3", "male", date(2001, 12, 31), None, None, Decimal("0.01"),
+     None, [Row(condition="c2", use="DD"), Row(condition="c3", use="AD")]),
+] * 40
+
+
+def test_reference_type_matrix_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = str(tmp_path / "typed")
+    res = encode_table(df, out, rows_per_bucket=50)
+    assert res.rows == len(ROWS)
+    dec = decode_table(spark, out)
+    assert dec.schema == df.schema
+    diff = dec.exceptAll(df).count() + df.exceptAll(dec).count()
+    assert diff == 0
+
+
+# Golden manifest: pinned for (datagen seed=42, 600 rows, rows_per_bucket=200,
+# num_partitions=8, ARROW_BATCH_ROWS=8192, engine v0.1.0). A change to ANY
+# of codec selection, chunking, partitioning, or hashing breaks this — by
+# design; re-pin deliberately when the format version is bumped.
+GOLDEN_DATASET_SHA = None  # set on first run below
+
+
+def test_golden_manifest_checksum(spark, tmp_path):
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.manifest import read_summary
+
+    df = gen_spark(spark, 600, seed=42, partitions=4)
+    out1 = str(tmp_path / "g1")
+    out2 = str(tmp_path / "g2")
+    encode_table(df, out1, rows_per_bucket=200, num_partitions=8)
+    encode_table(df, out2, rows_per_bucket=200, num_partitions=8)
+    sha1 = read_summary(spark, out1)["dataset_sha256"]
+    sha2 = read_summary(spark, out2)["dataset_sha256"]
+    assert sha1 == sha2
+    golden_file = "tests/golden_manifest_sha.txt"
+    import os
+
+    if os.path.exists(golden_file):
+        pinned = open(golden_file).read().strip()
+        assert sha1 == pinned, (
+            "dataset checksum drifted from the pinned golden — codec/"
+            "chunking/partitioning changed; re-pin only with a format bump"
+        )
+    else:  # first run pins it
+        with open(golden_file, "w") as f:
+            f.write(sha1 + "\n")
