@@ -400,8 +400,79 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price FROM (
 """
 
 
+# --- sessionization: gap-based sessions over the events stream table
+#     (window lag + cumulative sum — the batch shape of stateful
+#     streaming sessionization)
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- TPC-H Q3-style top-k with deterministic tie-break (sort + limit)
+
+def q_topk_revenue_orders(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "topk_revenue_orders": (q_topk_revenue_orders, SQL_TOPK_REVENUE_ORDERS),
     "validity_split": (q_validity_split, SQL_VALIDITY_SPLIT),
     "broadcast_join_revenue": (q_broadcast_join_revenue, SQL_BROADCAST_JOIN_REVENUE),
     "left_antijoin_missing": (q_left_antijoin_missing, SQL_LEFT_ANTIJOIN_MISSING),
