@@ -108,6 +108,15 @@ def test_salting_spreads_giant_repo(spark):
     assert P >= giant_rows // 500
 
 
+def test_partition_balance(spark, encoded):
+    """Salting must keep partitions balanced despite the giant repo:
+    no partition may exceed ~2.5x the bucket-size target."""
+    _, out, _ = encoded
+    m = read_manifest(spark, out).select("rows").collect()
+    sizes = sorted(r["rows"] for r in m)
+    assert max(sizes) <= 2.5 * 1000  # rows_per_bucket=1000 in the fixture
+
+
 def test_corruption_localized(spark, encoded, tmp_path):
     """Corrupt one chunk's payload → verify flags exactly that chunk and
     no other (the error side-channel, reference fhirflat/ingest.py:571-580)."""
