@@ -28,10 +28,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_NLOW", "2"))
+N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_NLOW", "1"))
 N_HIGH = 4 * N_LOW
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
-N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 WORK = os.environ.get("SPARK_GRAFT_BENCH_WORK", "/tmp/fhirflat_spark_bench")
 SHM = "/dev/shm/fhirflat_spark_bench"
 
@@ -89,7 +89,8 @@ def ensure_source(spark) -> str:
     return src
 
 
-def encode_run(cores: int, src: str, tag: str, key_counts) -> dict:
+def encode_run(cores: int, src: str, tag: str, key_counts,
+               measure_decode: bool = False) -> dict:
     """Fresh session at the given core count; warmup + min-of-reps encode."""
     from fhirflat_spark.encode import encode_table
     from fhirflat_spark.session import get_spark
@@ -110,9 +111,26 @@ def encode_run(cores: int, src: str, tag: str, key_counts) -> dict:
                                num_partitions=64, key_counts=key_counts)
             walls.append(round(time.time() - t0, 2))
             print(f"  encode[{tag}] attempt{attempt}: {walls[-1]}s", flush=True)
+        decode_stats = {}
+        if measure_decode:
+            from fhirflat_spark.decode import decode_table
+
+            d_walls = []
+            for _ in range(3):
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(3)
+                t0 = time.time()
+                n = decode_table(spark, out).count()
+                d_walls.append(round(time.time() - t0, 2))
+            decode_stats = {
+                "decode_wall_sec": min(d_walls),
+                "decode_gbps": round(res.raw_bytes / 1e9 / min(d_walls), 4),
+                "decoded_rows": n,
+            }
         shutil.rmtree(out, ignore_errors=True)
         wall = min(walls[1:])
         return {
+            **decode_stats,
             "cores": cores,
             "wall_sec_all": walls,
             "wall_sec": wall,
@@ -162,7 +180,11 @@ def main() -> None:
 
     low = encode_run(N_LOW, src, f"n{N_LOW}", key_counts)
     high = encode_run(N_HIGH, src, f"n{N_HIGH}", key_counts)
-    full = encode_run(CPUS, src, f"n{CPUS}", key_counts) if CPUS > N_HIGH else high
+    full = (
+        encode_run(CPUS, src, f"n{CPUS}", key_counts, measure_decode=True)
+        if CPUS > N_HIGH
+        else high
+    )
     efficiency = round(high["gbps"] / (4 * low["gbps"]), 4) if low["gbps"] else 0.0
 
     total = round(time.time() - t_start, 2)

@@ -15,7 +15,9 @@ from pyspark.sql import SparkSession
 
 # rows per Arrow batch handed to the encode kernel. Also the chunk
 # granularity of the manifest — keep deterministic across runs.
-ARROW_BATCH_ROWS = 8192
+# 16384 measured better than 8192 for both encode and decode (bigger
+# zstd windows, fewer per-chunk overheads) at the same compression.
+ARROW_BATCH_ROWS = 16384
 
 
 def get_spark(
