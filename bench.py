@@ -90,7 +90,7 @@ def ensure_source(spark) -> str:
 
 
 def encode_run(cores: int, src: str, tag: str, key_counts,
-               measure_decode: bool = False) -> dict:
+               measure_decode: bool = False, shuffle: bool = True) -> dict:
     """Fresh session at the given core count; warmup + min-of-reps encode."""
     from fhirflat_spark.encode import encode_table
     from fhirflat_spark.session import get_spark
@@ -108,7 +108,8 @@ def encode_run(cores: int, src: str, tag: str, key_counts,
             time.sleep(4)
             t0 = time.time()
             res = encode_table(df, out, rows_per_bucket=ROWS_PER_BUCKET,
-                               num_partitions=64, key_counts=key_counts)
+                               num_partitions=64, key_counts=key_counts,
+                               shuffle=shuffle)
             walls.append(round(time.time() - t0, 2))
             print(f"  encode[{tag}] attempt{attempt}: {walls[-1]}s", flush=True)
         decode_stats = {}
@@ -185,6 +186,9 @@ def main() -> None:
         if CPUS > N_HIGH
         else high
     )
+    # layout-preserving mode (no exchange): the throughput ceiling when the
+    # source table is already clustered by the salt key
+    noshuffle = encode_run(CPUS, src, f"n{CPUS}_noshuffle", key_counts, shuffle=False)
     efficiency = round(high["gbps"] / (4 * low["gbps"]), 4) if low["gbps"] else 0.0
 
     total = round(time.time() - t_start, 2)
@@ -198,6 +202,7 @@ def main() -> None:
             f"local[{N_LOW}]": low,
             f"local[{N_HIGH}]": high,
             f"local[{CPUS}]": full,
+            f"local[{CPUS}]_noshuffle": noshuffle,
             "scaling_efficiency_n_to_4n": efficiency,
         },
         "footprint": {

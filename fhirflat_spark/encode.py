@@ -290,8 +290,19 @@ def encode_table(
     num_partitions: int | None = None,
     resume: bool = False,
     key_counts: list[tuple] | None = None,
+    shuffle: bool = True,
 ) -> EncodeResult:
-    """Encode ``df`` into ``out_dir`` (chunks + manifest + summary)."""
+    """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
+
+    ``shuffle=False`` is the layout-preserving mode: encode each input
+    split in place with NO exchange — correct for any input, optimal when
+    the table is already clustered (e.g. an Iceberg table partitioned by
+    repo); compression can be slightly worse because rows aren't
+    re-sorted, and skew handling falls back to the source's file split
+    sizes (``spark.sql.files.maxPartitionBytes`` caps a split, so a giant
+    repo still spreads across tasks). The salted-shuffle mode stays the
+    default because it guarantees sorted-prefix locality + skew defusal
+    regardless of input layout."""
     from fhirflat_spark.manifest import (
         _local,
         completed_partitions,
@@ -304,10 +315,14 @@ def encode_table(
     columns = columns or df.columns
     t0 = time.time()
 
-    salted, P = plan_salted(
-        df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
-        key_counts=key_counts,
-    )
+    if shuffle:
+        salted, P = plan_salted(
+            df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
+            key_counts=key_counts,
+        )
+    else:
+        salted = df
+        P = df.rdd.getNumPartitions()
 
     skip: frozenset[int] = frozenset()
     mode = "overwrite"

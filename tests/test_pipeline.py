@@ -205,6 +205,17 @@ def test_codec_report_shape(spark, encoded):
     assert all(r["encoded_bytes"] > 0 for r in rep)
 
 
+def test_layout_preserving_mode(spark, tmp_path):
+    """shuffle=False (no exchange) must still round-trip bit-identically."""
+    out = str(tmp_path / "noshuffle")
+    df = gen_spark(spark, 3000, seed=21)
+    res = encode_table(df, out, rows_per_bucket=1000, shuffle=False)
+    assert res.rows == 3000
+    decoded = decode_table(spark, out)
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+
+
 def test_typed_table_roundtrip(spark, tmp_path):
     """Non-string types (ints, floats, timestamps, bools) round-trip through
     the same pipeline — the engine is generic over flat tables."""
