@@ -37,17 +37,33 @@ def _is_stringlike(t: pa.DataType) -> bool:
     )
 
 
+_STATS_SAMPLE_ROWS = 2048
+
+
 def column_stats(arr: pa.Array) -> dict:
-    """Cheap chunk-level stats used by choose_codec (and by the manifest)."""
+    """Cheap chunk-level stats used by choose_codec (and by the manifest).
+
+    For long-string columns (content-like) the distinct/run/sorted stats
+    run on a row sample — hashing multiple MB per chunk just to decide a
+    codec would rival the cost of the encode itself. Scaled-up sample
+    counts keep the selector thresholds comparable.
+    """
     n = len(arr)
     st: dict = {"n": n}
     if n == 0:
         return {"n": 0, "distinct": 0, "runs": 0, "sorted": True, "bytes": 0}
-    st["distinct"] = pc.count_distinct(arr).as_py()
-    if n > 1:
-        a, b = arr.slice(0, n - 1), arr.slice(1, n - 1)
+    stat_arr, scale = arr, 1.0
+    if _is_stringlike(arr.type) and n > _STATS_SAMPLE_ROWS:
+        total = pc.sum(pc.binary_length(arr).cast(pa.int64())).as_py() or 0
+        if total / n > 64:  # long strings: sample a contiguous slice
+            stat_arr = arr.slice(0, _STATS_SAMPLE_ROWS)
+            scale = n / _STATS_SAMPLE_ROWS
+    m = len(stat_arr)
+    st["distinct"] = min(n, int(pc.count_distinct(stat_arr).as_py() * scale))
+    if m > 1:
+        a, b = stat_arr.slice(0, m - 1), stat_arr.slice(1, m - 1)
         neq = pc.not_equal(a, b)
-        st["runs"] = 1 + pc.sum(neq.cast(pa.int64())).as_py()
+        st["runs"] = min(n, int((1 + pc.sum(neq.cast(pa.int64())).as_py()) * scale))
         st["sorted"] = bool(pc.min(pc.less_equal(a, b)).as_py())
     else:
         st["runs"] = 1
@@ -133,7 +149,7 @@ def choose_codec(
         if depth == 0 and stats["distinct"] <= min(_DICT_MAX, max(16, n * 0.1)):
             return "dict", opts
         if (
-            stats.get("avg_len", 0) > 4
+            4 < stats.get("avg_len", 0) <= 512  # path-like, not content-like
             and prefix_viable(n, stats.get("max_len", 0))
             and _avg_prefix_share(arr, stats) > 0.3
         ):
