@@ -201,6 +201,47 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
     return kernel
 
 
+def _murmur3_hash_long(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong (the hash behind HashPartitioning
+    of a long column) — public algorithm, reimplemented for driver-side
+    partition-placement planning. Returns signed int32."""
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    v &= 0xFFFFFFFFFFFFFFFF
+    h1 = mix_h1(seed, mix_k1(v & 0xFFFFFFFF))
+    h1 = mix_h1(h1, mix_k1((v >> 32) & 0xFFFFFFFF))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def partition_tokens(P: int) -> list[int]:
+    """tokens[t] = a long whose Spark hash-partitioning lands on partition
+    t of P. Coupon-collector scan: O(P log P) expected driver time."""
+    tokens: list[int | None] = [None] * P
+    found = 0
+    j = 0
+    while found < P:
+        t = _murmur3_hash_long(j) % P  # Pmod: non-negative
+        if tokens[t] is None:
+            tokens[t] = j
+            found += 1
+        j += 1
+    return tokens  # type: ignore[return-value]
+
+
 def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
                 num_partitions: int | None = None,
                 salt_col: str | None = "repo",
@@ -240,24 +281,67 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
     # (the Iceberg partition-stats pattern) instead of rescanning.
     if key_counts is None:
         key_counts = [(r[0], r["count"]) for r in df.groupBy(salt_col).count().collect()]
-    bucket_rows = [
-        (k, max(1, math.ceil(c / rows_per_bucket))) for k, c in key_counts
-    ]
-    if not bucket_rows:  # empty input: nothing to salt, keep a valid plan
+    if not key_counts:  # empty input: nothing to salt, keep a valid plan
         P = num_partitions or 1
         return df.repartition(P), P
-    total_buckets = sum(b for _, b in bucket_rows) or 1
-    P = num_partitions or max(int(total_buckets), default_par)
-    buckets = spark.createDataFrame(bucket_rows, [salt_col, "n_buckets"])
-    salted = (
-        df.join(F.broadcast(buckets), salt_col)
-        .withColumn(
-            "salt",
-            F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
+
+    # bucket allocation: proportional when a target partition count is
+    # given (sum == P exactly), else ceil(count / rows_per_bucket)
+    if num_partitions and num_partitions >= len(key_counts):
+        total = sum(c for _, c in key_counts) or 1
+        alloc = [
+            (k, max(1, int(c * num_partitions / total))) for k, c in key_counts
+        ]
+        # fix rounding drift on the largest key
+        drift = num_partitions - sum(b for _, b in alloc)
+        big = max(range(len(alloc)), key=lambda i: key_counts[i][1])
+        alloc[big] = (alloc[big][0], max(1, alloc[big][1] + drift))
+        bucket_rows = alloc
+    else:
+        bucket_rows = [
+            (k, max(1, math.ceil(c / rows_per_bucket))) for k, c in key_counts
+        ]
+    B = sum(b for _, b in bucket_rows)
+    P = int(B)
+
+    if len(bucket_rows) > 200_000:
+        # too many keys to broadcast an expanded bucket map — fall back to
+        # plain hash placement (collision imbalance bounded at this scale
+        # because partitions ≫ buckets-per-partition)
+        buckets = spark.createDataFrame(bucket_rows, [salt_col, "n_buckets"])
+        salted = (
+            df.join(F.broadcast(buckets), salt_col)
+            .withColumn(
+                "salt",
+                F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
+            )
+            .drop("n_buckets")
         )
-        .drop("n_buckets")
-    )
-    out = salted.repartition(P, bq(salt_col), F.col("salt")).drop("salt")
+        out = salted.repartition(P, bq(salt_col), F.col("salt")).drop("salt")
+    else:
+        # EXACT bucket→partition placement: each (key, salt) pair carries a
+        # precomputed token whose Murmur3 hash lands on its own partition —
+        # no birthday-collision imbalance (a plain repartition(P, key, salt)
+        # can stack 2-3 buckets on one partition while others stay empty)
+        tokens = partition_tokens(P)
+        expanded = []
+        g = 0
+        for k, nb in bucket_rows:
+            for s in range(nb):
+                expanded.append((k, s, tokens[g]))
+                g += 1
+        exp_df = spark.createDataFrame(expanded, [salt_col, "__salt", "__tok"])
+        buckets = spark.createDataFrame(bucket_rows, [salt_col, "n_buckets"])
+        salted = (
+            df.join(F.broadcast(buckets), salt_col)
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
+            )
+            .join(F.broadcast(exp_df), [salt_col, "__salt"])
+            .drop("n_buckets", "__salt")
+        )
+        out = salted.repartition(P, F.col("__tok")).drop("__tok")
     if sort_cols:
         out = out.sortWithinPartitions(*[bq(c) for c in sort_cols])
     return out.select(*[bq(c) for c in df.columns]), P
