@@ -10,10 +10,21 @@
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the engine importable regardless of the harness's cwd (and for
+# python workers spawned by executors)
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 def entry(spark: SparkSession) -> DataFrame:

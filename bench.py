@@ -24,7 +24,15 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -220,7 +228,8 @@ def main() -> None:
 
 
 def _write_report(result: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+    bench_dir = os.path.join(_REPO_ROOT, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     enc = result["encode"]
     eff = enc["scaling_efficiency_n_to_4n"]
     fp = result["footprint"]
@@ -271,7 +280,7 @@ def _write_report(result: dict) -> None:
     ]
     for q, s in result["queries"].items():
         lines.append(f"| {q} | {s} |")
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
