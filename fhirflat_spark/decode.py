@@ -34,17 +34,32 @@ VERIFY_SCHEMA = T.StructType(
 )
 
 
-def _decode_chunk_row(payload_map, columns: list[str]) -> dict[str, pa.Array]:
-    blob_by_col = dict(payload_map)
-    return {name: decode_array(blob_by_col[name]) for name in columns}
+def _payload_blobs(payloads: pa.Array, i: int) -> dict[str, memoryview]:
+    """Zero-copy blob views for chunk row ``i`` of a map<string,binary>
+    column — the payloads are multi-MB, so ``.as_py()`` copies would
+    dominate decode time."""
+    if isinstance(payloads, pa.ChunkedArray):
+        payloads = payloads.combine_chunks()
+    offsets = payloads.offsets
+    keys = payloads.keys
+    items = payloads.items
+    lo, hi = offsets[i].as_py(), offsets[i + 1].as_py()
+    return {
+        keys[j].as_py(): memoryview(items[j].as_buffer())
+        for j in range(lo, hi)
+    }
+
+
+def _decode_chunk_row(blobs: dict, columns: list[str]) -> dict[str, pa.Array]:
+    return {name: decode_array(blobs[name]) for name in columns}
 
 
 def decode_kernel_factory(columns: list[str]):
     def kernel(batches):
         for batch in batches:
             payloads = batch.column("payload")
-            for i in range(batch.num_rows):  # iterates CHUNKS (≈8k rows each), not rows
-                arrays = _decode_chunk_row(payloads[i].as_py(), columns)
+            for i in range(batch.num_rows):  # iterates CHUNKS (≈16k rows each), not rows
+                arrays = _decode_chunk_row(_payload_blobs(payloads, i), columns)
                 yield pa.RecordBatch.from_pydict(
                     {name: arrays[name] for name in columns}
                 )
@@ -95,7 +110,9 @@ def verify_kernel_factory(columns: list[str]):
                 n = batch.column("n_rows")[i].as_py()
                 expected = batch.column("content_sha")[i].as_py()
                 try:
-                    arrays = _decode_chunk_row(batch.column("payload")[i].as_py(), columns)
+                    arrays = _decode_chunk_row(
+                        _payload_blobs(batch.column("payload"), i), columns
+                    )
                     sha_all = hashlib.sha256()
                     for name in columns:
                         sha, _ = _col_raw_sha(arrays[name])
