@@ -37,6 +37,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd shuffle: ~2.5x fewer bytes than lz4 through the shuffle
+        # layer on code-like data, measured slightly faster end-to-end
+        .config("spark.io.compression.codec", "zstd")
         # v2 commit: tasks move their files at task-commit; job commit is
         # O(1) instead of a serial per-partition rename storm on the driver
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
