@@ -469,8 +469,83 @@ LIMIT 10
 """
 
 
+# --- grouping sets: rollup over (returnflag, linestatus) — engine
+#     extension beyond the reference (SURVEY §2.4 notes absence)
+
+def q_rollup_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_ROLLUP_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- pivot: events wide per-user counts by type
+
+def q_pivot_event_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- set ops: intersect / except on customer segments
+
+def q_intersect_except(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = hi.intersect(urgent).agg(F.count("*").alias("n"))
+    only_hi = hi.distinct().exceptAll(urgent.distinct()).agg(F.count("*").alias("n"))
+    return (
+        both.select(F.lit("both").alias("segment"), "n")
+        .unionByName(only_hi.select(F.lit("only_high_value").alias("segment"), "n"))
+        .orderBy("segment")
+    )
+
+
+SQL_INTERSECT_EXCEPT = """
+WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'both' AS segment, count(*) AS n FROM (SELECT DISTINCT o_custkey FROM hi INTERSECT SELECT DISTINCT o_custkey FROM urgent)
+UNION ALL
+SELECT 'only_high_value' AS segment, count(*) AS n FROM (SELECT DISTINCT o_custkey FROM hi EXCEPT SELECT DISTINCT o_custkey FROM urgent)
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "rollup_summary": (q_rollup_summary, SQL_ROLLUP_SUMMARY),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
+    "intersect_except": (q_intersect_except, SQL_INTERSECT_EXCEPT),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "topk_revenue_orders": (q_topk_revenue_orders, SQL_TOPK_REVENUE_ORDERS),
     "validity_split": (q_validity_split, SQL_VALIDITY_SPLIT),
