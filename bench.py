@@ -263,7 +263,7 @@ def _write_report(result: dict) -> None:
         "threads on this host (event-log task metrics), i.e. the flattening",
         "at 32 is host contention, not engine serialization. On a real",
         "cluster N→4N adds machines (memory buses, disks) — the regime the",
-        "2→8 pair models.",
+        f"{N_LOW}→{N_HIGH} pair models.",
         "",
         "## Compressed footprint",
         "",
