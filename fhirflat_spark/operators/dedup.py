@@ -247,8 +247,90 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- keeper mapping: the materialized output of exact dedup — every doc
+#     mapped to the surviving representative of its content group
+
+def q_dedup_keep_list(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.sha2(F.col("text"), 256))
+    return (
+        docs.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keeper"),
+        )
+        .withColumn("is_dup", (F.col("doc_id") != F.col("keeper")).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_KEEP_LIST = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper,
+       CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY sha256(text))
+            THEN 1 ELSE 0 END AS is_dup
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- jaccard estimate from minhash signature agreement (the quantity LSH
+#     banding approximates): fraction of the k hashes that agree
+
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    sigs = q_minhash_signatures(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / N_HASHES, 4).alias("jaccard_est"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_minhash_jaccard_estimate() -> str:
+    mins = ", ".join(_sql_min_exprs())
+    band_rows = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+WITH toks AS ({_SQL_TOKENS}),
+sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+banded AS ({banded}),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y USING (band, sig)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, round(({agree}) / {N_HASHES}.0, 4) AS jaccard_est
+FROM pairs
+JOIN sigs a ON doc_a = a.doc_id
+JOIN sigs b ON doc_b = b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
+    "minhash_jaccard_estimate": (q_minhash_jaccard_estimate, _sql_minhash_jaccard_estimate()),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
     "simhash": (q_simhash, _sql_simhash()),
