@@ -72,8 +72,8 @@ def q_dedup_exact(spark, sf_dir):
 
 SQL_DEDUP_EXACT = """
 SELECT count(*) AS n_unique,
-       sum(n_copies) AS n_total,
-       sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_dropped
+       CAST(sum(n_copies) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM (SELECT sha256(text) AS text_sha, min(doc_id) AS keeper, count(*) AS n_copies
       FROM documents GROUP BY sha256(text))
 """

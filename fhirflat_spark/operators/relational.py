@@ -67,10 +67,10 @@ def q_validity_split(spark, sf_dir):
 SQL_VALIDITY_SPLIT = """
 SELECT lang,
        count(*) AS n_docs,
-       sum(CASE WHEN length(text) = n_chars AND regexp_matches(lang, '^[a-z]{2}$')
-                THEN 1 ELSE 0 END) AS n_valid,
-       sum(CASE WHEN length(text) != n_chars OR NOT regexp_matches(lang, '^[a-z]{2}$')
-                THEN 1 ELSE 0 END) AS n_errors
+       CAST(sum(CASE WHEN length(text) = n_chars AND regexp_matches(lang, '^[a-z]{2}$')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN length(text) != n_chars OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -436,8 +436,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
@@ -509,9 +509,9 @@ def q_pivot_event_counts(spark, sf_dir):
 
 SQL_PIVOT_EVENT_COUNTS = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
 FROM events GROUP BY user_id ORDER BY user_id
 """
 

@@ -4,8 +4,8 @@
   — no UDF, whole-stage-codegen'd, with a DuckDB oracle;
 - LSH-bucketed ANN: sign-bit bucketing prunes the candidate set before
   exact rescoring (the scale path: bucket equi-join instead of a full
-  cross product). Spark-only (no clean ANSI-SQL equivalent) → rows-only
-  driver check.
+  cross product). The probe set is enumerable, so the DuckDB oracle
+  verifies the exact same bucketed candidates + rescoring.
 """
 
 from __future__ import annotations
@@ -127,6 +127,37 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def _sql_sign_bucket(col: str) -> str:
+    """DuckDB mirror of _sign_bucket (lists are 1-indexed there)."""
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIGN_BITS)
+    )
+    return f"({terms})"
+
+
+def _sql_ann_lsh_bucketed() -> str:
+    probe_masks = ", ".join(["(0)"] + [f"({1 << b})" for b in range(SIGN_BITS)])
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT qvec, xor(qbucket, m.mask) AS bucket
+  FROM q CROSS JOIN (VALUES {probe_masks}) AS m(mask)
+)
+SELECT vec_id,
+       round(list_dot_product(embedding, qvec)
+             / (sqrt(list_dot_product(embedding, embedding))
+                * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+FROM e JOIN probes USING (bucket)
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
 # embedding-cosine near-duplicate pairs within label blocks (blocked
 # quadratic — the exact-rescore stage of embedding dedup)
 
@@ -164,6 +195,6 @@ ORDER BY vec_a, vec_b
 QUERIES = {
     "cosine_score_all": (q_cosine_score_all, SQL_COSINE_SCORE_ALL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_bucketed": (q_ann_lsh_bucketed, None),  # non-SQL: LSH probe set
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh_bucketed()),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
 }

@@ -34,39 +34,64 @@ def duck():
     con.close()
 
 
-def _normalize(rows, columns):
-    """Order-insensitive, column-name-sorted, float-tolerant row multiset."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = round(v, 3)
-                if math.isnan(v):
-                    v = "nan"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out)
+def _canon_type(t) -> str:
+    """Canonical arrow type label. Deliberately strict: int64 vs
+    decimal128(38,0) (DuckDB hugeint sum widening) MUST differ — that is
+    exactly the class the driver's value hash catches and the old
+    stringify-based normalize masked. Only memory-layout variants of the
+    same logical type are merged."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        # int widths all land on python int (the driver passed an
+        # int32-vs-int64 query in round 1); decimal stays distinct
+        return "int"
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"  # tz-normalized
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    return str(t)
+
+
+def _norm_val(v):
+    if isinstance(v, float):
+        v = round(v, 3)
+        if math.isnan(v):
+            return "nan"
+    if isinstance(v, list):
+        return tuple(_norm_val(x) for x in v)
+    return str(v)
+
+
+def _rows_sorted(tbl):
+    cols = sorted(tbl.schema.names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    return sorted(tuple(_norm_val(v) for v in row) for row in zip(*data))
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
-    res = duck.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    spark_tbl = QUERIES[name](spark, SF_DIR).toArrow()
+    duck_tbl = duck.execute(ORACLES[name]).arrow()
+    assert sorted(spark_tbl.schema.names) == sorted(duck_tbl.schema.names), (
+        f"{name}: column names differ: "
+        f"{spark_tbl.schema.names} vs {duck_tbl.schema.names}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row counts differ: {len(spark_rows)} vs {len(duck_rows)}"
+    # type-strict: the driver hashes arrow values, so type widening
+    # (e.g. DuckDB sum(int) -> decimal128) must fail HERE, pre-driver
+    for col in spark_tbl.schema.names:
+        st = _canon_type(spark_tbl.schema.field(col).type)
+        dt = _canon_type(duck_tbl.schema.field(col).type)
+        assert st == dt, f"{name}.{col}: arrow type {st} (spark) vs {dt} (oracle)"
+    assert spark_tbl.num_rows == duck_tbl.num_rows, (
+        f"{name}: row counts differ: {spark_tbl.num_rows} vs {duck_tbl.num_rows}"
     )
-    a = _normalize(spark_rows, spark_cols)
-    b = _normalize(duck_rows, duck_cols)
+    a = _rows_sorted(spark_tbl)
+    b = _rows_sorted(duck_tbl)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
 
