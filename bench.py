@@ -36,7 +36,7 @@ os.environ["PYTHONPATH"] = (
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_NLOW", "1"))
+N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_NLOW", "2"))
 N_HIGH = 4 * N_LOW
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
 N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))

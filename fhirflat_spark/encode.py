@@ -59,31 +59,47 @@ CHUNK_SCHEMA = T.StructType(
 
 
 def _col_raw_sha(arr: pa.Array) -> tuple[str, int]:
-    """sha256 + byte count of a column's raw value stream (lengths + data).
+    """sha256 + byte count of a column's raw value stream.
 
     Equality of this digest is equivalent to bit-identical per-row equality
-    for the chunk (lengths delimit rows), with ONE hash call per column per
-    chunk instead of one per row.
+    for the chunk (validity + lengths delimit rows), with ONE hash call per
+    column per chunk instead of one per row. Three regimes:
+
+    - string/binary: validity bitmap (NULL vs '' must differ) + lengths +
+      concatenated value bytes;
+    - fixed-width primitives (ints/floats/bools/temporals): validity +
+      the contiguous numpy value buffer;
+    - everything else (list/struct/map/decimal — numpy would give an
+      OBJECT array whose ``tobytes()`` is PyObject pointers, i.e.
+      nondeterministic): the Arrow IPC serialization, which is a
+      deterministic function of the logical values.
     """
     h = hashlib.sha256()
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        if arr.null_count > 0:
+            h.update(arr.is_null().to_numpy(zero_copy_only=False).tobytes())
         lengths, data = string_parts(arr)
         h.update(lengths.tobytes())
         h.update(data)
         nbytes = len(data) + 0  # value bytes only; offsets counted as raw overhead below
         return h.hexdigest(), nbytes + lengths.nbytes
+    import numpy as np
+
+    nbytes_logical = int(arr.nbytes)
     if arr.null_count > 0:
         h.update(arr.is_null().to_numpy(zero_copy_only=False).tobytes())
         arr = arr.drop_null()
-    buf = arr.to_numpy(zero_copy_only=False)
-    import numpy as np
-
-    b = np.ascontiguousarray(buf)
     try:
-        raw = b.tobytes()
+        buf = arr.to_numpy(zero_copy_only=False)
     except Exception:
-        raw = str(b).encode()
+        buf = None
+    if buf is None or buf.dtype == np.object_:
+        from fhirflat_spark.codecs.kernels import ipc_bytes
+
+        h.update(ipc_bytes(arr))
+        return h.hexdigest(), nbytes_logical
+    raw = np.ascontiguousarray(buf).tobytes()
     h.update(raw)
     return h.hexdigest(), len(raw)
 
@@ -254,6 +270,12 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
     repos coalesce. ``xxhash64(*other cols)`` gives a deterministic,
     uniform in-repo split. Tables without the salt column fall back to a
     plain round-robin repartition (no skew key to defuse).
+
+    NULL-safe: placement joins run on a sentinel string key (NULL and
+    keys missing from caller ``key_counts`` both get placed, never
+    dropped). Caller-supplied ``key_counts`` keys are matched via their
+    string form (``str(k)`` must equal Spark's string cast — true for
+    string/int keys).
     """
     spark = df.sparkSession
 
@@ -275,15 +297,31 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
         return out, P
 
     hash_cols = [c for c in df.columns if c != salt_col][:3] or [salt_col]
+    # NULL salt keys never match an equi-join (SQL null semantics), so all
+    # placement joins run on a prefixed-string sentinel key: NULL -> "n:",
+    # value v -> "v:<v>", rows whose key is missing from caller-supplied
+    # stats -> the "o:" fallback key. No row can be dropped by placement.
+    skey = F.when(F.col(f"`{salt_col}`").isNull(), F.lit("n:")).otherwise(
+        F.concat(F.lit("v:"), F.col(f"`{salt_col}`").cast("string"))
+    )
+    orig_cols = list(df.columns)
+    df = df.withColumn("__skey", skey)
     # one pruned-scan job; bucket math on the driver (#keys ≪ #rows —
     # at 10^12 files this is #repos rows, still driver-sized).
     # ``key_counts`` lets callers supply maintained table statistics
     # (the Iceberg partition-stats pattern) instead of rescanning.
+    caller_counts = key_counts is not None
     if key_counts is None:
-        key_counts = [(r[0], r["count"]) for r in df.groupBy(salt_col).count().collect()]
+        key_counts = [
+            (r[0], r["count"]) for r in df.groupBy("__skey").count().collect()
+        ]
+    else:
+        key_counts = [
+            ("n:" if k is None else f"v:{k}", c) for k, c in key_counts
+        ]
     if not key_counts:  # empty input: nothing to salt, keep a valid plan
         P = num_partitions or 1
-        return df.repartition(P), P
+        return df.drop("__skey").repartition(P), P
 
     # bucket allocation: proportional when a target partition count is
     # given (sum == P exactly), else ceil(count / rows_per_bucket)
@@ -301,23 +339,36 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
         bucket_rows = [
             (k, max(1, math.ceil(c / rows_per_bucket))) for k, c in key_counts
         ]
+    if caller_counts:
+        # caller-supplied stats may be stale/incomplete: route rows whose
+        # key has no bucket entry into a bounded fallback key (appended
+        # LAST so existing keys keep their bucket/partition assignment)
+        nb_other = max(1, (num_partitions or default_par) // 8)
+        bucket_rows.append(("o:", nb_other))
     B = sum(b for _, b in bucket_rows)
     P = int(B)
+
+    def _with_buckets(frame: DataFrame) -> DataFrame:
+        buckets = spark.createDataFrame(bucket_rows, ["__skey", "n_buckets"])
+        joined = frame.join(F.broadcast(buckets), "__skey", "left")
+        if caller_counts:
+            joined = joined.withColumn(
+                "__skey",
+                F.when(F.col("n_buckets").isNull(), F.lit("o:")).otherwise(F.col("__skey")),
+            ).withColumn(
+                "n_buckets",
+                F.coalesce(F.col("n_buckets"), F.lit(bucket_rows[-1][1])),
+            )
+        return joined.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
+        ).drop("n_buckets")
 
     if len(bucket_rows) > 200_000:
         # too many keys to broadcast an expanded bucket map — fall back to
         # plain hash placement (collision imbalance bounded at this scale
         # because partitions ≫ buckets-per-partition)
-        buckets = spark.createDataFrame(bucket_rows, [salt_col, "n_buckets"])
-        salted = (
-            df.join(F.broadcast(buckets), salt_col)
-            .withColumn(
-                "salt",
-                F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
-            )
-            .drop("n_buckets")
-        )
-        out = salted.repartition(P, bq(salt_col), F.col("salt")).drop("salt")
+        out = _with_buckets(df).repartition(P, F.col("__skey"), F.col("__salt"))
     else:
         # EXACT bucket→partition placement: each (key, salt) pair carries a
         # precomputed token whose Murmur3 hash lands on its own partition —
@@ -330,21 +381,12 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
             for s in range(nb):
                 expanded.append((k, s, tokens[g]))
                 g += 1
-        exp_df = spark.createDataFrame(expanded, [salt_col, "__salt", "__tok"])
-        buckets = spark.createDataFrame(bucket_rows, [salt_col, "n_buckets"])
-        salted = (
-            df.join(F.broadcast(buckets), salt_col)
-            .withColumn(
-                "__salt",
-                F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
-            )
-            .join(F.broadcast(exp_df), [salt_col, "__salt"])
-            .drop("n_buckets", "__salt")
-        )
-        out = salted.repartition(P, F.col("__tok")).drop("__tok")
+        exp_df = spark.createDataFrame(expanded, ["__skey", "__salt", "__tok"])
+        salted = _with_buckets(df).join(F.broadcast(exp_df), ["__skey", "__salt"])
+        out = salted.repartition(P, F.col("__tok"))
     if sort_cols:
         out = out.sortWithinPartitions(*[bq(c) for c in sort_cols])
-    return out.select(*[bq(c) for c in df.columns]), P
+    return out.select(*[bq(c) for c in orig_cols]), P
 
 
 @dataclass

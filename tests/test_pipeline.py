@@ -216,6 +216,42 @@ def test_layout_preserving_mode(spark, tmp_path):
     assert fails.count() == 0
 
 
+def test_null_salt_keys_not_dropped(spark, tmp_path):
+    """Rows with NULL repo must survive the salted placement joins
+    (regression: inner equi-join on the salt key silently dropped them)."""
+    out = str(tmp_path / "nullkeys")
+    df = gen_spark(spark, 2000, seed=5).withColumn(
+        "repo", F.when(F.col("path").endswith("0.py"), None).otherwise(F.col("repo"))
+    )
+    n_null = df.where(F.col("repo").isNull()).count()
+    assert n_null > 0
+    res = encode_table(df, out, rows_per_bucket=500)
+    assert res.rows == 2000
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 2000
+    assert decoded.where(F.col("repo").isNull()).count() == n_null
+    fails = verify_against_source(df, decoded, ["path", "commit"])
+    assert fails.count() == 0
+
+
+def test_stale_key_counts_fallback(spark, tmp_path):
+    """Caller-supplied key_counts that miss keys (stale table stats) must
+    route the unknown-key rows into the fallback bucket, not drop them."""
+    out = str(tmp_path / "stale")
+    df = gen_spark(spark, 2000, seed=5)
+    counts = [
+        (r[0], r["count"]) for r in df.groupBy("repo").count().collect()
+    ]
+    stale = counts[: max(1, len(counts) // 2)]  # pretend half the repos are new
+    assert len(stale) < len(counts)
+    res = encode_table(df, out, rows_per_bucket=500, key_counts=stale)
+    assert res.rows == 2000
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 2000
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+
+
 def test_typed_table_roundtrip(spark, tmp_path):
     """Non-string types (ints, floats, timestamps, bools) round-trip through
     the same pipeline — the engine is generic over flat tables."""

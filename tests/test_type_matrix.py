@@ -61,6 +61,46 @@ def test_reference_type_matrix_roundtrip(spark, tmp_path):
     assert diff == 0
 
 
+def test_nested_types_checksum_deterministic(spark, tmp_path):
+    """Array/struct/decimal columns must get DETERMINISTIC content
+    checksums (regression: numpy object-dtype ``tobytes()`` serialized
+    PyObject pointers) — two encodes of the same data agree, and
+    verify_table passes on every chunk."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import verify_table
+    from fhirflat_spark.manifest import read_summary
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out1 = str(tmp_path / "n1")
+    out2 = str(tmp_path / "n2")
+    encode_table(df, out1, rows_per_bucket=50)
+    encode_table(df, out2, rows_per_bucket=50)
+    sha1 = read_summary(spark, out1)["dataset_sha256"]
+    sha2 = read_summary(spark, out2)["dataset_sha256"]
+    assert sha1 == sha2
+    v = verify_table(spark, out1)
+    assert v.where(~F.col("ok")).count() == 0
+
+
+def test_null_vs_empty_string_checksum_differs():
+    """A NULL cell and an empty string must hash differently (the digest
+    claims bit-identical per-row equality)."""
+    import pyarrow as pa
+
+    from fhirflat_spark.encode import _col_raw_sha
+
+    with_null = pa.array(["a", None, "b"], type=pa.string())
+    with_empty = pa.array(["a", "", "b"], type=pa.string())
+    assert _col_raw_sha(with_null)[0] != _col_raw_sha(with_empty)[0]
+    # deterministic for bit-identical nested arrays (pointer regression)
+    l1 = pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))
+    l2 = pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))
+    assert _col_raw_sha(l1)[0] == _col_raw_sha(l2)[0]
+    l3 = pa.array([[1, 2], [4]], type=pa.list_(pa.int64()))
+    assert _col_raw_sha(l1)[0] != _col_raw_sha(l3)[0]
+
+
 # Golden manifest: pinned for (datagen seed=42, 600 rows, rows_per_bucket=200,
 # num_partitions=8, ARROW_BATCH_ROWS=8192, engine v0.1.0). A change to ANY
 # of codec selection, chunking, partitioning, or hashing breaks this — by
