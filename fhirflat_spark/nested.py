@@ -15,7 +15,9 @@ Crosswalk:
   fused to ``system|code`` string arrays and back
   (reference fhirflat/fhir2flat.py:118-165, flat2fhir.py:42-126);
 - ``extensions_to_map`` ~ F5: extension ``[{url, value}]`` lists keyed by
-  url (reference fhirflat/fhir2flat.py:202-267), ``map_from_entries``.
+  url (reference fhirflat/fhir2flat.py:202-267), ``map_from_entries``;
+- ``map_to_extensions`` ~ D5: its inverse (reference ``create_extension``
+  rebuild, flat2fhir.py:257-329), ``map_entries`` + ``transform``.
 """
 
 from __future__ import annotations
@@ -71,43 +73,43 @@ def flatten_structs(df: DataFrame, unwrap_single_lists: bool = True,
 
 
 def unflatten_structs(df: DataFrame) -> DataFrame:
-    """Inverse of flatten: group dotted columns by first segment and
-    rebuild nested structs, recursively (the decode kernel shape D1)."""
-    groups: dict[str, list[str]] = {}
-    flat: list[str] = []
-    for c in df.columns:
-        if SEP in c:
-            groups.setdefault(c.split(SEP, 1)[0], []).append(c)
-        else:
-            flat.append(c)
-    if not groups:
-        return df
-    selects: list[Column] = [F.col(f"`{c}`") for c in flat]
-    for head, cols in groups.items():
-        inner = [F.col(f"`{c}`").alias(c.split(SEP, 1)[1]) for c in cols]
-        selects.append(F.struct(*inner).alias(head))
-    out = df.select(*selects)
-    # recurse until no dotted names remain inside rebuilt structs
-    def _has_dotted(schema: T.StructType) -> bool:
-        return any(
-            SEP in f.name
-            or (isinstance(f.dataType, T.StructType) and _has_dotted(f.dataType))
-            for f in schema.fields
-        )
+    """Inverse of flatten: rebuild nested structs from dotted names to any
+    depth (the decode kernel shape D1 — reference ``expand_concepts``
+    recursion, flat2fhir.py:387-462), in ONE select.
 
-    for head in groups:
-        inner_schema = out.schema[head].dataType
-        if isinstance(inner_schema, T.StructType) and any(SEP in f.name for f in inner_schema.fields):
-            rebuilt = unflatten_structs(
-                out.select(f"`{head}`.*")
+    Each dotted column is inserted into a name tree keyed by segment;
+    the tree is rendered bottom-up as nested ``F.struct`` expressions over
+    the original flat columns, so ``a.b.c``/``a.b.d``/``a.e`` become
+    ``a: struct<b: struct<c, d>, e>`` (not ``struct<`b.c`, `b.d`, e>``).
+    Output column order = order of first appearance, matching flatten's
+    in-place expansion (flatten→unflatten is schema-identity, modulo
+    nullability, for struct-only nesting). Note: rebuilt structs are
+    non-nullable — a NULL struct round-trips as a struct of NULL fields,
+    the same information the flat layer holds."""
+    tree: dict[str, object] = {}
+    for c in df.columns:
+        parts = c.split(SEP)
+        node = tree
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if isinstance(nxt, str):
+                raise ValueError(
+                    f"column {c!r} conflicts with flat column {p!r} — "
+                    "cannot be both a struct and a scalar"
+                )
+            node = nxt
+        if parts[-1] in node:
+            raise ValueError(
+                f"column {c!r} conflicts with struct group {parts[-1]!r}"
             )
-            # NOTE: per-column rebuild happens on names only — cheap select
-            out = out.withColumn(
-                head,
-                F.struct(*[F.col(f"`{head}`.`{f.name}`").alias(f.name)
-                           for f in inner_schema.fields]),
-            )
-    return out
+        node[parts[-1]] = c  # leaf holds the full original column name
+
+    def render(node) -> Column:
+        if isinstance(node, str):
+            return F.col(f"`{node}`")
+        return F.struct(*[render(v).alias(k) for k, v in node.items()])
+
+    return df.select(*[render(v).alias(k) for k, v in tree.items()])
 
 
 def zip_backbone(df: DataFrame, out_col: str, columns: dict[str, str]) -> DataFrame:
@@ -162,5 +164,20 @@ def extensions_to_map(df: DataFrame, col: str, value_field: str = "value") -> Da
         col,
         F.map_from_entries(
             F.transform(F.col(col), lambda x: F.struct(x["url"], x[value_field]))
+        ),
+    )
+
+
+def map_to_extensions(df: DataFrame, col: str, value_field: str = "value") -> DataFrame:
+    """Inverse of ``extensions_to_map`` (D5): map<url, value> -> extension
+    list ``[{url, value}]`` (reference ``create_extension`` nested rebuild,
+    flat2fhir.py:257-329). Entry order follows the map's stored order,
+    which for ``map_from_entries`` output is insertion order — so
+    extensions→map→extensions round-trips element order."""
+    return df.withColumn(
+        col,
+        F.transform(
+            F.map_entries(F.col(col)),
+            lambda e: F.struct(e["key"].alias("url"), e["value"].alias(value_field)),
         ),
     )

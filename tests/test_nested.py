@@ -63,6 +63,69 @@ def test_unflatten_roundtrip(spark, nested_df):
     assert {k: tuple(v) for k, v in orig.items()} == {k: tuple(v) for k, v in back.items()}
 
 
+def _denull(dt):
+    """Schema equality modulo nullability (F.struct output is always
+    non-nullable; a NULL struct round-trips as a struct of NULLs)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _denull(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_denull(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_denull(dt.keyType), _denull(dt.valueType), True)
+    return dt
+
+
+def test_unflatten_deep_roundtrip(spark):
+    """Depth>=2 structs must rebuild NESTED, not with dotted inner names
+    (regression: the recursion was dead code). flatten→unflatten must be
+    schema-identity — the reference shape is timingDetail.high.value
+    (expand_concepts recursion, flat2fhir.py:387-462)."""
+    df = spark.createDataFrame(
+        [
+            Row(
+                id="r1",
+                timingDetail=Row(
+                    high=Row(value=7.5, unit="d"),
+                    low=Row(value=1.0, unit="d"),
+                    text="weekly",
+                ),
+            ),
+            Row(
+                id="r2",
+                timingDetail=Row(
+                    high=Row(value=None, unit=None),
+                    low=Row(value=2.0, unit="h"),
+                    text=None,
+                ),
+            ),
+        ]
+    )
+    flat = flatten_structs(df)
+    assert "timingDetail.high.value" in flat.columns
+    rebuilt = unflatten_structs(flat)
+    assert _denull(rebuilt.schema) == _denull(df.schema), (
+        f"schema not identity:\n{rebuilt.schema}\nvs\n{df.schema}"
+    )
+    assert sorted(map(str, rebuilt.collect())) == sorted(map(str, df.collect()))
+    # 3 levels deep too
+    df3 = spark.createDataFrame([Row(a=Row(b=Row(c=Row(d=1, e="x"), f=2), g=3))])
+    flat3 = flatten_structs(df3)
+    assert set(flat3.columns) == {"a.b.c.d", "a.b.c.e", "a.b.f", "a.g"}
+    r3 = unflatten_structs(flat3)
+    assert _denull(r3.schema) == _denull(df3.schema)
+    assert r3.collect() == df3.collect()
+
+
+def test_unflatten_name_conflict_raises(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "a.b"])
+    with pytest.raises(ValueError, match="conflict"):
+        unflatten_structs(df)
+
+
 def test_condense_expand_coding_roundtrip(spark, nested_df):
     df = nested_df.select("id", F.col("klass").alias("coding"))
     condensed = condense_coding(df, "coding")
@@ -94,6 +157,21 @@ def test_extensions_to_map(spark):
     out = extensions_to_map(df, "extension")
     m = out.collect()[0]["extension"]
     assert m == {"age": "33", "site": "uk"}
+
+
+def test_extensions_map_roundtrip(spark):
+    """extensions → map → extensions is identity (D5 inverse, reference
+    create_extension flat2fhir.py:257-329)."""
+    from fhirflat_spark.nested import map_to_extensions
+
+    ext = [Row(url="age", value="33"), Row(url="site", value="uk"),
+           Row(url="tz", value=None)]
+    df = spark.createDataFrame([("a", ext), ("b", [])], ["id", "extension"])
+    back = map_to_extensions(extensions_to_map(df, "extension"), "extension")
+    assert _denull(back.schema) == _denull(df.schema)
+    rows = {r["id"]: r["extension"] for r in back.collect()}
+    assert [tuple(x) for x in rows["a"]] == [("age", "33"), ("site", "uk"), ("tz", None)]
+    assert rows["b"] == []
 
 
 def test_flatten_then_encode_roundtrip(spark, nested_df, tmp_path):
