@@ -196,13 +196,28 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
 
 
 # --- n-gram (word) Jaccard near-dup pairs within language blocks:
-#     explode→equi-join→group replaces the quadratic pair scan
+#     explode→equi-join→group replaces the quadratic pair scan. A token
+#     appearing in k docs contributes k² join rows, so HOT tokens (stop
+#     words) are dropped by a document-frequency cap BEFORE the self-join
+#     — the standard hot-shingle guard: the candidate blowup per token is
+#     bounded at MAX_DF², and jaccard is computed over the df-capped
+#     token sets on both engine and oracle (identical semantics).
+
+MAX_DF = 128
+
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     toks = _tokens_df(spark, sf_dir)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    dfreq = (
+        toks.groupBy("lang", "token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= MAX_DF)
+        .select("lang", "token")
+    )
+    kept = toks.join(dfreq, ["lang", "token"])
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
         a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.lang") == F.col("b.lang")))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -230,10 +245,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH toks AS ({_SQL_TOKENS}),
-sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+dfreq AS (
+  SELECT lang, token FROM toks GROUP BY lang, token HAVING count(*) <= {MAX_DF}
+),
+kept AS (SELECT t.* FROM toks t JOIN dfreq USING (lang, token)),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM toks a JOIN toks b ON a.token = b.token AND a.lang = b.lang
+  FROM kept a JOIN kept b ON a.token = b.token AND a.lang = b.lang
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )

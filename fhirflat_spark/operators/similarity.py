@@ -158,15 +158,36 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
 """
 
 
-# embedding-cosine near-duplicate pairs within label blocks (blocked
-# quadratic — the exact-rescore stage of embedding dedup)
+# embedding-cosine near-duplicate pairs: LSH sign-bucket prefilter, then
+# exact cosine rescoring of candidates only. Candidates = same label AND
+# bucket hamming distance <= 1 (the 7 one-sided probes are all distinct,
+# so each unordered pair joins exactly once — no dedup pass needed).
+# Replaces the label-blocked all-pairs scan: a block of n vectors costs
+# ~7n/2^SIGN_BITS candidate rows per vector instead of n² total.
 
 def q_embedding_neardup_pairs(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    probes = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(SIGN_BITS)],
+            )
+        ).alias("pbucket"),
+    )
+    a = probes.alias("a")
     b = emb.alias("b")
     return (
-        a.join(b, F.col("a.label") == F.col("b.label"))
+        a.join(
+            b,
+            (F.col("a.pbucket") == F.col("b.bucket"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
@@ -178,17 +199,26 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
 
-SQL_EMBEDDING_NEARDUP_PAIRS = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.embedding, b.embedding)
-             / (sqrt(list_dot_product(a.embedding, a.embedding))
-                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label
-WHERE a.vec_id < b.vec_id
-  AND round(list_dot_product(a.embedding, b.embedding)
-            / (sqrt(list_dot_product(a.embedding, a.embedding))
-               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.95
-ORDER BY vec_a, vec_b
+def _sql_embedding_neardup_pairs() -> str:
+    probe_masks = ", ".join(["(0)"] + [f"({1 << b})" for b in range(SIGN_BITS)])
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_sql_sign_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id, label, embedding, xor(bucket, m.mask) AS pbucket
+  FROM e CROSS JOIN (VALUES {probe_masks}) AS m(mask)
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+  FROM probes a JOIN e b ON a.pbucket = b.bucket AND a.label = b.label
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
 """
 
 
@@ -196,5 +226,5 @@ QUERIES = {
     "cosine_score_all": (q_cosine_score_all, SQL_COSINE_SCORE_ALL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh_bucketed()),
-    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_embedding_neardup_pairs()),
 }

@@ -108,3 +108,30 @@ def test_ann_lsh_consistent_with_bruteforce(spark):
     for r in approx:
         assert r["vec_id"] in exact
         assert abs(r["cosine"] - exact[r["vec_id"]]) < 1e-6
+
+
+def test_neardup_probes_catch_cross_bucket_pairs(spark):
+    """The sign-bucket prefilter must still find near-dup pairs whose
+    buckets differ by ONE sign bit (a near-zero dim flipping sign), and
+    must find each pair exactly once (probes are distinct values)."""
+    from fhirflat_spark.operators.similarity import q_embedding_neardup_pairs
+
+    base = [0.001, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3]
+    flipped = [-0.001] + base[1:]          # bucket differs in bit 0 only
+    far = [-x for x in base]               # anti-parallel: cosine = -1
+    rows = [
+        (0, "x", base),
+        (1, "x", flipped),                 # cosine(base, flipped) ≈ 1.0
+        (2, "x", far),
+        (3, "y", base),                    # same vector, DIFFERENT label
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="neardup_test_")
+    spark.createDataFrame(
+        rows, "vec_id INT, label STRING, embedding ARRAY<FLOAT>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    pairs = q_embedding_neardup_pairs(spark, d).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["cosine"] >= 0.999
