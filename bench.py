@@ -50,6 +50,7 @@ HEADLINE = [
     "broadcast_join_revenue",
     "window_top_order",
     "minhash_signatures",
+    "minhash_signatures_fast",  # xxhash64 production path vs sha-portable above
     "token_count",
     "dedup_exact",
     "cosine_score_all",

@@ -80,14 +80,38 @@ FROM (SELECT sha256(text) AS text_sha, min(doc_id) AS keeper, count(*) AS n_copi
 
 
 # --- minhash signatures: per-doc min of k seeded hashes over word shingles
+#
+# Two hash families, same plan shape (explode → groupBy partial-min, one
+# shuffle): the sha256-derived family is cross-engine portable (DuckDB
+# oracle verifies the numeric signatures), the xxhash64 family is the
+# PRODUCTION path — one JVM xxHash64 round per (token, seed) instead of a
+# full sha256, ~10x cheaper per token at 100 TB. Spark's xxhash64 has no
+# DuckDB equivalent, so the fast variant gets structural pytest checks +
+# the driver's rows-only gate instead of a value oracle.
 
-def q_minhash_signatures(spark, sf_dir):
+
+def _sha_hasher(col, i: int):
+    return _spark_hash64(F.concat(col, F.lit(f"#s{i}")))
+
+
+def _xx_hasher(col, i: int):
+    return F.xxhash64(col, F.lit(i))
+
+
+def _minhash_signatures(spark, sf_dir, hasher):
     toks = _tokens_df(spark, sf_dir)
     aggs = [
-        F.min(_spark_hash64(F.concat(F.col("token"), F.lit(f"#s{i}")))).alias(f"mh{i}")
-        for i in range(N_HASHES)
+        F.min(hasher(F.col("token"), i)).alias(f"mh{i}") for i in range(N_HASHES)
     ]
     return toks.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return _minhash_signatures(spark, sf_dir, _sha_hasher)
+
+
+def q_minhash_signatures_fast(spark, sf_dir):
+    return _minhash_signatures(spark, sf_dir, _xx_hasher)
 
 
 def _sql_min_exprs() -> list[str]:
@@ -110,8 +134,7 @@ FROM toks GROUP BY doc_id ORDER BY doc_id
 
 # --- minhash + LSH banding: candidate pairs via equi-join on band signature
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    sigs = q_minhash_signatures(spark, sf_dir)
+def _lsh_pairs_from_sigs(sigs):
     bands = []
     for b in range(N_HASHES // BAND_SIZE):
         cols = [F.col(f"mh{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)]
@@ -132,6 +155,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return _lsh_pairs_from_sigs(q_minhash_signatures(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs_fast(spark, sf_dir):
+    return _lsh_pairs_from_sigs(q_minhash_signatures_fast(spark, sf_dir))
 
 
 def _sql_minhash_lsh_pairs() -> str:
@@ -352,6 +383,10 @@ QUERIES = {
     "minhash_jaccard_estimate": (q_minhash_jaccard_estimate, _sql_minhash_jaccard_estimate()),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+    # production hash family: JVM xxhash64 (no DuckDB equivalent —
+    # deliberate rows-only; structural invariants in tests/test_dedup_fast.py)
+    "minhash_signatures_fast": (q_minhash_signatures_fast, None),
+    "minhash_lsh_pairs_fast": (q_minhash_lsh_pairs_fast, None),
     "simhash": (q_simhash, _sql_simhash()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
 }
