@@ -389,6 +389,42 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
     return out.select(*[bq(c) for c in orig_cols]), P
 
 
+def detect_clustering(df: DataFrame, salt_col: str = "repo",
+                      rows_per_bucket: int = 250_000) -> bool:
+    """True when the input's existing splits are already clustered on the
+    salt key well enough that the salted exchange would buy nothing.
+
+    One column-pruned scan job computes per-split (min, max, count) of the
+    key; the splits count as clustered when (a) at most ~10% of their key
+    ranges strictly interleave (a key merely TOUCHING a split boundary —
+    one repo continuing into the next split — is still perfect locality)
+    and (b) no split exceeds 4x the bucket-size target. This is the
+    automatic form of the Iceberg-style "table already partitioned by
+    repo" fast path: at 100 TB it turns re-encode of a clustered table
+    into a zero-exchange job."""
+    if salt_col not in df.columns:
+        return False
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.min(F.col(f"`{salt_col}`")).alias("lo"),
+            F.max(F.col(f"`{salt_col}`")).alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    if not rows:
+        return True  # empty input: nothing to re-cluster
+    spans = sorted((r["lo"], r["hi"]) for r in rows if r["lo"] is not None)
+    if not spans:
+        return False  # all-null keys: let the shuffle group them
+    interleaved = sum(
+        1 for i in range(1, len(spans)) if spans[i][0] < spans[i - 1][1]
+    )
+    max_n = max(r["n"] for r in rows)
+    return interleaved <= max(1, len(spans) // 10) and max_n <= 4 * rows_per_bucket
+
+
 @dataclass
 class EncodeResult:
     out_dir: str
@@ -397,6 +433,7 @@ class EncodeResult:
     rows: int
     raw_bytes: int
     encoded_bytes: int
+    shuffled: bool = True
 
     @property
     def ratio(self) -> float:
@@ -416,7 +453,7 @@ def encode_table(
     num_partitions: int | None = None,
     resume: bool = False,
     key_counts: list[tuple] | None = None,
-    shuffle: bool = True,
+    shuffle: bool | str = True,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -428,7 +465,9 @@ def encode_table(
     sizes (``spark.sql.files.maxPartitionBytes`` caps a split, so a giant
     repo still spreads across tasks). The salted-shuffle mode stays the
     default because it guarantees sorted-prefix locality + skew defusal
-    regardless of input layout."""
+    regardless of input layout. ``shuffle="auto"`` runs
+    ``detect_clustering`` (one pruned scan) and picks the layout-
+    preserving mode when the input is already clustered."""
     from fhirflat_spark.manifest import (
         _local,
         completed_partitions,
@@ -441,6 +480,8 @@ def encode_table(
     columns = columns or df.columns
     t0 = time.time()
 
+    if shuffle == "auto":
+        shuffle = not detect_clustering(df, rows_per_bucket=rows_per_bucket)
     if shuffle:
         salted, P = plan_salted(
             df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
@@ -494,6 +535,7 @@ def encode_table(
         rows=manifest_stats["rows"],
         raw_bytes=manifest_stats["raw_bytes"],
         encoded_bytes=manifest_stats["encoded_bytes"],
+        shuffled=bool(shuffle),
     )
     write_summary(
         spark, out_dir, result, columns,

@@ -37,9 +37,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # zstd shuffle: ~2.5x fewer bytes than lz4 through the shuffle
-        # layer on code-like data, measured slightly faster end-to-end
-        .config("spark.io.compression.codec", "zstd")
+        # lz4 (upstream default): measured faster than zstd for the
+        # encode exchange (1M-row salted shuffle at local[8]: 4.0s lz4 vs
+        # 4.5-5.4s zstd vs 3.5s uncompressed) — the shuffle payload is
+        # re-compressed by the kernel anyway, so cheap-and-fast wins; on
+        # tmpfs-backed local dirs callers can disable shuffle compression
+        # outright (see bench.py)
+        .config("spark.io.compression.codec", "lz4")
         # v2 commit: tasks move their files at task-commit; job commit is
         # O(1) instead of a serial per-partition rename storm on the driver
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")

@@ -252,6 +252,34 @@ def test_stale_key_counts_fallback(spark, tmp_path):
     assert fails.count() == 0
 
 
+def test_auto_shuffle_detection(spark, tmp_path):
+    """shuffle='auto' must pick layout-preserving for clustered input and
+    the salted exchange for interleaved input."""
+    from fhirflat_spark.encode import detect_clustering
+
+    df = gen_spark(spark, 3000, seed=11, partitions=4)
+    # round-robin repartition interleaves every split across the full
+    # repo range -> the exchange is needed
+    interleaved = df.repartition(4)
+    assert detect_clustering(interleaved, rows_per_bucket=500) is False
+    clustered = df.repartitionByRange(4, "repo", "path").sortWithinPartitions(
+        "repo", "path"
+    )
+    assert detect_clustering(clustered, rows_per_bucket=1000) is True
+    out = str(tmp_path / "auto")
+    res = encode_table(clustered, out, rows_per_bucket=1000, shuffle="auto")
+    assert res.shuffled is False
+    assert res.rows == 3000
+    decoded = decode_table(spark, out)
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+    res2 = encode_table(
+        interleaved, str(tmp_path / "auto2"), rows_per_bucket=500, shuffle="auto"
+    )
+    assert res2.shuffled is True
+    assert res2.rows == 3000
+
+
 def test_typed_table_roundtrip(spark, tmp_path):
     """Non-string types (ints, floats, timestamps, bools) round-trip through
     the same pipeline — the engine is generic over flat tables."""
