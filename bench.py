@@ -159,21 +159,45 @@ def encode_run(cores: int, src: str, tag: str, key_counts,
         spark.stop()
 
 
-def parquet_zstd_baseline(spark, src: str) -> int:
-    out = f"{WORK}/pz_baseline"
+def parquet_zstd_baseline(spark, src: str, level: int | None = None) -> tuple[int, float]:
+    out = f"{WORK}/pz_baseline{level or ''}"
     shutil.rmtree(out, ignore_errors=True)
-    (
-        spark.read.parquet(src)
-        .write.option("compression", "zstd")
-        .mode("overwrite")
-        .parquet(out)
-    )
-    return sum(
+    w = spark.read.parquet(src).write.option("compression", "zstd")
+    if level is not None:
+        w = w.option("parquet.compression.codec.zstd.level", str(level))
+    t0 = time.time()
+    w.mode("overwrite").parquet(out)
+    wall = round(time.time() - t0, 2)
+    size = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(out)
         for f in fs
         if f.endswith(".parquet")
     )
+    return size, wall
+
+
+def archive_footprint(src: str, key_counts) -> dict:
+    """One archive-profile encode (write-once/store-forever mode): the
+    footprint headline. High-volume string chunks compress at zstd L9."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.session import get_spark
+
+    spark = get_spark("bench_archive", cores=CPUS,
+                      shuffle_partitions=CPUS * 2, extra_conf=_EXTRA)
+    try:
+        out = f"{SHM}/enc_archive"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        res = encode_table(spark.read.parquet(src), out,
+                           rows_per_bucket=ROWS_PER_BUCKET, num_partitions=64,
+                           key_counts=key_counts, profile="archive")
+        wall = round(time.time() - t0, 2)
+        shutil.rmtree(out, ignore_errors=True)
+        return {"encoded_bytes": res.encoded_bytes, "wall_sec": wall,
+                "ratio_vs_raw": round(res.ratio, 4)}
+    finally:
+        spark.stop()
 
 
 def main() -> None:
@@ -190,8 +214,11 @@ def main() -> None:
         (r[0], r["count"])
         for r in spark.read.parquet(src).groupBy("repo").count().collect()
     ]
-    pz_bytes = parquet_zstd_baseline(spark, src)
+    pz_bytes, pz_wall = parquet_zstd_baseline(spark, src)
+    pz9_bytes, pz9_wall = parquet_zstd_baseline(spark, src, level=9)
     spark.stop()
+
+    archive = archive_footprint(src, key_counts)
 
     low = encode_run(N_LOW, src, f"n{N_LOW}", key_counts)
     high = encode_run(N_HIGH, src, f"n{N_HIGH}", key_counts)
@@ -221,10 +248,19 @@ def main() -> None:
         },
         "footprint": {
             "raw_bytes": high["raw_bytes"],
-            "encoded_bytes": high["encoded_bytes"],
+            # headline ratio: the archive (storage) profile — the mode a
+            # store-forever deployment uses; balanced ratio alongside
+            "encoded_bytes": archive["encoded_bytes"],
             "parquet_zstd_bytes": pz_bytes,
-            "ratio_vs_raw": high["ratio"],
-            "ratio_vs_parquet_zstd": round(high["encoded_bytes"] / pz_bytes, 4),
+            "ratio_vs_raw": archive["ratio_vs_raw"],
+            "ratio_vs_parquet_zstd": round(archive["encoded_bytes"] / pz_bytes, 4),
+            "archive_wall_sec": archive["wall_sec"],
+            "balanced_encoded_bytes": high["encoded_bytes"],
+            "balanced_ratio_vs_parquet_zstd": round(high["encoded_bytes"] / pz_bytes, 4),
+            "parquet_zstd_wall_sec": pz_wall,
+            "parquet_zstd_l9_bytes": pz9_bytes,
+            "parquet_zstd_l9_wall_sec": pz9_wall,
+            "ratio_vs_parquet_zstd_l9": round(archive["encoded_bytes"] / pz9_bytes, 4),
         },
         "bench_total_sec": total,
     }
@@ -274,10 +310,16 @@ def _write_report(result: dict) -> None:
         "## Compressed footprint",
         "",
         f"- raw logical bytes: {fp['raw_bytes']}",
-        f"- engine encoded bytes: {fp['encoded_bytes']} "
-        f"({fp['ratio_vs_raw']}x of raw)",
-        f"- parquet/zstd baseline: {fp['parquet_zstd_bytes']}",
-        f"- **engine / parquet-zstd = {fp['ratio_vs_parquet_zstd']}** (target ≤ 1.0)",
+        f"- engine archive profile (storage mode, headline): "
+        f"{fp['encoded_bytes']} bytes ({fp['ratio_vs_raw']}x of raw), "
+        f"encoded in {fp['archive_wall_sec']}s",
+        f"- engine balanced profile (speed mode): {fp['balanced_encoded_bytes']} bytes "
+        f"= {fp['balanced_ratio_vs_parquet_zstd']} of parquet/zstd",
+        f"- parquet/zstd baseline: {fp['parquet_zstd_bytes']} bytes "
+        f"in {fp['parquet_zstd_wall_sec']}s (level 9: {fp['parquet_zstd_l9_bytes']} "
+        f"bytes in {fp['parquet_zstd_l9_wall_sec']}s)",
+        f"- **engine / parquet-zstd = {fp['ratio_vs_parquet_zstd']}** (target ≤ 1.0); "
+        f"vs level-matched parquet/zstd-9 = {fp['ratio_vs_parquet_zstd_l9']}",
         "",
         f"## Headline query latencies (local[{CPUS}], {SF_DIR})",
         "",

@@ -107,8 +107,10 @@ def _col_raw_sha(arr: pa.Array) -> tuple[str, int]:
 def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           skip_parts: frozenset[int] | None = None,
                           manifest_dir: str | None = None,
-                          name_map: dict[str, str] | None = None):
+                          name_map: dict[str, str] | None = None,
+                          codec_opts: dict | None = None):
     overrides = codec_overrides or {}
+    base_opts = codec_opts or {}
     skip = skip_parts or frozenset()
     name_map = name_map or {c: c for c in columns}
     repo_batch_col = next((b for b, o in name_map.items() if o == "repo"), None)
@@ -133,7 +135,10 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                 arr = batch.column(name)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                blob = encode_array(arr, codec=overrides.get(out_name, "auto"))
+                blob = encode_array(
+                    arr, codec=overrides.get(out_name, "auto"),
+                    opts=dict(base_opts) if base_opts else None,
+                )
                 sha, raw_bytes = _col_raw_sha(arr)
                 sha_all.update(sha.encode())
                 payload[out_name] = blob
@@ -454,6 +459,7 @@ def encode_table(
     resume: bool = False,
     key_counts: list[tuple] | None = None,
     shuffle: bool | str = True,
+    profile: str = "balanced",
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -467,7 +473,13 @@ def encode_table(
     default because it guarantees sorted-prefix locality + skew defusal
     regardless of input layout. ``shuffle="auto"`` runs
     ``detect_clustering`` (one pruned scan) and picks the layout-
-    preserving mode when the input is already clustered."""
+    preserving mode when the input is already clustered.
+
+    ``profile``: ``"balanced"`` (default — faster than a parquet/zstd
+    write of the same table at near-identical footprint) or
+    ``"archive"`` (high-volume string chunks compress at a higher zstd
+    level: ~4-6% smaller than parquet/zstd at default AND level-matched
+    settings, at a slower encode — the write-once/store-forever mode)."""
     from fhirflat_spark.manifest import (
         _local,
         completed_partitions,
@@ -476,6 +488,8 @@ def encode_table(
         write_summary,
     )
 
+    if profile not in ("balanced", "archive"):
+        raise ValueError(f"unknown profile {profile!r}")
     spark = df.sparkSession
     columns = columns or df.columns
     t0 = time.time()
@@ -513,6 +527,7 @@ def encode_table(
     kernel = encode_kernel_factory(
         safe_names, codec_overrides, skip_parts=skip, manifest_dir=frag_dir,
         name_map=name_map,
+        codec_opts={"archive": True} if profile == "archive" else None,
     )
     chunks = salted.mapInArrow(kernel, schema=CHUNK_SCHEMA)
     # ONE data-sized job: encode + write chunks; tasks commit their own

@@ -23,6 +23,14 @@ from fhirflat_spark.codecs.kernels import _zstd, prefix_viable
 
 _TRIAL_SAMPLE = 1 << 16  # 64 KiB trial-compression sample
 _DICT_MAX = 1 << 16
+# archive profile, level-by-volume: chunks carrying this many string
+# bytes get a higher zstd level — the dominant byte stream is where extra
+# CPU buys footprint (measured on synthetic code content, 13 MB chunk:
+# L3 0.310 @ 139 MB/s, L9 0.297 @ 27 MB/s, L12 0.283 @ 11 MB/s per
+# core). Gated behind opts["archive"] so the default profile keeps
+# encode faster than a parquet/zstd write at near-identical footprint.
+_BIG_CHUNK_BYTES = 2 << 20
+_BIG_CHUNK_LEVEL = 9
 # fsst must beat zstd's ratio by this factor to win the race despite its
 # slower (pure-Python-orchestrated) kernel; zstd here is C via pyarrow.
 _FSST_EDGE = 0.85
@@ -159,6 +167,12 @@ def choose_codec(
             opts["symbols"] = symbols
             return "fsst", opts
         if z_ratio < 0.98:
+            if (
+                opts.pop("archive", False)
+                and stats["bytes"] >= _BIG_CHUNK_BYTES
+                and "level" not in opts
+            ):
+                opts["level"] = _BIG_CHUNK_LEVEL
             return "zstd", opts
         return "raw", opts
 

@@ -252,6 +252,24 @@ def test_stale_key_counts_fallback(spark, tmp_path):
     assert fails.count() == 0
 
 
+def test_archive_profile_roundtrip_and_smaller(spark, tmp_path):
+    """archive profile must round-trip bit-identically and produce a
+    smaller payload than balanced on content-heavy data."""
+    df = gen_spark(spark, 30000, seed=13)
+    out_b = str(tmp_path / "bal")
+    out_a = str(tmp_path / "arc")
+    res_b = encode_table(df, out_b, rows_per_bucket=30000)
+    res_a = encode_table(df, out_a, rows_per_bucket=30000, profile="archive")
+    assert res_a.encoded_bytes < res_b.encoded_bytes
+    decoded = decode_table(spark, out_a)
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+    v = verify_table(spark, out_a)
+    assert v.where(~F.col("ok")).count() == 0
+    with pytest.raises(ValueError, match="profile"):
+        encode_table(df, str(tmp_path / "bad"), profile="maximal")
+
+
 def test_auto_shuffle_detection(spark, tmp_path):
     """shuffle='auto' must pick layout-preserving for clustered input and
     the salted exchange for interleaved input."""
