@@ -168,6 +168,70 @@ def extensions_to_map(df: DataFrame, col: str, value_field: str = "value") -> Da
     )
 
 
+def create_period(df: DataFrame, group: str) -> DataFrame:
+    """Rebuild a Period-like struct from its flat dotted columns
+    (``group.start``/``group.end`` → ``group: struct<start, end>``) —
+    the generic single-group typed rebuild (reference ``expand_concepts``
+    leaf case, flat2fhir.py:387-420)."""
+    cols = [c for c in df.columns if c.startswith(group + SEP)]
+    if not cols:
+        return df
+    fields = [F.col(f"`{c}`").alias(c.split(SEP, 1)[1]) for c in cols]
+    return df.withColumn(group, F.struct(*fields)).drop(*cols)
+
+
+def create_quantity(df: DataFrame, group: str) -> DataFrame:
+    """Rebuild a Quantity struct (D3 — reference ``create_quantity``,
+    flat2fhir.py:129-168): flat ``group.value``/``group.unit``/
+    ``group.code`` become one struct; a fused ``system|code`` code column
+    (no separate ``group.system`` present) is split back into its
+    ``system`` and ``code`` fields."""
+    cols = [c for c in df.columns if c.startswith(group + SEP)]
+    if not cols:
+        return df
+    has_system = f"{group}{SEP}system" in df.columns
+    fields: list[Column] = []
+    for c in cols:
+        attr = c.split(SEP, 1)[1]
+        if attr == "code" and not has_system:
+            code = F.col(f"`{c}`")
+            fields.append(F.split(code, "\\|").getItem(0).alias("system"))
+            fields.append(F.split(code, "\\|").getItem(1).alias("code"))
+        else:
+            fields.append(F.col(f"`{c}`").alias(attr))
+    return df.withColumn(group, F.struct(*fields)).drop(*cols)
+
+
+def create_codeable_concept(df: DataFrame, group: str) -> DataFrame:
+    """Rebuild a codeableConcept coding list (D2/D4 — reference
+    ``create_codeable_concept``, flat2fhir.py:42-126) from the condensed
+    ``group.code`` (array of ``system|code``) + ``group.text`` columns."""
+    return expand_coding(df, f"{group}{SEP}code", f"{group}{SEP}text", group)
+
+
+# D6: the schema-registry dispatch (reference ``set_datatypes`` /
+# ``expand_concepts`` type switch, flat2fhir.py:332-384) — a flat table +
+# a column-prefix -> FHIR-type registry rebuilds every registered typed
+# column in one plan (all builders are pure Column expressions).
+TYPE_BUILDERS = {
+    "Quantity": create_quantity,
+    "CodeableConcept": create_codeable_concept,
+    "Period": create_period,
+    "struct": create_period,  # generic single-level struct rebuild
+}
+
+
+def set_datatypes(df: DataFrame, registry: dict[str, str]) -> DataFrame:
+    """Typed rebuild of a heterogeneous flat table: for each
+    ``column-prefix -> type`` entry dispatch the matching builder
+    (unknown types raise — a registry typo should not silently pass)."""
+    for group, ftype in registry.items():
+        if ftype not in TYPE_BUILDERS:
+            raise ValueError(f"no builder for type {ftype!r} (column {group!r})")
+        df = TYPE_BUILDERS[ftype](df, group)
+    return df
+
+
 def map_to_extensions(df: DataFrame, col: str, value_field: str = "value") -> DataFrame:
     """Inverse of ``extensions_to_map`` (D5): map<url, value> -> extension
     list ``[{url, value}]`` (reference ``create_extension`` nested rebuild,

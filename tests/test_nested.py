@@ -174,6 +174,63 @@ def test_extensions_map_roundtrip(spark):
     assert rows["b"] == []
 
 
+def test_set_datatypes_registry_dispatch(spark):
+    """D3/D4/D6: a flat table + a type registry rebuilds Quantity (with
+    fused system|code split), CodeableConcept, and Period in one plan."""
+    from fhirflat_spark.nested import set_datatypes
+
+    df = spark.createDataFrame(
+        [
+            (
+                "r1",
+                5.0, "mg", "http://unitsofmeasure.org|mg",
+                ["sys|IMP"], ["inpatient"],
+                "2021-01-01", "2021-01-09",
+            )
+        ],
+        [
+            "id",
+            "doseQuantity.value", "doseQuantity.unit", "doseQuantity.code",
+            "klass.code", "klass.text",
+            "period.start", "period.end",
+        ],
+    )
+    out = set_datatypes(
+        df,
+        {
+            "doseQuantity": "Quantity",
+            "klass": "CodeableConcept",
+            "period": "Period",
+        },
+    )
+    row = out.collect()[0]
+    q = row["doseQuantity"]
+    assert (q["value"], q["unit"], q["system"], q["code"]) == (
+        5.0, "mg", "http://unitsofmeasure.org", "mg"
+    )
+    k = row["klass"][0]
+    assert (k["system"], k["code"], k["display"]) == ("sys", "IMP", "inpatient")
+    p = row["period"]
+    assert (p["start"], p["end"]) == ("2021-01-01", "2021-01-09")
+    assert set(out.columns) == {"id", "doseQuantity", "klass", "period"}
+    with pytest.raises(ValueError, match="no builder"):
+        set_datatypes(df, {"doseQuantity": "Quantitee"})
+
+
+def test_create_quantity_separate_system(spark):
+    """With an explicit group.system column, code is NOT split."""
+    from fhirflat_spark.nested import create_quantity
+
+    df = spark.createDataFrame(
+        [(1.5, "u", "mg", "http://unitsofmeasure.org")],
+        ["q.value", "q.unit", "q.code", "q.system"],
+    )
+    row = create_quantity(df, "q").collect()[0]["q"]
+    assert (row["value"], row["unit"], row["code"], row["system"]) == (
+        1.5, "u", "mg", "http://unitsofmeasure.org"
+    )
+
+
 def test_flatten_then_encode_roundtrip(spark, nested_df, tmp_path):
     """Nested table -> flatten -> columnar encode -> decode -> unflatten:
     the full reference pipeline shape, bit-identical at the flat layer."""
