@@ -43,6 +43,82 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer
 
 
+def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 1800,
+                      ts_col: str = "ts", key_col: str = "user_id",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: per-key gap sessionization via
+    ``applyInPandasWithState`` — the streaming form of the batch
+    ``sessionize`` query (operators/relational.py), and the
+    arbitrary-state surface SURVEY §2.8 calls for beyond windowed aggs.
+
+    Per group and micro-batch: merge the batch's events with the open
+    session carried in ``GroupState``, split on idle gaps > gap_seconds,
+    EMIT every closed session, keep the last one open in state with an
+    event-time timeout; on watermark-driven timeout the open session is
+    flushed. Arrow-batched pandas per GROUP — no per-row Python.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+        "n_events BIGINT, closed_by STRING"
+    )
+    state_schema = "start BIGINT, end BIGINT, n BIGINT"  # epoch micros
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        k = key[0]
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [k],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        ts = pd.concat([pdf[ts_col] for pdf in pdfs])
+        us = (pd.to_datetime(ts).astype("int64") // 1000).sort_values()
+        sessions: list[tuple[int, int, int]] = []
+        if state.exists:
+            sessions.append(tuple(state.get))
+        for t in us:
+            if sessions and t - sessions[-1][1] <= gap_us:
+                s, e, n = sessions[-1]
+                sessions[-1] = (s, max(e, int(t)), n + 1)
+            else:
+                sessions.append((int(t), int(t), 1))
+        *closed, open_sess = sessions
+        state.update(open_sess)
+        state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                    "closed_by": ["gap"] * len(closed),
+                }
+            )
+
+    return (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_event_counts(stream_df: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
                           window: str = "1 minute",

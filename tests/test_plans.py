@@ -46,10 +46,29 @@ def test_partial_aggregation(spark):
 
 def test_no_python_udf_in_relational_paths(spark):
     for name in ["tpch_q1", "broadcast_join_revenue", "minhash_signatures",
-                 "token_count", "simhash", "cosine_score_all"]:
+                 "minhash_signatures_fast", "minhash_lsh_pairs_fast",
+                 "token_count", "simhash", "cosine_score_all",
+                 "ngram_jaccard_pairs", "embedding_neardup_pairs",
+                 "ann_lsh_bucketed"]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} fell back to python UDF"
+
+
+def test_no_cartesian_in_pair_generators(spark):
+    """The bounded pair ops must stay equi-joins — a cartesian/NL join
+    here is the quadratic scan the df-cap/LSH prefilter exists to kill.
+    (cosine_score_all's broadcast of the 1-row query vector is the one
+    deliberate nested-loop and is excluded.)"""
+    for name in ["ngram_jaccard_pairs", "embedding_neardup_pairs",
+                 "minhash_lsh_pairs", "minhash_lsh_pairs_fast",
+                 "ann_lsh_bucketed"]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        joins = [ln for ln in plan.splitlines() if "NestedLoop" in ln]
+        # ann's probe set is a broadcast of <=7 rows joined by equality —
+        # anything nested-loop would mean the bucket equi-key was lost
+        assert not joins, f"{name}: {joins}"
 
 
 def test_whole_stage_codegen_active(spark):

@@ -38,6 +38,52 @@ def test_streaming_encode_roundtrip(spark, tmp_path):
     assert total == 2000
 
 
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: intra-batch gaps close
+    sessions (emitted with closed_by='gap'); session stats must match the
+    batch computation on the same events."""
+    import datetime as dt
+
+    from fhirflat_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: two clusters separated by 2h (> 30min gap) -> first closes
+    for m in (0, 5, 10):
+        rows.append((1, base + dt.timedelta(minutes=m)))
+    for m in (0, 3):
+        rows.append((1, base + dt.timedelta(hours=2, minutes=m)))
+    # user 2: one cluster only -> stays open, nothing emitted
+    for m in (0, 1):
+        rows.append((2, base + dt.timedelta(minutes=m)))
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"], r["closed_by"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert (1, 3, "gap") in got, got
+    # user 2's single session stays open (no timeout fired in one batch)
+    assert not any(u == 2 for u, _, _ in got), got
+    sess1 = [r for r in spark.sql("select * from sess_out").collect() if r["user_id"] == 1]
+    assert sess1[0]["session_start"] == base
+    assert sess1[0]["session_end"] == base + dt.timedelta(minutes=10)
+
+
 def test_windowed_counts_match_batch(spark, tmp_path):
     """Streaming windowed agg over the events table == batch equivalent."""
     sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
