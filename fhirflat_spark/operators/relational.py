@@ -327,6 +327,40 @@ FROM events ORDER BY event_id
 """
 
 
+# --- R5: json_normalize of a dict column (fhir2flat.py:270-304's
+#     pd.json_normalize analog): schema-driven from_json -> struct ->
+#     flattened field, then grouped stats
+
+def q_json_normalize_props(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.select("event_type", F.col("p.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_props"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_NORMALIZE_PROPS = """
+SELECT event_type,
+       count(k) AS n_props,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- F11: sha256 checksums (ingest.py:381-390), JVM-side
 
 def q_sha256(spark, sf_dir):
@@ -557,6 +591,7 @@ QUERIES = {
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "union_dedup": (q_union_dedup, SQL_UNION_DEDUP),
     "condense_system_code": (q_condense_system_code, SQL_CONDENSE_SYSTEM_CODE),
+    "json_normalize_props": (q_json_normalize_props, SQL_JSON_NORMALIZE_PROPS),
     "format_dates": (q_format_dates, SQL_FORMAT_DATES),
     "expr_dsl": (q_expr_dsl, SQL_EXPR_DSL),
     "sha256_rows": (q_sha256, SQL_SHA256),

@@ -222,9 +222,118 @@ SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
 """
 
 
+# --- IVF-style ANN: coarse quantizer + nprobe bucket probe + exact
+# rescore. The quantizer here is the simplest deterministic one (the
+# first K vectors act as centroids — production trains k-means offline;
+# the PLAN SHAPE is identical): assignment is a pure projection against
+# K broadcast-literal centroids (no shuffle), candidates = the query's
+# NPROBE nearest cells, rescoring exact. At 10^9 vectors the cell id is
+# a partition key and the probe touches ~NPROBE/K of the data.
+#
+# Cross-engine determinism: nearest-centroid argmax uses
+# score = 2*(v·c) - (c·c) in DOUBLE with left-to-right accumulation on
+# both engines (python-precomputed c·c embedded as a literal equals
+# DuckDB's list_dot_product on the same order), ties broken by cid.
+
+K_CENTROIDS = 8
+NPROBE = 2
+
+
+def _dot_py(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def q_ann_ivf_coarse(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < K_CENTROIDS).collect()
+    }
+    cc = {cid: _dot_py(v, v) for cid, v in cents.items()}
+
+    def dot_lit(vec_col, cvals):
+        clit = F.array(*[F.lit(x) for x in cvals])
+        return F.aggregate(
+            F.zip_with(vec_col, clit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    def score(vec_col, cid):
+        return F.lit(2.0) * dot_lit(vec_col, cents[cid]) - F.lit(cc[cid])
+
+    def assign(vec_col):
+        best = F.struct(
+            score(vec_col, 0).alias("s"), F.lit(0).alias("cid")
+        )
+        for cid in range(1, K_CENTROIDS):
+            s = score(vec_col, cid)
+            best = F.when(
+                s > best["s"], F.struct(s.alias("s"), F.lit(cid).alias("cid"))
+            ).otherwise(best)
+        return best["cid"]
+
+    qvec = cents[QUERY_VEC_ID] if QUERY_VEC_ID in cents else [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    ]
+    qscores = sorted(
+        ((2.0 * _dot_py(qvec, cents[c]) - cc[c], -c) for c in range(K_CENTROIDS)),
+        reverse=True,
+    )
+    probes = [-negc for _, negc in qscores[:NPROBE]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        emb.withColumn("cell", assign(F.col("embedding")))
+        .where(F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), qlit), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _sql_ann_ivf_coarse() -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+  FROM embeddings WHERE vec_id < {K_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY 2*list_dot_product(e.embedding::DOUBLE[], c.cvec) - c.cc DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c.cid FROM c, q
+  ORDER BY 2*list_dot_product(q.qvec, c.cvec) - c.cc DESC, c.cid ASC
+  LIMIT {NPROBE}
+)
+SELECT vec_id,
+       round(list_dot_product(a.embedding::DOUBLE[], q.qvec)
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cosine
+FROM assign a JOIN probes USING (cid) CROSS JOIN q
+WHERE a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "cosine_score_all": (q_cosine_score_all, SQL_COSINE_SCORE_ALL),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh_bucketed()),
+    "ann_ivf_coarse": (q_ann_ivf_coarse, _sql_ann_ivf_coarse()),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_embedding_neardup_pairs()),
 }

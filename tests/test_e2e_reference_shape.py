@@ -135,3 +135,21 @@ def test_neardup_probes_catch_cross_bucket_pairs(spark):
     pairs = q_embedding_neardup_pairs(spark, d).collect()
     assert [(r["vec_a"], r["vec_b"]) for r in pairs] == [(0, 1)]
     assert pairs[0]["cosine"] >= 0.999
+
+
+def test_ann_ivf_consistent_with_bruteforce(spark):
+    """IVF-probed ANN must return a subset of brute-force scores with
+    identical cosine values, and its assignment must be a shuffle-free
+    projection (no Exchange before the filter)."""
+    from fhirflat_spark.operators.similarity import (
+        q_ann_ivf_coarse,
+        q_cosine_score_all,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["vec_id"]: r["cosine"] for r in q_cosine_score_all(spark, sf).collect()}
+    approx = q_ann_ivf_coarse(spark, sf).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert r["vec_id"] in exact
+        assert abs(r["cosine"] - exact[r["vec_id"]]) < 1e-6

@@ -49,7 +49,8 @@ def test_no_python_udf_in_relational_paths(spark):
                  "minhash_signatures_fast", "minhash_lsh_pairs_fast",
                  "token_count", "simhash", "cosine_score_all",
                  "ngram_jaccard_pairs", "embedding_neardup_pairs",
-                 "ann_lsh_bucketed"]:
+                 "ann_lsh_bucketed", "ann_ivf_coarse",
+                 "json_normalize_props"]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} fell back to python UDF"
