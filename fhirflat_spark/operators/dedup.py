@@ -21,7 +21,9 @@ from fhirflat_spark.operators.relational import load
 
 N_HASHES = 8
 BAND_SIZE = 4  # 2 bands of 4 hashes
-SIM_BITS = 16
+SIM_BITS = 32
+SIM_BLOCKS = 4  # pigeonhole banding: hamming<=SIM_BLOCKS-1 => >=1 equal block
+SIM_HAMMING_MAX = 3
 
 
 def _spark_hash64(col):
@@ -226,6 +228,83 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
 """
 
 
+# --- simhash near-dup pairs via pigeonhole banding: split the SIM_BITS
+#     fingerprint into SIM_BLOCKS blocks; any pair within hamming
+#     distance SIM_BLOCKS-1 must agree on >= 1 whole block (pigeonhole),
+#     so candidates come from an equi-join on (block_idx, block_value)
+#     — never an all-pairs scan — and are rescored with an exact
+#     popcount(xor) <= SIM_HAMMING_MAX filter.
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    fps = q_simhash(spark, sf_dir)
+    block_bits = SIM_BITS // SIM_BLOCKS
+    mask = (1 << block_bits) - 1
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(SIM_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIM_HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_simhash_hamming_pairs() -> str:
+    block_bits = SIM_BITS // SIM_BLOCKS
+    mask = (1 << block_bits) - 1
+    h = _sql_hash64("token")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIM_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS))
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, (simhash >> {i * block_bits}) & {mask} AS val FROM fps"
+        for i in range(SIM_BLOCKS)
+    )
+    return f"""
+WITH toks AS ({_SQL_TOKENS}),
+votes AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id
+),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+blocks AS ({block_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blocks a JOIN blocks b USING (blk, val)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- n-gram (word) Jaccard near-dup pairs within language blocks:
 #     explode→equi-join→group replaces the quadratic pair scan. A token
 #     appearing in k docs contributes k² join rows, so HOT tokens (stop
@@ -388,5 +467,6 @@ QUERIES = {
     "minhash_signatures_fast": (q_minhash_signatures_fast, None),
     "minhash_lsh_pairs_fast": (q_minhash_lsh_pairs_fast, None),
     "simhash": (q_simhash, _sql_simhash()),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
 }

@@ -63,7 +63,7 @@ def test_no_cartesian_in_pair_generators(spark):
     deliberate nested-loop and is excluded.)"""
     for name in ["ngram_jaccard_pairs", "embedding_neardup_pairs",
                  "minhash_lsh_pairs", "minhash_lsh_pairs_fast",
-                 "ann_lsh_bucketed"]:
+                 "ann_lsh_bucketed", "simhash_hamming_pairs"]:
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         joins = [ln for ln in plan.splitlines() if "NestedLoop" in ln]
