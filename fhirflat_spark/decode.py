@@ -34,34 +34,28 @@ VERIFY_SCHEMA = T.StructType(
 )
 
 
-def _payload_blobs(payloads: pa.Array, i: int) -> dict[str, memoryview]:
-    """Zero-copy blob views for chunk row ``i`` of a map<string,binary>
-    column — the payloads are multi-MB, so ``.as_py()`` copies would
-    dominate decode time."""
-    if isinstance(payloads, pa.ChunkedArray):
-        payloads = payloads.combine_chunks()
-    offsets = payloads.offsets
-    keys = payloads.keys
-    items = payloads.items
-    lo, hi = offsets[i].as_py(), offsets[i + 1].as_py()
-    return {
-        keys[j].as_py(): memoryview(items[j].as_buffer())
-        for j in range(lo, hi)
-    }
+def _blob_view(col: pa.Array, i: int) -> memoryview:
+    """Zero-copy view of one binary cell — payloads are multi-MB, so
+    ``.as_py()`` copies would dominate decode time."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return memoryview(col[i].as_buffer())
 
 
-def _decode_chunk_row(blobs: dict, columns: list[str]) -> dict[str, pa.Array]:
-    return {name: decode_array(blobs[name]) for name in columns}
+def decode_kernel_factory(columns: list[str], field_names: list[str]):
+    """``field_names[j]`` is the chunk-struct field holding ``columns[j]``
+    — the kernel only ever sees the SELECTED fields (parquet nested
+    pruning keeps unselected columns' bytes unread)."""
 
-
-def decode_kernel_factory(columns: list[str]):
     def kernel(batches):
         for batch in batches:
-            payloads = batch.column("payload")
+            cols = [batch.column(f) for f in field_names]
             for i in range(batch.num_rows):  # iterates CHUNKS (≈16k rows each), not rows
-                arrays = _decode_chunk_row(_payload_blobs(payloads, i), columns)
                 yield pa.RecordBatch.from_pydict(
-                    {name: arrays[name] for name in columns}
+                    {
+                        name: decode_array(_blob_view(col, i))
+                        for name, col in zip(columns, cols)
+                    }
                 )
 
     return kernel
@@ -78,13 +72,16 @@ def decode_table(spark: SparkSession, out_dir: str,
     """
     from fhirflat_spark.manifest import read_summary
 
-    from fhirflat_spark.encode import CHUNK_SCHEMA
+    from fhirflat_spark.encode import chunk_schema
 
     summary = read_summary(spark, out_dir)
+    all_cols = summary["columns"]
     if columns is None:
-        columns = summary["columns"]
+        columns = all_cols
+    field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
+    fields = [field_of[c] for c in columns]
     # explicit schema: no footer sniffing, and empty datasets stay readable
-    chunks = spark.read.schema(CHUNK_SCHEMA).parquet(f"{out_dir}/chunks")
+    chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(f"{out_dir}/chunks")
     if part_ids is not None:
         chunks = chunks.where(F.col("part_id").isin(part_ids))
     if summary.get("spark_schema"):
@@ -93,10 +90,15 @@ def decode_table(spark: SparkSession, out_dir: str,
         schema = T.StructType([by_name[c] for c in columns])
     else:
         schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
-    return chunks.select("payload").mapInArrow(decode_kernel_factory(columns), schema=schema)
+    # select only the requested payload fields: nested-schema pruning
+    # reaches the parquet scan, so unselected columns cost zero IO
+    pruned = chunks.select(
+        *[F.col(f"payload.{f}").alias(f) for f in fields]
+    )
+    return pruned.mapInArrow(decode_kernel_factory(columns, fields), schema=schema)
 
 
-def verify_kernel_factory(columns: list[str]):
+def verify_kernel_factory(columns: list[str], field_names: list[str]):
     """Decode each chunk and recompute its content checksum; compare with
     the checksum recorded at encode time. One hash per column per chunk —
     chunk-bytes equality ⟺ per-row bit-identical equality."""
@@ -104,18 +106,17 @@ def verify_kernel_factory(columns: list[str]):
 
     def kernel(batches):
         for batch in batches:
+            cols = [batch.column(f"__v_{f}") for f in field_names]
             for i in range(batch.num_rows):  # chunk granularity
                 part_id = batch.column("part_id")[i].as_py()
                 seq = batch.column("chunk_seq")[i].as_py()
                 n = batch.column("n_rows")[i].as_py()
                 expected = batch.column("content_sha")[i].as_py()
                 try:
-                    arrays = _decode_chunk_row(
-                        _payload_blobs(batch.column("payload"), i), columns
-                    )
                     sha_all = hashlib.sha256()
-                    for name in columns:
-                        sha, _ = _col_raw_sha(arrays[name])
+                    for col in cols:
+                        arr = decode_array(_blob_view(col, i))
+                        sha, _ = _col_raw_sha(arr)
                         sha_all.update(sha.encode())
                     actual = sha_all.hexdigest()
                     err = None
@@ -152,14 +153,20 @@ def verify_table(spark: SparkSession, out_dir: str,
     """Per-chunk round-trip verification status — the error side-channel."""
     from fhirflat_spark.manifest import read_summary
 
-    from fhirflat_spark.encode import CHUNK_SCHEMA
+    from fhirflat_spark.encode import chunk_schema
 
+    all_cols = read_summary(spark, out_dir)["columns"]
     if columns is None:
-        columns = read_summary(spark, out_dir)["columns"]
-    chunks = spark.read.schema(CHUNK_SCHEMA).parquet(f"{out_dir}/chunks").select(
-        "part_id", "chunk_seq", "n_rows", "content_sha", "payload"
+        columns = all_cols
+    field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
+    fields = [field_of[c] for c in columns]
+    chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(
+        f"{out_dir}/chunks"
+    ).select(
+        "part_id", "chunk_seq", "n_rows", "content_sha",
+        *[F.col(f"payload.{f}").alias(f"__v_{f}") for f in fields],
     )
-    return chunks.mapInArrow(verify_kernel_factory(columns), schema=VERIFY_SCHEMA)
+    return chunks.mapInArrow(verify_kernel_factory(columns, fields), schema=VERIFY_SCHEMA)
 
 
 def verify_against_source(source: DataFrame, decoded: DataFrame,

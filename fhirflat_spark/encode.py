@@ -42,20 +42,29 @@ from pyspark.sql import types as T
 from fhirflat_spark.codecs import encode_array
 from fhirflat_spark.codecs.core import string_parts
 
-CHUNK_SCHEMA = T.StructType(
-    [
-        T.StructField("part_id", T.IntegerType(), False),
-        T.StructField("chunk_seq", T.IntegerType(), False),
-        T.StructField("n_rows", T.LongType(), False),
-        T.StructField("payload", T.MapType(T.StringType(), T.BinaryType()), False),
-        T.StructField("stats", T.StringType(), False),
-        T.StructField("content_sha", T.StringType(), False),
-        T.StructField("raw_bytes", T.LongType(), False),
-        T.StructField("encoded_bytes", T.LongType(), False),
-        T.StructField("repo_min", T.StringType(), True),
-        T.StructField("repo_max", T.StringType(), True),
-    ]
-)
+def chunk_schema(n_cols: int) -> T.StructType:
+    """Chunk-table schema. The payload is a STRUCT with one binary field
+    per encoded column (positional ``__c{i}`` names — summary["columns"]
+    maps them back) rather than a map<string,binary>: parquet nested-
+    schema pruning then skips unselected columns' bytes at IO time, so a
+    single-column decode of a 100-TB dataset reads ~1/n_cols of it."""
+    payload = T.StructType(
+        [T.StructField(f"__c{i}", T.BinaryType(), False) for i in range(n_cols)]
+    )
+    return T.StructType(
+        [
+            T.StructField("part_id", T.IntegerType(), False),
+            T.StructField("chunk_seq", T.IntegerType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("payload", payload, False),
+            T.StructField("stats", T.StringType(), False),
+            T.StructField("content_sha", T.StringType(), False),
+            T.StructField("raw_bytes", T.LongType(), False),
+            T.StructField("encoded_bytes", T.LongType(), False),
+            T.StructField("repo_min", T.StringType(), True),
+            T.StructField("repo_max", T.StringType(), True),
+        ]
+    )
 
 
 def _col_raw_sha(arr: pa.Array) -> tuple[str, int]:
@@ -176,12 +185,17 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                     "repo_max": rmax,
                 }
             )
+            payload_type = pa.struct(
+                [(f"__c{i}", pa.binary()) for i in range(len(columns))]
+            )
             out = pa.RecordBatch.from_pydict(
                 {
                     "part_id": [part_id],
                     "chunk_seq": [seq],
                     "n_rows": [n],
-                    "payload": [list(payload.items())],
+                    "payload": [
+                        {f"__c{i}": payload[name_map[c]] for i, c in enumerate(columns)}
+                    ],
                     "stats": [json.dumps(stats, separators=(",", ":"))],
                     "content_sha": [sha_all.hexdigest()],
                     "raw_bytes": [raw_total],
@@ -194,7 +208,7 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                         ("part_id", pa.int32()),
                         ("chunk_seq", pa.int32()),
                         ("n_rows", pa.int64()),
-                        ("payload", pa.map_(pa.string(), pa.binary())),
+                        ("payload", payload_type),
                         ("stats", pa.string()),
                         ("content_sha", pa.string()),
                         ("raw_bytes", pa.int64()),
@@ -529,7 +543,7 @@ def encode_table(
         name_map=name_map,
         codec_opts={"archive": True} if profile == "archive" else None,
     )
-    chunks = salted.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+    chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
     # ONE data-sized job: encode + write chunks; tasks commit their own
     # manifest fragments alongside. partitionBy(part_id) keeps the
     # Iceberg-style partitioned layout that resume prunes/replaces by

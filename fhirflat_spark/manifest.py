@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MANIFEST_VERSION = 1
+MANIFEST_VERSION = 2  # v2: payload = struct<__c{i}: binary> (was map<string,binary>)
 
 MANIFEST_ARROW_SCHEMA = pa.schema(
     [

@@ -136,15 +136,15 @@ def test_corruption_localized(spark, encoded, tmp_path):
     t = pq.read_table(f"{victim_dir}/{f}")
     import pyarrow as pa
 
-    payloads = t.column("payload").to_pylist()
-    k0 = payloads[0][0][0]
-    blob = bytearray(payloads[0][0][1])
+    payloads = t.column("payload").to_pylist()  # list of {__c0: bytes, ...}
+    k0 = next(iter(payloads[0]))
+    blob = bytearray(payloads[0][k0])
     blob[len(blob) // 2] ^= 0xFF
-    payloads[0] = [(k0, bytes(blob))] + payloads[0][1:]
+    payloads[0] = {**payloads[0], k0: bytes(blob)}
     t = t.set_column(
         t.schema.get_field_index("payload"),
         "payload",
-        pa.array(payloads, type=pa.map_(pa.string(), pa.binary())),
+        pa.array(payloads, type=t.schema.field("payload").type),
     )
     pq.write_table(t, f"{victim_dir}/{f}", compression="none")
     # drop hadoop's local-FS checksum sidecars (stale after the rewrite)

@@ -91,16 +91,42 @@ def test_antijoin_strategy(spark):
     assert "LeftAnti" in plan
 
 
+def test_decode_column_pruning_reaches_scan(spark, tmp_path):
+    """Selective decode must read ONLY the requested columns' payload
+    bytes: the chunk-store payload is a struct (one binary field per
+    column) so parquet nested-schema pruning applies — decoding 1 of 5
+    columns of a 100-TB dataset reads ~1/5 of it."""
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+
+    out = str(tmp_path / "prune")
+    df = gen_spark(spark, 1000, seed=9)
+    encode_table(df, out, rows_per_bucket=500)
+    # columns: repo,path,commit,lang,content -> lang = __c3, content = __c4
+    dec = decode_table(spark, out, columns=["lang"])
+    plan = dec._sc._jvm.PythonSQLUtils.explainString(
+        dec._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "__c3" in read_schema, read_schema
+    assert "__c4" not in read_schema, read_schema  # content bytes unread
+    got = {r["lang"] for r in dec.collect()}
+    want = {r["lang"] for r in df.select("lang").distinct().collect()}
+    assert got == want
+    assert dec.count() == 1000
+
+
 def test_encode_plan_single_shuffle(spark):
     """The encode pipeline must contain exactly ONE data-sized exchange
     (the salted repartition) — a second shuffle would be a 100-TB bug."""
     from fhirflat_spark.datagen import gen_spark
-    from fhirflat_spark.encode import CHUNK_SCHEMA, encode_kernel_factory, plan_salted
+    from fhirflat_spark.encode import chunk_schema, encode_kernel_factory, plan_salted
 
     df = gen_spark(spark, 2000, seed=3)
     salted, _ = plan_salted(df, rows_per_bucket=500)
     kernel = encode_kernel_factory(df.columns, None)
-    chunks = salted.mapInArrow(kernel, schema=CHUNK_SCHEMA)
+    chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(df.columns)))
     plan = chunks._sc._jvm.PythonSQLUtils.explainString(
         chunks._jdf.queryExecution(), "formatted"
     )
