@@ -99,9 +99,12 @@ def decode_table(spark: SparkSession, out_dir: str,
 
 
 def verify_kernel_factory(columns: list[str], field_names: list[str]):
-    """Decode each chunk and recompute its content checksum; compare with
-    the checksum recorded at encode time. One hash per column per chunk —
-    chunk-bytes equality ⟺ per-row bit-identical equality."""
+    """Decode each chunk and recompute checksums; compare with the values
+    recorded at encode time. One hash per column per chunk — chunk-bytes
+    equality ⟺ per-row bit-identical equality. Column-selective verify
+    compares the PER-COLUMN shas from the chunk's stats (the whole-chunk
+    content_sha covers every column and would always mismatch a subset);
+    a full-column verify also recomputes the combined content_sha."""
     from fhirflat_spark.encode import _col_raw_sha
 
     def kernel(batches):
@@ -111,15 +114,29 @@ def verify_kernel_factory(columns: list[str], field_names: list[str]):
                 part_id = batch.column("part_id")[i].as_py()
                 seq = batch.column("chunk_seq")[i].as_py()
                 n = batch.column("n_rows")[i].as_py()
-                expected = batch.column("content_sha")[i].as_py()
+                stats = json.loads(batch.column("stats")[i].as_py())
+                full = set(columns) >= set(stats.keys())
+                expected = (
+                    batch.column("content_sha")[i].as_py()
+                    if full
+                    else "|".join(stats[c]["sha"] for c in columns)
+                )
                 try:
-                    sha_all = hashlib.sha256()
-                    for col in cols:
+                    shas = {}
+                    for name, col in zip(columns, cols):
                         arr = decode_array(_blob_view(col, i))
-                        sha, _ = _col_raw_sha(arr)
-                        sha_all.update(sha.encode())
-                    actual = sha_all.hexdigest()
+                        shas[name], _ = _col_raw_sha(arr)
+                    if full:
+                        sha_all = hashlib.sha256()
+                        for name in columns:
+                            sha_all.update(shas[name].encode())
+                        actual = sha_all.hexdigest()
+                    else:
+                        actual = "|".join(shas[c] for c in columns)
                     err = None
+                    bad = [c for c in columns if shas[c] != stats[c]["sha"]]
+                    if bad:
+                        err = f"column sha mismatch: {','.join(bad)}"
                 except Exception as e:  # failure localized to this chunk
                     actual, err = None, f"{type(e).__name__}: {e}"
                 yield pa.RecordBatch.from_pydict(
@@ -163,10 +180,153 @@ def verify_table(spark: SparkSession, out_dir: str,
     chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(
         f"{out_dir}/chunks"
     ).select(
-        "part_id", "chunk_seq", "n_rows", "content_sha",
+        "part_id", "chunk_seq", "n_rows", "content_sha", "stats",
         *[F.col(f"payload.{f}").alias(f"__v_{f}") for f in fields],
     )
     return chunks.mapInArrow(verify_kernel_factory(columns, fields), schema=VERIFY_SCHEMA)
+
+
+def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
+                    profile: str = "archive",
+                    codec_overrides: dict | None = None):
+    """Re-compress an encoded dataset chunk-by-chunk WITHOUT touching the
+    raw table (the compaction path: e.g. balanced → archive once data
+    goes cold). Reads only chunk payloads, decodes each column, re-encodes
+    under the new profile/overrides, and rewrites chunks + manifest with
+    identical chunk boundaries and content checksums — so round-trip
+    guarantees and the dataset checksum carry over unchanged. Zero
+    exchanges: one embarrassingly-parallel map over chunk files."""
+    import shutil as _shutil
+
+    from fhirflat_spark.codecs import encode_array
+    from fhirflat_spark.encode import _col_raw_sha, chunk_schema, encode_kernel_factory  # noqa: F401
+    from fhirflat_spark.manifest import (
+        _local,
+        load_fragments,
+        read_summary,
+        write_manifest,
+        write_summary,
+    )
+
+    if profile not in ("balanced", "archive"):
+        raise ValueError(f"unknown profile {profile!r}")
+    import time as _time
+
+    t0 = _time.time()
+    summary = read_summary(spark, src_dir)
+    columns = summary["columns"]
+    overrides = codec_overrides or {}
+    base_opts = {"archive": True} if profile == "archive" else {}
+    schema = chunk_schema(len(columns))
+    frag_dir = _local(dst_dir) + "/manifest_parts"
+    _shutil.rmtree(frag_dir, ignore_errors=True)
+
+    def kernel(batches):
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tid = ctx.partitionId() if ctx is not None else 0
+        frag: list[dict] = []
+        for batch in batches:
+            cols = [batch.column(f"payload_{i}") for i in range(len(columns))]
+            for i in range(batch.num_rows):
+                stats = _json.loads(batch.column("stats")[i].as_py())
+                payload = {}
+                enc_total = 0
+                for j, name in enumerate(columns):
+                    arr = decode_array(_blob_view(cols[j], i))
+                    blob = encode_array(
+                        arr, codec=overrides.get(name, "auto"),
+                        opts=dict(base_opts) if base_opts else None,
+                    )
+                    payload[f"__c{j}"] = blob
+                    stats[name]["enc"] = len(blob)
+                    from fhirflat_spark.codecs.core import unpack_chunk
+
+                    stats[name]["codec"] = unpack_chunk(blob)[0]
+                    enc_total += len(blob)
+                row = {
+                    "part_id": batch.column("part_id")[i].as_py(),
+                    "chunk_seq": batch.column("chunk_seq")[i].as_py(),
+                    "n_rows": batch.column("n_rows")[i].as_py(),
+                    "raw_bytes": batch.column("raw_bytes")[i].as_py(),
+                    "encoded_bytes": enc_total,
+                    "content_sha": batch.column("content_sha")[i].as_py(),
+                    "repo_min": batch.column("repo_min")[i].as_py(),
+                    "repo_max": batch.column("repo_max")[i].as_py(),
+                }
+                frag.append(row)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "part_id": [row["part_id"]],
+                        "chunk_seq": [row["chunk_seq"]],
+                        "n_rows": [row["n_rows"]],
+                        "payload": [payload],
+                        "stats": [_json.dumps(stats, separators=(",", ":"))],
+                        "content_sha": [row["content_sha"]],
+                        "raw_bytes": [row["raw_bytes"]],
+                        "encoded_bytes": [enc_total],
+                        "repo_min": [row["repo_min"]],
+                        "repo_max": [row["repo_max"]],
+                    },
+                    schema=pa.schema(
+                        [
+                            ("part_id", pa.int32()),
+                            ("chunk_seq", pa.int32()),
+                            ("n_rows", pa.int64()),
+                            ("payload", pa.struct(
+                                [(f"__c{j}", pa.binary()) for j in range(len(columns))]
+                            )),
+                            ("stats", pa.string()),
+                            ("content_sha", pa.string()),
+                            ("raw_bytes", pa.int64()),
+                            ("encoded_bytes", pa.int64()),
+                            ("repo_min", pa.string()),
+                            ("repo_max", pa.string()),
+                        ]
+                    ),
+                )
+        if frag:
+            _os.makedirs(frag_dir, exist_ok=True)
+            tmp = f"{frag_dir}/.{tid:06d}.json.tmp.{_os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(frag, f)
+            _os.replace(tmp, f"{frag_dir}/{tid:06d}.json")
+
+    src = spark.read.schema(schema).parquet(f"{src_dir}/chunks").select(
+        "part_id", "chunk_seq", "n_rows", "raw_bytes", "content_sha",
+        "repo_min", "repo_max", "stats",
+        *[F.col(f"payload.__c{i}").alias(f"payload_{i}") for i in range(len(columns))],
+    )
+    (
+        src.mapInArrow(kernel, schema=schema)
+        .write.mode("overwrite")
+        .option("compression", "uncompressed")
+        .partitionBy("part_id")
+        .parquet(f"{dst_dir}/chunks")
+    )
+    meta_rows = load_fragments(frag_dir)
+    manifest_stats = write_manifest(spark, dst_dir, meta_rows)
+    from fhirflat_spark.encode import EncodeResult
+
+    result = EncodeResult(
+        out_dir=dst_dir,
+        num_partitions=manifest_stats["n_partitions"],
+        seconds=_time.time() - t0,
+        rows=manifest_stats["rows"],
+        raw_bytes=manifest_stats["raw_bytes"],
+        encoded_bytes=manifest_stats["encoded_bytes"],
+        shuffled=False,
+    )
+    write_summary(
+        spark, dst_dir, result, columns,
+        spark_schema=summary.get("spark_schema"),
+        dataset_sha=manifest_stats["dataset_sha256"],
+    )
+    return result
 
 
 def verify_against_source(source: DataFrame, decoded: DataFrame,

@@ -252,6 +252,42 @@ def test_stale_key_counts_fallback(spark, tmp_path):
     assert fails.count() == 0
 
 
+def test_column_selective_verify(spark, encoded):
+    """verify_table(columns=subset) must check per-column shas (the
+    whole-chunk sha covers every column and would always mismatch)."""
+    _, out, _ = encoded
+    v = verify_table(spark, out, columns=["lang", "repo"])
+    rows = v.collect()
+    assert rows and all(r["ok"] for r in rows)
+
+
+def test_transcode_balanced_to_archive(spark, tmp_path):
+    """transcode re-compresses chunk payloads without the raw table:
+    identical rows/checksums/boundaries, smaller bytes, verify green.
+    Needs chunks above the archive level-by-volume threshold (2 MiB of
+    string bytes), hence one big bucket."""
+    from fhirflat_spark.decode import transcode_table
+    from fhirflat_spark.manifest import read_summary
+
+    df = gen_spark(spark, 30000, seed=13)
+    out = str(tmp_path / "src_big")
+    res = encode_table(df, out, rows_per_bucket=30000)
+    dst = str(tmp_path / "transcoded")
+    tres = transcode_table(spark, out, dst, profile="archive")
+    assert tres.rows == res.rows
+    assert tres.encoded_bytes < res.encoded_bytes
+    # dataset checksum (content-derived) must carry over unchanged
+    assert (
+        read_summary(spark, dst)["dataset_sha256"]
+        == read_summary(spark, out)["dataset_sha256"]
+    )
+    v = verify_table(spark, dst)
+    assert v.where(~F.col("ok")).count() == 0
+    decoded = decode_table(spark, dst)
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+
+
 def test_archive_profile_roundtrip_and_smaller(spark, tmp_path):
     """archive profile must round-trip bit-identically and produce a
     smaller payload than balanced on content-heavy data."""
