@@ -33,13 +33,23 @@ def main() -> None:
     enc.add_argument("--out", required=True)
     enc.add_argument("--rows-per-bucket", type=int, default=250_000)
     enc.add_argument("--resume", action="store_true")
+    enc.add_argument("--profile", choices=["balanced", "archive"], default="balanced")
+    enc.add_argument("--shuffle", choices=["true", "false", "auto"], default="true",
+                     help="auto = skip the exchange when input is already clustered")
 
     ver = sub.add_parser("verify", help="re-verify every chunk round-trips bit-identically")
     ver.add_argument("--out", required=True)
+    ver.add_argument("--columns", help="comma-separated subset (per-column sha check)")
 
     dec = sub.add_parser("decode", help="decode and show rows")
     dec.add_argument("--out", required=True)
     dec.add_argument("--show", type=int, default=5)
+    dec.add_argument("--columns", help="comma-separated subset (IO-pruned selective decode)")
+
+    trc = sub.add_parser("transcode", help="re-compress chunks without the raw table")
+    trc.add_argument("--src", required=True)
+    trc.add_argument("--out", required=True)
+    trc.add_argument("--profile", choices=["balanced", "archive"], default="archive")
 
     args = p.parse_args()
 
@@ -56,20 +66,23 @@ def main() -> None:
             from fhirflat_spark.datagen import gen_spark
 
             df = gen_spark(spark, args.rows, seed=42)
+        shuffle = {"true": True, "false": False, "auto": "auto"}[args.shuffle]
         res = encode_table(df, args.out, rows_per_bucket=args.rows_per_bucket,
-                           resume=args.resume)
+                           resume=args.resume, profile=args.profile,
+                           shuffle=shuffle)
         print(json.dumps({
             "rows": res.rows, "raw_bytes": res.raw_bytes,
             "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),
             "seconds": round(res.seconds, 2), "gbps": round(res.throughput_gbps, 4),
-            "partitions": res.num_partitions,
+            "partitions": res.num_partitions, "shuffled": res.shuffled,
         }))
     elif args.cmd == "verify":
         from pyspark.sql import functions as F
 
         from fhirflat_spark.decode import verify_table
 
-        v = verify_table(spark, args.out)
+        cols = args.columns.split(",") if args.columns else None
+        v = verify_table(spark, args.out, columns=cols)
         bad = v.where(~F.col("ok"))
         n_bad = bad.count()
         print(json.dumps({"chunks": v.count(), "failed": n_bad}))
@@ -79,9 +92,18 @@ def main() -> None:
     elif args.cmd == "decode":
         from fhirflat_spark.decode import decode_table
 
-        df = decode_table(spark, args.out)
+        cols = args.columns.split(",") if args.columns else None
+        df = decode_table(spark, args.out, columns=cols)
         print(json.dumps({"rows": df.count()}))
         df.show(args.show, truncate=60)
+    elif args.cmd == "transcode":
+        from fhirflat_spark.decode import transcode_table
+
+        res = transcode_table(spark, args.src, args.out, profile=args.profile)
+        print(json.dumps({
+            "rows": res.rows, "encoded_bytes": res.encoded_bytes,
+            "ratio": round(res.ratio, 4), "seconds": round(res.seconds, 2),
+        }))
 
     spark.stop()
 
