@@ -34,6 +34,19 @@ VERIFY_SCHEMA = T.StructType(
 )
 
 
+def _check_version(summary: dict) -> None:
+    from fhirflat_spark.manifest import MANIFEST_VERSION
+
+    ver = summary.get("manifest_version")
+    if ver != MANIFEST_VERSION:
+        raise ValueError(
+            f"dataset written with manifest format v{ver}; this engine reads "
+            f"v{MANIFEST_VERSION} (v2 changed the chunk payload from "
+            "map<string,binary> to struct) — re-encode or transcode with a "
+            "matching engine version"
+        )
+
+
 def _blob_view(col: pa.Array, i: int) -> memoryview:
     """Zero-copy view of one binary cell — payloads are multi-MB, so
     ``.as_py()`` copies would dominate decode time."""
@@ -75,6 +88,7 @@ def decode_table(spark: SparkSession, out_dir: str,
     from fhirflat_spark.encode import chunk_schema
 
     summary = read_summary(spark, out_dir)
+    _check_version(summary)
     all_cols = summary["columns"]
     if columns is None:
         columns = all_cols
@@ -114,24 +128,25 @@ def verify_kernel_factory(columns: list[str], field_names: list[str]):
                 part_id = batch.column("part_id")[i].as_py()
                 seq = batch.column("chunk_seq")[i].as_py()
                 n = batch.column("n_rows")[i].as_py()
-                stats = json.loads(batch.column("stats")[i].as_py())
-                full = set(columns) >= set(stats.keys())
-                expected = (
-                    batch.column("content_sha")[i].as_py()
-                    if full
-                    else "|".join(stats[c]["sha"] for c in columns)
-                )
-                try:
+                expected = batch.column("content_sha")[i].as_py()
+                try:  # ANY per-chunk failure (incl. corrupt stats JSON)
+                    # must yield a localized error row, not kill the task
+                    stats = json.loads(batch.column("stats")[i].as_py())
+                    full = set(columns) >= set(stats.keys())
                     shas = {}
                     for name, col in zip(columns, cols):
                         arr = decode_array(_blob_view(col, i))
                         shas[name], _ = _col_raw_sha(arr)
                     if full:
+                        # the combined sha is order-sensitive: recompute in
+                        # the ENCODE-TIME order (stats preserves it), not
+                        # the caller's selection order
                         sha_all = hashlib.sha256()
-                        for name in columns:
+                        for name in stats:
                             sha_all.update(shas[name].encode())
                         actual = sha_all.hexdigest()
                     else:
+                        expected = "|".join(stats[c]["sha"] for c in columns)
                         actual = "|".join(shas[c] for c in columns)
                     err = None
                     bad = [c for c in columns if shas[c] != stats[c]["sha"]]
@@ -172,7 +187,9 @@ def verify_table(spark: SparkSession, out_dir: str,
 
     from fhirflat_spark.encode import chunk_schema
 
-    all_cols = read_summary(spark, out_dir)["columns"]
+    summary = read_summary(spark, out_dir)
+    _check_version(summary)
+    all_cols = summary["columns"]
     if columns is None:
         columns = all_cols
     field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
@@ -196,10 +213,12 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
     identical chunk boundaries and content checksums — so round-trip
     guarantees and the dataset checksum carry over unchanged. Zero
     exchanges: one embarrassingly-parallel map over chunk files."""
+    import os as _os
     import shutil as _shutil
 
     from fhirflat_spark.codecs import encode_array
-    from fhirflat_spark.encode import _col_raw_sha, chunk_schema, encode_kernel_factory  # noqa: F401
+    from fhirflat_spark.codecs.core import unpack_chunk
+    from fhirflat_spark.encode import chunk_schema
     from fhirflat_spark.manifest import (
         _local,
         load_fragments,
@@ -210,10 +229,17 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
 
     if profile not in ("balanced", "archive"):
         raise ValueError(f"unknown profile {profile!r}")
+    if _os.path.realpath(_local(src_dir)) == _os.path.realpath(_local(dst_dir)):
+        raise ValueError(
+            "transcode_table cannot write in place (overwrite would clobber "
+            "the source chunks while they are being read) — use a new "
+            "dst_dir and swap after"
+        )
     import time as _time
 
     t0 = _time.time()
     summary = read_summary(spark, src_dir)
+    _check_version(summary)
     columns = summary["columns"]
     overrides = codec_overrides or {}
     base_opts = {"archive": True} if profile == "archive" else {}
@@ -244,8 +270,6 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                     )
                     payload[f"__c{j}"] = blob
                     stats[name]["enc"] = len(blob)
-                    from fhirflat_spark.codecs.core import unpack_chunk
-
                     stats[name]["codec"] = unpack_chunk(blob)[0]
                     enc_total += len(blob)
                 row = {

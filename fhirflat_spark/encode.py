@@ -342,15 +342,22 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
         P = num_partitions or 1
         return df.drop("__skey").repartition(P), P
 
+    # caller-supplied stats may be stale/incomplete: reserve a bounded
+    # fallback key for rows whose key has no bucket entry (appended LAST
+    # so existing keys keep their bucket/partition assignment). Carved
+    # OUT of num_partitions, not added on top, so an explicit partition
+    # count is honored exactly.
+    nb_other = max(1, (num_partitions or default_par) // 8) if caller_counts else 0
+    alloc_target = (num_partitions - nb_other) if num_partitions else None
     # bucket allocation: proportional when a target partition count is
-    # given (sum == P exactly), else ceil(count / rows_per_bucket)
-    if num_partitions and num_partitions >= len(key_counts):
+    # given (sum == alloc_target exactly), else ceil(count / rows_per_bucket)
+    if alloc_target and alloc_target >= len(key_counts):
         total = sum(c for _, c in key_counts) or 1
         alloc = [
-            (k, max(1, int(c * num_partitions / total))) for k, c in key_counts
+            (k, max(1, int(c * alloc_target / total))) for k, c in key_counts
         ]
         # fix rounding drift on the largest key
-        drift = num_partitions - sum(b for _, b in alloc)
+        drift = alloc_target - sum(b for _, b in alloc)
         big = max(range(len(alloc)), key=lambda i: key_counts[i][1])
         alloc[big] = (alloc[big][0], max(1, alloc[big][1] + drift))
         bucket_rows = alloc
@@ -359,10 +366,6 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
             (k, max(1, math.ceil(c / rows_per_bucket))) for k, c in key_counts
         ]
     if caller_counts:
-        # caller-supplied stats may be stale/incomplete: route rows whose
-        # key has no bucket entry into a bounded fallback key (appended
-        # LAST so existing keys keep their bucket/partition assignment)
-        nb_other = max(1, (num_partitions or default_par) // 8)
         bucket_rows.append(("o:", nb_other))
     B = sum(b for _, b in bucket_rows)
     P = int(B)
@@ -437,9 +440,16 @@ def detect_clustering(df: DataFrame, salt_col: str = "repo",
     spans = sorted((r["lo"], r["hi"]) for r in rows if r["lo"] is not None)
     if not spans:
         return False  # all-null keys: let the shuffle group them
-    interleaved = sum(
-        1 for i in range(1, len(spans)) if spans[i][0] < spans[i - 1][1]
-    )
+    # compare against the RUNNING max of prior his, not just the previous
+    # span — one wide split (e.g. a compacted file spanning the whole key
+    # range) must count as interleaving with everything after it
+    interleaved = 0
+    running_hi = spans[0][1]
+    for lo, hi in spans[1:]:
+        if lo < running_hi:
+            interleaved += 1
+        if hi > running_hi:
+            running_hi = hi
     max_n = max(r["n"] for r in rows)
     return interleaved <= max(1, len(spans) // 10) and max_n <= 4 * rows_per_bucket
 

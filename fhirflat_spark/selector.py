@@ -140,6 +140,7 @@ def choose_codec(
     """Pick (codec, opts) for a null-free physical-typed array."""
     opts = dict(opts or {})
     forced = opts.pop("force", None)
+    archive = opts.pop("archive", False)
     if forced:
         return forced, opts
     n = len(arr)
@@ -167,11 +168,7 @@ def choose_codec(
             opts["symbols"] = symbols
             return "fsst", opts
         if z_ratio < 0.98:
-            if (
-                opts.pop("archive", False)
-                and stats["bytes"] >= _BIG_CHUNK_BYTES
-                and "level" not in opts
-            ):
+            if archive and stats["bytes"] >= _BIG_CHUNK_BYTES and "level" not in opts:
                 opts["level"] = _BIG_CHUNK_LEVEL
             return "zstd", opts
         return "raw", opts

@@ -43,6 +43,30 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer
 
 
+def merge_sessions(sorted_us, state_session, gap_us: int):
+    """Gap-merge sorted event micros + the optional open-session interval
+    from state into disjoint sessions (each separated by > gap_us).
+    In-watermark late events preceding the open session by more than the
+    gap form their own sessions rather than being absorbed."""
+    sessions: list[tuple[int, int, int]] = []
+    for t in sorted_us:
+        if sessions and t - sessions[-1][1] <= gap_us:
+            s, e, n = sessions[-1]
+            sessions[-1] = (s, max(e, int(t)), n + 1)
+        else:
+            sessions.append((int(t), int(t), 1))
+    if state_session is not None:
+        merged: list[tuple[int, int, int]] = []
+        for s0, e0, n0 in sorted(sessions + [tuple(state_session)]):
+            if merged and s0 - merged[-1][1] <= gap_us:
+                a, b, c = merged[-1]
+                merged[-1] = (a, max(b, e0), c + n0)
+            else:
+                merged.append((s0, e0, n0))
+        sessions = merged
+    return sessions
+
+
 def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 1800,
                       ts_col: str = "ts", key_col: str = "user_id",
                       watermark: str = "2 hours") -> DataFrame:
@@ -85,15 +109,9 @@ def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 1800,
             return
         ts = pd.concat([pdf[ts_col] for pdf in pdfs])
         us = (pd.to_datetime(ts).astype("int64") // 1000).sort_values()
-        sessions: list[tuple[int, int, int]] = []
-        if state.exists:
-            sessions.append(tuple(state.get))
-        for t in us:
-            if sessions and t - sessions[-1][1] <= gap_us:
-                s, e, n = sessions[-1]
-                sessions[-1] = (s, max(e, int(t)), n + 1)
-            else:
-                sessions.append((int(t), int(t), 1))
+        sessions = merge_sessions(
+            us, tuple(state.get) if state.exists else None, gap_us
+        )
         *closed, open_sess = sessions
         state.update(open_sess)
         state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)

@@ -346,3 +346,40 @@ def test_typed_table_roundtrip(spark, tmp_path):
     assert decoded.schema == li.schema
     diff = decoded.exceptAll(li).count() + li.exceptAll(decoded).count()
     assert diff == 0
+
+
+def test_detect_clustering_wide_split(spark):
+    """One split spanning the whole key range must count as interleaving
+    with every later split (running-max check), forcing the shuffle."""
+    from fhirflat_spark.encode import detect_clustering
+
+    df = gen_spark(spark, 4000, seed=17, partitions=8)
+    clustered = df.repartitionByRange(8, "repo", "path").sortWithinPartitions(
+        "repo", "path"
+    )
+    assert detect_clustering(clustered, rows_per_bucket=1000) is True
+    # replace one split with a full-range sample: union a shuffled slice
+    wide = clustered.union(df.orderBy("commit").limit(400).repartition(1))
+    assert detect_clustering(wide, rows_per_bucket=1000) is False
+
+
+def test_verify_full_columns_reordered(spark, encoded):
+    """Verifying ALL columns in a non-summary order must still pass (the
+    combined sha is recomputed in encode-time order)."""
+    _, out, _ = encoded
+    from fhirflat_spark.manifest import read_summary
+
+    cols = list(reversed(read_summary(spark, out)["columns"]))
+    v = verify_table(spark, out, columns=cols)
+    rows = v.collect()
+    assert rows and all(r["ok"] for r in rows), [r for r in rows if not r["ok"]][:2]
+
+
+def test_transcode_in_place_rejected(spark, tmp_path):
+    from fhirflat_spark.decode import transcode_table
+
+    out = str(tmp_path / "ds")
+    df = gen_spark(spark, 1000, seed=3)
+    encode_table(df, out, rows_per_bucket=500)
+    with pytest.raises(ValueError, match="in place"):
+        transcode_table(spark, out, out)

@@ -115,3 +115,26 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     # append-mode only emits windows older than the watermark; the tail
     # windows stay open — so streaming total is a prefix of the batch total
     assert 0 < got <= batch
+
+
+def test_merge_sessions_late_events():
+    """Late in-watermark events before the open session must form their
+    own sessions (or extend it within the gap), never be silently
+    absorbed with a lost timestamp."""
+    from fhirflat_spark.streaming import merge_sessions
+
+    M = 60_000_000  # one minute in micros
+    gap = 30 * M
+    state = (120 * M, 125 * M, 3)  # open session 2:00-2:05
+    # late event 40 min BEFORE the open session start -> own session
+    out = merge_sessions([80 * M], state, gap)
+    assert out == [(80 * M, 80 * M, 1), (120 * M, 125 * M, 3)]
+    # late event 10 min before start -> extends the session backwards
+    out = merge_sessions([110 * M], state, gap)
+    assert out == [(110 * M, 125 * M, 4)]
+    # event after end within gap -> extends forward
+    out = merge_sessions([140 * M], state, gap)
+    assert out == [(120 * M, 140 * M, 4)]
+    # bridge: two clusters plus state chain-merge into one
+    out = merge_sessions([100 * M, 145 * M], state, gap)
+    assert out == [(100 * M, 145 * M, 5)]
