@@ -153,9 +153,94 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- the composed curation pipeline: what a training-data run actually
+#     executes — normalize-fingerprint exact dedup (keep min doc_id),
+#     quality floor, language allowlist — reported as per-lang corpus
+#     stats. One Catalyst plan; each stage reuses the operators above.
+
+_MIN_QUALITY = 0.3
+_KEEP_LANGS = ("en", "de", "fr", "es")
+
+
+def q_curation_pipeline(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    length = F.length("text")
+    stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|in|a|is)\b"))
+    words = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+"))
+    quality = F.round(
+        (stop / F.greatest(words, F.lit(1)) * 0.5)
+        + F.least(length / F.lit(500.0), F.lit(1.0)) * 0.5,
+        6,
+    )
+    ws_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), "\\s+"))
+    )
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        quality.alias("quality"),
+        ws_tokens.alias("ws_tokens"),
+        F.sha2(norm, 256).alias("fp"),
+    )
+    keeper = F.min("doc_id").over(W.partitionBy("fp"))
+    kept = (
+        staged.withColumn("keeper", keeper)
+        .where(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("quality") >= _MIN_QUALITY)
+            & F.col("lang").isin(*_KEEP_LANGS)
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    langs = ", ".join(f"'{x}'" for x in _KEEP_LANGS)
+    return rf"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))
+               / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) * 0.5
+               + least(length(text) / 500.0, 1.0) * 0.5, 6) AS quality,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+         sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                    '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+kept AS (
+  SELECT * FROM (
+    SELECT s.*, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM staged s
+  ) WHERE doc_id = keeper AND quality >= {_MIN_QUALITY} AND lang IN ({langs})
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
 }
