@@ -153,3 +153,29 @@ def test_ann_ivf_consistent_with_bruteforce(spark):
     for r in approx:
         assert r["vec_id"] in exact
         assert abs(r["cosine"] - exact[r["vec_id"]]) < 1e-6
+
+
+def test_queries_over_decoded_dataset(spark, tmp_path):
+    """The chunk store composes as a real table source: encoding the
+    documents table and running registered queries over decode_table's
+    output must match running them over the original parquet."""
+    import shutil
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.operators.dedup import q_dedup_exact
+    from fhirflat_spark.operators.textops import q_quality_score
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "docs_enc")
+    encode_table(docs, out, rows_per_bucket=200)
+    # mirror the sf-dir layout so the operators' load() reads decoded data
+    dec_dir = str(tmp_path / "as_sf")
+    decode_table(spark, out).write.mode("overwrite").parquet(
+        f"{dec_dir}/documents.parquet"
+    )
+    for q in (q_quality_score, q_dedup_exact):
+        direct = sorted(map(tuple, q(spark, sf).collect()))
+        via_store = sorted(map(tuple, q(spark, dec_dir).collect()))
+        assert direct == via_store, q.__name__

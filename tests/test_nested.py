@@ -244,3 +244,62 @@ def test_flatten_then_encode_roundtrip(spark, nested_df, tmp_path):
     dec = decode_table(spark, out)
     assert dec.schema == flat.schema
     assert sorted(map(tuple, dec.collect())) == sorted(map(tuple, flat.collect()))
+
+
+def test_flatten_unflatten_property(spark):
+    """Property: for randomly-shaped struct trees, flatten → unflatten is
+    schema identity (modulo nullability) and value identity."""
+    import random
+
+    from pyspark.sql import types as T
+
+    rnd = random.Random(42)
+
+    def rand_type(depth):
+        if depth >= 3 or rnd.random() < 0.4:
+            return rnd.choice(
+                [T.StringType(), T.LongType(), T.DoubleType(), T.BooleanType()]
+            )
+        n = rnd.randint(1, 3)
+        return T.StructType(
+            [T.StructField(f"f{i}", rand_type(depth + 1), True) for i in range(n)]
+        )
+
+    def rand_value(dt):
+        if isinstance(dt, T.StructType):
+            return tuple(rand_value(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.StringType):
+            return rnd.choice(["x", "yy", None, ""])
+        if isinstance(dt, T.LongType):
+            return rnd.choice([0, -5, 12345, None])
+        if isinstance(dt, T.DoubleType):
+            return rnd.choice([0.5, -1.25, None])
+        return rnd.choice([True, False, None])
+
+    for trial in range(6):
+        n_top = rnd.randint(1, 3)
+        schema = T.StructType(
+            [T.StructField(f"c{i}", rand_type(0), True) for i in range(n_top)]
+        )
+        rows = [tuple(rand_value(f.dataType) for f in schema.fields) for _ in range(4)]
+        df = spark.createDataFrame(rows, schema)
+        flat = flatten_structs(df, unwrap_single_lists=False)
+        back = unflatten_structs(flat)
+        assert _denull(back.schema) == _denull(df.schema), (
+            f"trial {trial}:\n{back.schema}\nvs\n{df.schema}"
+        )
+        assert sorted(map(str, back.collect())) == sorted(map(str, df.collect())), (
+            f"trial {trial} values differ"
+        )
+
+
+def test_json_render_roundtrip(spark, nested_df):
+    """F14: per-row JSON render (to_json) and parse-back (from_json) are
+    inverse for the struct column."""
+    df = nested_df.select("id", "period")
+    rendered = df.select("id", F.to_json("period").alias("js"))
+    schema = df.schema["period"].dataType
+    back = rendered.select("id", F.from_json("js", schema).alias("period"))
+    orig = {r["id"]: tuple(r["period"]) for r in df.collect()}
+    got = {r["id"]: tuple(r["period"]) for r in back.collect()}
+    assert orig == got
