@@ -203,6 +203,39 @@ def verify_table(spark: SparkSession, out_dir: str,
     return chunks.mapInArrow(verify_kernel_factory(columns, fields), schema=VERIFY_SCHEMA)
 
 
+def partitions_for_key_range(spark: SparkSession, out_dir: str,
+                             lo: str, hi: str) -> list[int]:
+    """Zone-map pruning: the manifest records per-partition
+    [repo_min, repo_max]; return the part_ids whose range intersects
+    [lo, hi]. With the salted-sorted layout each partition covers a
+    narrow key range (usually one repo), so a selective key-range decode
+    touches a handful of partition directories out of hundreds of
+    thousands — manifest-driven skipping, the Iceberg
+    partition-stats/zone-map pattern. Partitions with NULL bounds (no
+    key column recorded) are kept conservatively."""
+    from fhirflat_spark.manifest import read_manifest
+
+    rows = read_manifest(spark, out_dir).select(
+        "part_id", "repo_min", "repo_max"
+    ).collect()
+    keep = []
+    for r in rows:
+        rmin, rmax = r["repo_min"], r["repo_max"]
+        if rmin is None or rmax is None or not (rmax < lo or rmin > hi):
+            keep.append(int(r["part_id"]))
+    return sorted(keep)
+
+
+def decode_key_range(spark: SparkSession, out_dir: str, lo: str, hi: str,
+                     columns: list[str] | None = None,
+                     key_col: str = "repo") -> DataFrame:
+    """Key-range decode with manifest zone-map pruning + an exact residual
+    filter (zone maps overapproximate). IO ∝ matching partitions."""
+    part_ids = partitions_for_key_range(spark, out_dir, lo, hi)
+    df = decode_table(spark, out_dir, columns=columns, part_ids=part_ids)
+    return df.where(F.col(key_col).between(lo, hi))
+
+
 def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                     profile: str = "archive",
                     codec_overrides: dict | None = None):

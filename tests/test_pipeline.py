@@ -383,3 +383,21 @@ def test_transcode_in_place_rejected(spark, tmp_path):
     encode_table(df, out, rows_per_bucket=500)
     with pytest.raises(ValueError, match="in place"):
         transcode_table(spark, out, out)
+
+
+def test_zone_map_key_range_decode(spark, encoded):
+    """Manifest zone-map pruning: a single-repo decode must touch a small
+    subset of partitions and return exactly that repo's rows."""
+    from fhirflat_spark.decode import decode_key_range, partitions_for_key_range
+    from fhirflat_spark.manifest import read_manifest
+
+    df, out, _ = encoded
+    repo = df.select("repo").distinct().orderBy("repo").collect()[2]["repo"]
+    total_parts = read_manifest(spark, out).count()
+    pruned = partitions_for_key_range(spark, out, repo, repo)
+    assert 0 < len(pruned) < total_parts, (len(pruned), total_parts)
+    got = decode_key_range(spark, out, repo, repo)
+    want = df.where(F.col("repo") == repo)
+    assert got.count() == want.count()
+    fails = verify_against_source(want, got, ["repo", "path", "commit"])
+    assert fails.count() == 0
