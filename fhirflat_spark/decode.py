@@ -76,12 +76,16 @@ def decode_kernel_factory(columns: list[str], field_names: list[str]):
 
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
-                 part_ids: list[int] | None = None) -> DataFrame:
+                 part_ids: list[int] | None = None,
+                 key_range: tuple[str, str] | None = None) -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
 
     ``part_ids`` prunes to specific partitions — parquet partition pruning
     on the ``part_id`` directory key makes this a metadata-only skip, the
-    mechanism behind manifest-driven selective re-reads.
+    mechanism behind manifest-driven selective re-reads. ``key_range``
+    additionally filters CHUNK rows by their recorded [repo_min,
+    repo_max] zone (JVM-side, before any payload reaches the Python
+    kernel), so chunks outside the range cost no decode CPU.
     """
     from fhirflat_spark.manifest import read_summary
 
@@ -98,6 +102,13 @@ def decode_table(spark: SparkSession, out_dir: str,
     chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(f"{out_dir}/chunks")
     if part_ids is not None:
         chunks = chunks.where(F.col("part_id").isin(part_ids))
+    if key_range is not None:
+        lo, hi = key_range
+        chunks = chunks.where(
+            F.col("repo_min").isNull()
+            | F.col("repo_max").isNull()
+            | ~((F.col("repo_max") < lo) | (F.col("repo_min") > hi))
+        )
     if summary.get("spark_schema"):
         full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
         by_name = {f.name: f for f in full.fields}
@@ -229,10 +240,18 @@ def partitions_for_key_range(spark: SparkSession, out_dir: str,
 def decode_key_range(spark: SparkSession, out_dir: str, lo: str, hi: str,
                      columns: list[str] | None = None,
                      key_col: str = "repo") -> DataFrame:
-    """Key-range decode with manifest zone-map pruning + an exact residual
-    filter (zone maps overapproximate). IO ∝ matching partitions."""
+    """Key-range decode with manifest zone-map pruning (partition level),
+    chunk-zone filtering (chunk level), and an exact residual filter
+    (zone maps overapproximate). IO ∝ matching partitions; decode CPU ∝
+    matching chunks."""
+    if columns is not None and key_col not in columns:
+        raise ValueError(
+            f"decode_key_range needs {key_col!r} in columns for the residual filter"
+        )
     part_ids = partitions_for_key_range(spark, out_dir, lo, hi)
-    df = decode_table(spark, out_dir, columns=columns, part_ids=part_ids)
+    df = decode_table(
+        spark, out_dir, columns=columns, part_ids=part_ids, key_range=(lo, hi)
+    )
     return df.where(F.col(key_col).between(lo, hi))
 
 
