@@ -138,3 +138,50 @@ def test_merge_sessions_late_events():
     # bridge: two clusters plus state chain-merge into one
     out = merge_sessions([100 * M, 145 * M], state, gap)
     assert out == [(100 * M, 145 * M, 5)]
+
+
+def test_sessionize_timeout_flush(spark, tmp_path):
+    """The event-time timeout must flush an open session once the
+    watermark passes its gap deadline (exercises state.hasTimedOut):
+    batch 1 opens user 1's session; batch 2 (hours later, other user)
+    advances the watermark and the first session flushes with
+    closed_by='timeout'."""
+    import datetime as dt
+    import time as _t
+
+    from fhirflat_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "to_src")
+    f1 = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=2))],
+        "user_id LONG, ts TIMESTAMP",
+    )
+    f2 = spark.createDataFrame(
+        [(2, base + dt.timedelta(hours=8))], "user_id LONG, ts TIMESTAMP"
+    )
+    f1.coalesce(1).write.mode("overwrite").parquet(src)
+    _t.sleep(1.1)  # file-source ordering is by modification time
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_to")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "to_ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from sess_to").collect()
+    flushed = [r for r in rows if r["user_id"] == 1 and r["closed_by"] == "timeout"]
+    assert flushed, rows
+    assert flushed[0]["n_events"] == 2
+    assert flushed[0]["session_start"] == base
+    assert flushed[0]["session_end"] == base + dt.timedelta(minutes=2)
