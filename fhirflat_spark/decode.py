@@ -74,10 +74,27 @@ def decode_kernel_factory(columns: list[str], field_names: list[str]):
     return kernel
 
 
+def _zone_predicate(schema: T.StructType, col: str, lo, hi):
+    """Chunk-keep condition from the per-column zone bounds in stats
+    (JSON): keep when bounds are absent (conservative) or intersect
+    [lo, hi]. Numeric columns compare after a cast (JSON renders them as
+    strings); string bounds compare directly (encode stored a SAFE
+    truncated upper bound)."""
+    zmin = F.get_json_object(F.col("stats"), f"$['{col}'].zmin")
+    zmax = F.get_json_object(F.col("stats"), f"$['{col}'].zmax")
+    dt = schema[col].dataType if col in schema.names else None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        zmin, zmax = zmin.cast("long"), zmax.cast("long")
+    elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        zmin, zmax = zmin.cast("double"), zmax.cast("double")
+    return zmin.isNull() | zmax.isNull() | ~((zmax < lo) | (zmin > hi))
+
+
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  part_ids: list[int] | None = None,
-                 key_range: tuple[str, str] | None = None) -> DataFrame:
+                 key_range: tuple[str, str] | None = None,
+                 zone_filter: tuple | None = None) -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
 
     ``part_ids`` prunes to specific partitions — parquet partition pruning
@@ -86,6 +103,9 @@ def decode_table(spark: SparkSession, out_dir: str,
     additionally filters CHUNK rows by their recorded [repo_min,
     repo_max] zone (JVM-side, before any payload reaches the Python
     kernel), so chunks outside the range cost no decode CPU.
+    ``zone_filter=(col, lo, hi)`` does the same for ANY orderable column
+    via the per-column zone bounds recorded in chunk stats — an
+    overapproximation: callers still apply the exact residual filter.
     """
     from fhirflat_spark.manifest import read_summary
 
@@ -109,6 +129,14 @@ def decode_table(spark: SparkSession, out_dir: str,
             | F.col("repo_max").isNull()
             | ~((F.col("repo_max") < lo) | (F.col("repo_min") > hi))
         )
+    if zone_filter is not None:
+        zcol, zlo, zhi = zone_filter
+        zschema = (
+            T.StructType.fromJson(json.loads(summary["spark_schema"]))
+            if summary.get("spark_schema")
+            else T.StructType([])
+        )
+        chunks = chunks.where(_zone_predicate(zschema, zcol, zlo, zhi))
     if summary.get("spark_schema"):
         full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
         by_name = {f.name: f for f in full.fields}

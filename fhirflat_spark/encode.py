@@ -113,6 +113,44 @@ def _col_raw_sha(arr: pa.Array) -> tuple[str, int]:
     return h.hexdigest(), len(raw)
 
 
+_ZONE_PREFIX = 64
+
+
+def _zone_bounds(arr: pa.Array):
+    """(min, max) zone bounds for orderable column types, or None.
+
+    String bounds are truncated parquet-style: the min prefix is a valid
+    lower bound as-is; the max prefix is made a valid UPPER bound by
+    incrementing its last incrementable character (a plain prefix would
+    under-approximate and cause wrong pruning). Content-sized strings
+    therefore cost ≤128 chars of stats, not whole documents."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if arr.null_count == len(arr):
+        return None
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        mm = pc.min_max(arr)
+        return mm["min"].as_py(), mm["max"].as_py()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        lo_t = lo[:_ZONE_PREFIX]
+        if len(hi) > _ZONE_PREFIX:
+            p = hi[:_ZONE_PREFIX]
+            for i in range(len(p) - 1, -1, -1):
+                c = ord(p[i])
+                if c < 0x10FFFF:
+                    hi_t = p[:i] + chr(c + 1)
+                    break
+            else:
+                return None
+        else:
+            hi_t = hi
+        return lo_t, hi_t
+    return None
+
+
 def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           skip_parts: frozenset[int] | None = None,
                           manifest_dir: str | None = None,
@@ -160,6 +198,9 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                     "enc": len(blob),
                     "sha": sha,
                 }
+                zones = _zone_bounds(arr)
+                if zones is not None:
+                    stats[out_name]["zmin"], stats[out_name]["zmax"] = zones
                 raw_total += raw_bytes
                 enc_total += len(blob)
             repo_col = (

@@ -401,3 +401,41 @@ def test_zone_map_key_range_decode(spark, encoded):
     assert got.count() == want.count()
     fails = verify_against_source(want, got, ["repo", "path", "commit"])
     assert fails.count() == 0
+
+
+def test_zone_filter_generic_column(spark, tmp_path):
+    """Per-column zone maps: a zone_filter on a non-key numeric column
+    (and a truncated-string column) must skip non-matching chunks while
+    returning every matching row."""
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .repartitionByRange(6, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+    )
+    out = str(tmp_path / "li_zone")
+    encode_table(li, out, rows_per_bucket=2000, shuffle=False)
+    keys = sorted(r["l_orderkey"] for r in li.select("l_orderkey").distinct().collect())
+    lo, hi = keys[0], keys[max(1, len(keys) // 20)]  # a narrow leading range
+    dec = decode_table(spark, out, zone_filter=("l_orderkey", lo, hi))
+    got = dec.where(F.col("l_orderkey").between(lo, hi))
+    want = li.where(F.col("l_orderkey").between(lo, hi))
+    assert got.count() == want.count() > 0
+    # zones actually skip: the filtered decode touches fewer rows than full
+    assert dec.count() < li.count()
+    # string-column zone filter (comment strings exceed the 64-char
+    # truncation on some rows -> exercises the safe upper bound)
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .repartitionByRange(5, "text")
+        .sortWithinPartitions("text")
+    )
+    out2 = str(tmp_path / "docs_zone")
+    encode_table(docs, out2, rows_per_bucket=100, shuffle=False)
+    texts = sorted(r["text"] for r in docs.select("text").collect())
+    tlo, thi = texts[0], texts[len(texts) // 10]
+    dec2 = decode_table(spark, out2, zone_filter=("text", tlo, thi))
+    got2 = dec2.where(F.col("text").between(tlo, thi))
+    want2 = docs.where(F.col("text").between(tlo, thi))
+    assert got2.count() == want2.count() > 0
+    assert dec2.count() < docs.count()
