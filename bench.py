@@ -198,8 +198,12 @@ def archive_footprint(src: str, key_counts) -> dict:
         base = f"{SHM}/enc_base"
         dst = f"{SHM}/enc_archive"
         shutil.rmtree(base, ignore_errors=True)
+        # SAME salted-sorted balanced encode as the balanced footprint
+        # figure, so archive-vs-balanced isolates the PROFILE effect
+        # (not a layout difference)
         encode_table(spark.read.parquet(src), base,
-                     rows_per_bucket=ROWS_PER_BUCKET, shuffle=False)
+                     rows_per_bucket=ROWS_PER_BUCKET, num_partitions=64,
+                     key_counts=key_counts)
         walls = []
         res = None
         for _ in range(2):
@@ -332,8 +336,9 @@ def _write_report(result: dict) -> None:
         f"- raw logical bytes: {fp['raw_bytes']}",
         f"- engine archive profile (storage mode, headline): "
         f"{fp['encoded_bytes']} bytes ({fp['ratio_vs_raw']}x of raw), "
-        f"via balanced-encode → transcode compaction in "
-        f"{fp['archive_wall_sec']}s (the cold-data workflow)",
+        f"reached by transcode compaction of the balanced dataset — the "
+        f"cold-data workflow; compaction itself took "
+        f"{fp['archive_wall_sec']}s",
         f"- engine balanced profile (speed mode): {fp['balanced_encoded_bytes']} bytes "
         f"= {fp['balanced_ratio_vs_parquet_zstd']} of parquet/zstd",
         f"- parquet/zstd baseline: {fp['parquet_zstd_bytes']} bytes "

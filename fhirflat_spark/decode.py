@@ -78,15 +78,21 @@ def _zone_predicate(schema: T.StructType, col: str, lo, hi):
     """Chunk-keep condition from the per-column zone bounds in stats
     (JSON): keep when bounds are absent (conservative) or intersect
     [lo, hi]. Numeric columns compare after a cast (JSON renders them as
-    strings); string bounds compare directly (encode stored a SAFE
-    truncated upper bound)."""
+    strings) with lo/hi coerced python-side to the same family — a
+    mismatched-type bound must not become an ANSI cast crash mid-stage;
+    string bounds compare directly (encode stored a SAFE truncated
+    upper bound)."""
     zmin = F.get_json_object(F.col("stats"), f"$['{col}'].zmin")
     zmax = F.get_json_object(F.col("stats"), f"$['{col}'].zmax")
     dt = schema[col].dataType if col in schema.names else None
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         zmin, zmax = zmin.cast("long"), zmax.cast("long")
+        lo, hi = int(lo), int(hi)
     elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         zmin, zmax = zmin.cast("double"), zmax.cast("double")
+        lo, hi = float(lo), float(hi)
+    else:
+        lo, hi = str(lo), str(hi)
     return zmin.isNull() | zmax.isNull() | ~((zmax < lo) | (zmin > hi))
 
 
@@ -131,6 +137,10 @@ def decode_table(spark: SparkSession, out_dir: str,
         )
     if zone_filter is not None:
         zcol, zlo, zhi = zone_filter
+        if zcol not in all_cols:
+            raise ValueError(
+                f"zone_filter column {zcol!r} not in dataset columns {all_cols}"
+            )
         zschema = (
             T.StructType.fromJson(json.loads(summary["spark_schema"]))
             if summary.get("spark_schema")

@@ -131,7 +131,15 @@ def _zone_bounds(arr: pa.Array):
         return None
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         mm = pc.min_max(arr)
-        return mm["min"].as_py(), mm["max"].as_py()
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if pa.types.is_floating(t):
+            import math as _math
+
+            # NaN/inf would render as non-JSON tokens (and an all-NaN
+            # chunk reports inverted inf/-inf bounds) — skip the zone
+            if not (_math.isfinite(lo) and _math.isfinite(hi)):
+                return None
+        return lo, hi
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
@@ -139,9 +147,11 @@ def _zone_bounds(arr: pa.Array):
         if len(hi) > _ZONE_PREFIX:
             p = hi[:_ZONE_PREFIX]
             for i in range(len(p) - 1, -1, -1):
-                c = ord(p[i])
-                if c < 0x10FFFF:
-                    hi_t = p[:i] + chr(c + 1)
+                c = ord(p[i]) + 1
+                if 0xD800 <= c <= 0xDFFF:
+                    c = 0xE000  # skip the surrogate gap (not JSON-safe)
+                if c <= 0x10FFFF:
+                    hi_t = p[:i] + chr(c)
                     break
             else:
                 return None

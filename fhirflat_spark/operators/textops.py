@@ -10,6 +10,52 @@ from pyspark.sql import functions as F
 
 from fhirflat_spark.operators.relational import load
 
+
+# --- shared scalar expressions (one definition; quality_score /
+# fingerprint / token_count AND the composed curation pipeline all use
+# these, so the component operators cannot drift from the pipeline)
+
+def _ws_tokens_expr():
+    return F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), "\\s+"))
+    )
+
+
+def _quality_expr():
+    length = F.length("text")
+    stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|in|a|is)\b"))
+    words = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+"))
+    return F.round(
+        (stop / F.greatest(words, F.lit(1)) * 0.5)
+        + F.least(length / F.lit(500.0), F.lit(1.0)) * 0.5,
+        6,
+    )
+
+
+def _norm_expr():
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+_SQL_WS_TOKENS = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0"
+    r" ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+_SQL_QUALITY = (
+    r"round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))"
+    r" / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) * 0.5"
+    r" + least(length(text) / 500.0, 1.0) * 0.5, 6)"
+)
+_SQL_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
 # --- token counting (whitespace + a BPE-ish word/punct regex)
 
 def q_token_count(spark, sf_dir):
@@ -17,19 +63,16 @@ def q_token_count(spark, sf_dir):
     return (
         docs.select(
             "doc_id",
-            F.when(F.length(F.trim("text")) == 0, F.lit(0))
-            .otherwise(F.size(F.split(F.trim("text"), "\\s+")))
-            .alias("ws_tokens"),
+            _ws_tokens_expr().alias("ws_tokens"),
             F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")).alias("bpeish_tokens"),
         )
         .orderBy("doc_id")
     )
 
 
-SQL_TOKEN_COUNT = r"""
+SQL_TOKEN_COUNT = rf"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+       {_SQL_WS_TOKENS} AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS bpeish_tokens
 FROM documents ORDER BY doc_id
 """
@@ -49,26 +92,20 @@ def q_quality_score(spark, sf_dir):
             length.alias("n_chars_measured"),
             F.round(punct / F.greatest(length, F.lit(1)), 6).alias("punct_ratio"),
             F.round(stop / F.greatest(words, F.lit(1)), 6).alias("stopword_ratio"),
-            F.round(
-                (stop / F.greatest(words, F.lit(1)) * 0.5)
-                + F.least(length / F.lit(500.0), F.lit(1.0)) * 0.5,
-                6,
-            ).alias("quality"),
+            _quality_expr().alias("quality"),
         )
         .orderBy("doc_id")
     )
 
 
-SQL_QUALITY_SCORE = r"""
+SQL_QUALITY_SCORE = rf"""
 SELECT doc_id,
        length(text) AS n_chars_measured,
        round(len(regexp_extract_all(text, '[.,!?;:]'))
              / greatest(length(text), 1), 6) AS punct_ratio,
        round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))
              / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 6) AS stopword_ratio,
-       round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))
-             / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) * 0.5
-             + least(length(text) / 500.0, 1.0) * 0.5, 6) AS quality
+       {_SQL_QUALITY} AS quality
 FROM documents ORDER BY doc_id
 """
 
@@ -132,23 +169,16 @@ FROM scored ORDER BY doc_id
 
 def q_fingerprint(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
+    norm = _norm_expr()
     return (
         docs.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
         .orderBy("doc_id")
     )
 
 
-SQL_FINGERPRINT = r"""
+SQL_FINGERPRINT = rf"""
 SELECT doc_id,
-       sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                                  '\s+', ' ', 'g'))) AS fingerprint
+       sha256({_SQL_NORM}) AS fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -166,30 +196,12 @@ def q_curation_pipeline(spark, sf_dir):
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
-    length = F.length("text")
-    stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|in|a|is)\b"))
-    words = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+"))
-    quality = F.round(
-        (stop / F.greatest(words, F.lit(1)) * 0.5)
-        + F.least(length / F.lit(500.0), F.lit(1.0)) * 0.5,
-        6,
-    )
-    ws_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), "\\s+"))
-    )
     staged = docs.select(
         "doc_id",
         "lang",
-        quality.alias("quality"),
-        ws_tokens.alias("ws_tokens"),
-        F.sha2(norm, 256).alias("fp"),
+        _quality_expr().alias("quality"),
+        _ws_tokens_expr().alias("ws_tokens"),
+        F.sha2(_norm_expr(), 256).alias("fp"),
     )
     keeper = F.min("doc_id").over(W.partitionBy("fp"))
     kept = (
@@ -216,13 +228,9 @@ def _sql_curation_pipeline() -> str:
     return rf"""
 WITH staged AS (
   SELECT doc_id, lang,
-         round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a|is)\b'))
-               / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) * 0.5
-               + least(length(text) / 500.0, 1.0) * 0.5, 6) AS quality,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
-         sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                                    '\s+', ' ', 'g'))) AS fp
+         {_SQL_QUALITY} AS quality,
+         {_SQL_WS_TOKENS} AS ws_tokens,
+         sha256({_SQL_NORM}) AS fp
   FROM documents
 ),
 kept AS (

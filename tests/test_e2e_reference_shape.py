@@ -159,8 +159,6 @@ def test_queries_over_decoded_dataset(spark, tmp_path):
     """The chunk store composes as a real table source: encoding the
     documents table and running registered queries over decode_table's
     output must match running them over the original parquet."""
-    import shutil
-
     from fhirflat_spark.decode import decode_table
     from fhirflat_spark.encode import encode_table
     from fhirflat_spark.operators.dedup import q_dedup_exact
