@@ -42,7 +42,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_NLOW", "1"))
 N_HIGH = 4 * N_LOW
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
-N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+# 3 timed reps (after 1 warmup) per level: keeps the full bench under
+# ~8 min on this noisy host while min-of-reps still rejects outliers
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 WORK = os.environ.get("SPARK_GRAFT_BENCH_WORK", "/tmp/fhirflat_spark_bench")
 SHM = "/dev/shm/fhirflat_spark_bench"
 
