@@ -23,6 +23,13 @@ import argparse
 import json
 
 
+def _parse_columns(spec: str | None) -> list[str] | None:
+    """`--columns "lang, repo"` must tolerate whitespace around commas."""
+    if not spec:
+        return None
+    return [c.strip() for c in spec.split(",") if c.strip()]
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="fhirflat_spark driver")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -81,7 +88,7 @@ def main() -> None:
 
         from fhirflat_spark.decode import verify_table
 
-        cols = args.columns.split(",") if args.columns else None
+        cols = _parse_columns(args.columns)
         v = verify_table(spark, args.out, columns=cols)
         bad = v.where(~F.col("ok"))
         n_bad = bad.count()
@@ -92,7 +99,7 @@ def main() -> None:
     elif args.cmd == "decode":
         from fhirflat_spark.decode import decode_table
 
-        cols = args.columns.split(",") if args.columns else None
+        cols = _parse_columns(args.columns)
         df = decode_table(spark, args.out, columns=cols)
         print(json.dumps({"rows": df.count()}))
         df.show(args.show, truncate=60)

@@ -81,7 +81,10 @@ def _zone_predicate(schema: T.StructType, col: str, lo, hi):
     strings) with lo/hi coerced python-side to the same family — a
     mismatched-type bound must not become an ANSI cast crash mid-stage;
     string bounds compare directly (encode stored a SAFE truncated
-    upper bound)."""
+    upper bound). When the column's Spark type is UNKNOWN (dataset
+    summary lacks spark_schema), zone filtering is skipped entirely —
+    lexicographic comparison of JSON-rendered numbers ('9' > '10') is
+    not conservative and could wrongly prune matching chunks."""
     zmin = F.get_json_object(F.col("stats"), f"$['{col}'].zmin")
     zmax = F.get_json_object(F.col("stats"), f"$['{col}'].zmax")
     dt = schema[col].dataType if col in schema.names else None
@@ -91,8 +94,10 @@ def _zone_predicate(schema: T.StructType, col: str, lo, hi):
     elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         zmin, zmax = zmin.cast("double"), zmax.cast("double")
         lo, hi = float(lo), float(hi)
-    else:
+    elif isinstance(dt, T.StringType):
         lo, hi = str(lo), str(hi)
+    else:
+        return F.lit(True)  # unknown type: keep every chunk (conservative)
     return zmin.isNull() | zmax.isNull() | ~((zmax < lo) | (zmin > hi))
 
 

@@ -386,9 +386,15 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
             (r[0], r["count"]) for r in df.groupBy("__skey").count().collect()
         ]
     else:
-        key_counts = [
-            ("n:" if k is None else f"v:{k}", c) for k, c in key_counts
-        ]
+        # dedupe/aggregate by the STRINGIFIED key: duplicate caller keys (or
+        # mixed-type keys whose string forms collide, int 1 vs '1') would
+        # otherwise produce duplicate __skey rows in the broadcast bucket map
+        # and the placement join would silently MULTIPLY matching data rows
+        merged: dict[str, int] = {}
+        for k, c in key_counts:
+            sk = "n:" if k is None else f"v:{k}"
+            merged[sk] = merged.get(sk, 0) + int(c)
+        key_counts = list(merged.items())
     if not key_counts:  # empty input: nothing to salt, keep a valid plan
         P = num_partitions or 1
         return df.drop("__skey").repartition(P), P

@@ -252,6 +252,44 @@ def test_stale_key_counts_fallback(spark, tmp_path):
     assert fails.count() == 0
 
 
+def test_duplicate_key_counts_do_not_multiply_rows(spark, tmp_path):
+    """Duplicate caller key_counts entries (or mixed-type keys whose string
+    forms collide) must be aggregated driver-side — a duplicate __skey row
+    in the broadcast bucket map would silently MULTIPLY matching rows
+    through the placement join."""
+    out = str(tmp_path / "dupkeys")
+    df = gen_spark(spark, 2000, seed=5)
+    counts = [
+        (r[0], r["count"]) for r in df.groupBy("repo").count().collect()
+    ]
+    doubled = counts + counts[: max(1, len(counts) // 2)]  # duplicate half
+    res = encode_table(df, out, rows_per_bucket=500, key_counts=doubled)
+    assert res.rows == 2000
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 2000
+    fails = verify_against_source(df, decoded, ["repo", "path", "commit"])
+    assert fails.count() == 0
+
+
+def test_zone_filter_unknown_type_keeps_all_chunks(spark, tmp_path):
+    """A zone_filter on a column whose Spark type is unknown (summary
+    without spark_schema) must keep EVERY chunk — string comparison of
+    JSON-rendered numbers ('9' > '10') is not conservative."""
+    import json as _json
+
+    from fhirflat_spark.decode import _zone_predicate
+    from pyspark.sql import types as T
+
+    # numeric bounds rendered as JSON strings: lexicographic would prune
+    stats = _json.dumps({"k": {"zmin": 9, "zmax": 11}})
+    chunk = spark.createDataFrame([(stats,)], "stats STRING")
+    # typed path: value 10 intersects [9, 11] -> kept
+    typed = T.StructType([T.StructField("k", T.LongType())])
+    assert chunk.where(_zone_predicate(typed, "k", 10, 10)).count() == 1
+    # unknown-type path: must keep (string '10' < '9' would wrongly prune)
+    assert chunk.where(_zone_predicate(T.StructType([]), "k", 10, 10)).count() == 1
+
+
 def test_column_selective_verify(spark, encoded):
     """verify_table(columns=subset) must check per-column shas (the
     whole-chunk sha covers every column and would always mismatch)."""
