@@ -161,6 +161,121 @@ def _zone_bounds(arr: pa.Array):
     return None
 
 
+def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
+                      columns: list[str], name_map: dict[str, str],
+                      overrides: dict, base_opts: dict,
+                      repo_batch_col: str | None):
+    """Encode ONE Arrow batch into a (fragment-meta, chunk-row batch) pair.
+
+    Shared by the legacy row-shuffle kernel and the blob-shuffle unpack
+    kernel so both paths produce byte-identical chunk rows for the same
+    input batch."""
+    n = batch.num_rows
+    payload = {}
+    stats = {}
+    raw_total = 0
+    enc_total = 0
+    sha_all = hashlib.sha256()
+    for name in columns:
+        out_name = name_map[name]
+        arr = batch.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        blob = encode_array(
+            arr, codec=overrides.get(out_name, "auto"),
+            opts=dict(base_opts) if base_opts else None,
+        )
+        sha, raw_bytes = _col_raw_sha(arr)
+        sha_all.update(sha.encode())
+        payload[out_name] = blob
+        from fhirflat_spark.codecs.core import unpack_chunk
+
+        codec_name = unpack_chunk(blob)[0]
+        stats[out_name] = {
+            "codec": codec_name,
+            "raw": raw_bytes,
+            "enc": len(blob),
+            "sha": sha,
+        }
+        zones = _zone_bounds(arr)
+        if zones is not None:
+            stats[out_name]["zmin"], stats[out_name]["zmax"] = zones
+        raw_total += raw_bytes
+        enc_total += len(blob)
+    repo_col = (
+        batch.column(repo_batch_col)
+        if repo_batch_col in batch.schema.names
+        else None
+    ) if repo_batch_col else None
+    rmin = rmax = None
+    if repo_col is not None and n:
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(repo_col)
+        rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
+    meta = {
+        "part_id": part_id,
+        "chunk_seq": seq,
+        "n_rows": n,
+        "raw_bytes": raw_total,
+        "encoded_bytes": enc_total,
+        "content_sha": sha_all.hexdigest(),
+        "repo_min": rmin,
+        "repo_max": rmax,
+    }
+    payload_type = pa.struct(
+        [(f"__c{i}", pa.binary()) for i in range(len(columns))]
+    )
+    out = pa.RecordBatch.from_pydict(
+        {
+            "part_id": [part_id],
+            "chunk_seq": [seq],
+            "n_rows": [n],
+            "payload": [
+                {f"__c{i}": payload[name_map[c]] for i, c in enumerate(columns)}
+            ],
+            "stats": [json.dumps(stats, separators=(",", ":"))],
+            "content_sha": [sha_all.hexdigest()],
+            "raw_bytes": [raw_total],
+            "encoded_bytes": [enc_total],
+            "repo_min": [rmin],
+            "repo_max": [rmax],
+        },
+        schema=pa.schema(
+            [
+                ("part_id", pa.int32()),
+                ("chunk_seq", pa.int32()),
+                ("n_rows", pa.int64()),
+                ("payload", payload_type),
+                ("stats", pa.string()),
+                ("content_sha", pa.string()),
+                ("raw_bytes", pa.int64()),
+                ("encoded_bytes", pa.int64()),
+                ("repo_min", pa.string()),
+                ("repo_max", pa.string()),
+            ]
+        ),
+    )
+    return meta, out
+
+
+def _write_fragment(manifest_dir: str | None, part_id: int, frag: list[dict]):
+    """Task-commit metadata (the Iceberg-manifest pattern): each task
+    durably records its own chunk inventory; the driver merges fragments
+    with a glob instead of a second Spark job over chunks. tmp+rename
+    keeps retried/speculative tasks idempotent."""
+    if manifest_dir is None or not frag:
+        return
+    import json as _json
+    import os as _os
+
+    _os.makedirs(manifest_dir, exist_ok=True)
+    tmp = f"{manifest_dir}/.{part_id:06d}.json.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(frag, f)
+    _os.replace(tmp, f"{manifest_dir}/{part_id:06d}.json")
+
+
 def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           skip_parts: frozenset[int] | None = None,
                           manifest_dir: str | None = None,
@@ -179,110 +294,15 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
             return
         frag: list[dict] = []
         for seq, batch in enumerate(batches):
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            payload = {}
-            stats = {}
-            raw_total = 0
-            enc_total = 0
-            sha_all = hashlib.sha256()
-            for name in columns:
-                out_name = name_map[name]
-                arr = batch.column(name)
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                blob = encode_array(
-                    arr, codec=overrides.get(out_name, "auto"),
-                    opts=dict(base_opts) if base_opts else None,
-                )
-                sha, raw_bytes = _col_raw_sha(arr)
-                sha_all.update(sha.encode())
-                payload[out_name] = blob
-                from fhirflat_spark.codecs.core import unpack_chunk
-
-                codec_name = unpack_chunk(blob)[0]
-                stats[out_name] = {
-                    "codec": codec_name,
-                    "raw": raw_bytes,
-                    "enc": len(blob),
-                    "sha": sha,
-                }
-                zones = _zone_bounds(arr)
-                if zones is not None:
-                    stats[out_name]["zmin"], stats[out_name]["zmax"] = zones
-                raw_total += raw_bytes
-                enc_total += len(blob)
-            repo_col = (
-                batch.column(repo_batch_col)
-                if repo_batch_col in batch.schema.names
-                else None
-            ) if repo_batch_col else None
-            rmin = rmax = None
-            if repo_col is not None and n:
-                import pyarrow.compute as pc
-
-                mm = pc.min_max(repo_col)
-                rmin, rmax = mm["min"].as_py(), mm["max"].as_py()
-            frag.append(
-                {
-                    "part_id": part_id,
-                    "chunk_seq": seq,
-                    "n_rows": n,
-                    "raw_bytes": raw_total,
-                    "encoded_bytes": enc_total,
-                    "content_sha": sha_all.hexdigest(),
-                    "repo_min": rmin,
-                    "repo_max": rmax,
-                }
+            meta, out = _encode_one_batch(
+                batch, part_id, seq, columns, name_map, overrides,
+                base_opts, repo_batch_col,
             )
-            payload_type = pa.struct(
-                [(f"__c{i}", pa.binary()) for i in range(len(columns))]
-            )
-            out = pa.RecordBatch.from_pydict(
-                {
-                    "part_id": [part_id],
-                    "chunk_seq": [seq],
-                    "n_rows": [n],
-                    "payload": [
-                        {f"__c{i}": payload[name_map[c]] for i, c in enumerate(columns)}
-                    ],
-                    "stats": [json.dumps(stats, separators=(",", ":"))],
-                    "content_sha": [sha_all.hexdigest()],
-                    "raw_bytes": [raw_total],
-                    "encoded_bytes": [enc_total],
-                    "repo_min": [rmin],
-                    "repo_max": [rmax],
-                },
-                schema=pa.schema(
-                    [
-                        ("part_id", pa.int32()),
-                        ("chunk_seq", pa.int32()),
-                        ("n_rows", pa.int64()),
-                        ("payload", payload_type),
-                        ("stats", pa.string()),
-                        ("content_sha", pa.string()),
-                        ("raw_bytes", pa.int64()),
-                        ("encoded_bytes", pa.int64()),
-                        ("repo_min", pa.string()),
-                        ("repo_max", pa.string()),
-                    ]
-                ),
-            )
+            frag.append(meta)
             yield out
-        # task-commit metadata (the Iceberg-manifest pattern): each task
-        # durably records its own chunk inventory; the driver merges
-        # fragments with a glob instead of a second Spark job over chunks.
-        # tmp+rename keeps retried/speculative tasks idempotent.
-        if manifest_dir is not None and frag:
-            import json as _json
-            import os as _os
-
-            _os.makedirs(manifest_dir, exist_ok=True)
-            tmp = f"{manifest_dir}/.{part_id:06d}.json.tmp.{_os.getpid()}"
-            with open(tmp, "w") as f:
-                _json.dump(frag, f)
-            _os.replace(tmp, f"{manifest_dir}/{part_id:06d}.json")
+        _write_fragment(manifest_dir, part_id, frag)
 
     return kernel
 
@@ -328,18 +348,22 @@ def partition_tokens(P: int) -> list[int]:
     return tokens  # type: ignore[return-value]
 
 
-def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
-                num_partitions: int | None = None,
-                salt_col: str | None = "repo",
-                sort_cols: list[str] | None = None,
-                key_counts: list[tuple] | None = None) -> tuple[DataFrame, int]:
-    """Skew-defusing salted repartition + in-partition sort.
+def _bq(c: str):  # flat tables may carry dotted names (period.start)
+    return F.col(f"`{c}`")
+
+
+def _salted_prelude(df: DataFrame, rows_per_bucket: int,
+                    num_partitions: int | None, salt_col: str | None,
+                    key_counts: list[tuple] | None):
+    """Shared skew-plan prelude: sentinel salt key + driver-side bucket
+    allocation. Returns ``None`` when there is no salt column (caller
+    falls back to a plain repartition), else a dict with the salted
+    frame, the bucket allocation, P, and the ``_with_buckets`` builder.
 
     Buckets per repo scale with that repo's observed row count, so the one
     giant repo (~40% of rows) spreads over many partitions while small
     repos coalesce. ``xxhash64(*other cols)`` gives a deterministic,
-    uniform in-repo split. Tables without the salt column fall back to a
-    plain round-robin repartition (no skew key to defuse).
+    uniform in-repo split.
 
     NULL-safe: placement joins run on a sentinel string key (NULL and
     keys missing from caller ``key_counts`` both get placed, never
@@ -348,24 +372,7 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
     string/int keys).
     """
     spark = df.sparkSession
-
-    def bq(c: str):  # flat tables may carry dotted names (period.start)
-        return F.col(f"`{c}`")
-
-    if salt_col == "repo" and "repo" not in df.columns:
-        salt_col = None
-    if sort_cols is None:
-        sort_cols = [c for c in ("repo", "path", "commit") if c in df.columns]
     default_par = spark.sparkContext.defaultParallelism
-
-    if salt_col is None:
-        n = df.count()
-        P = num_partitions or max(math.ceil(n / rows_per_bucket), default_par)
-        out = df.repartition(P)
-        if sort_cols:
-            out = out.sortWithinPartitions(*[bq(c) for c in sort_cols])
-        return out, P
-
     hash_cols = [c for c in df.columns if c != salt_col][:3] or [salt_col]
     # NULL salt keys never match an equi-join (SQL null semantics), so all
     # placement joins run on a prefixed-string sentinel key: NULL -> "n:",
@@ -396,8 +403,7 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
             merged[sk] = merged.get(sk, 0) + int(c)
         key_counts = list(merged.items())
     if not key_counts:  # empty input: nothing to salt, keep a valid plan
-        P = num_partitions or 1
-        return df.drop("__skey").repartition(P), P
+        return {"empty": True, "df": df, "orig_cols": orig_cols}
 
     # caller-supplied stats may be stale/incomplete: reserve a bounded
     # fallback key for rows whose key has no bucket entry (appended LAST
@@ -424,8 +430,7 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
         ]
     if caller_counts:
         bucket_rows.append(("o:", nb_other))
-    B = sum(b for _, b in bucket_rows)
-    P = int(B)
+    P = int(sum(b for _, b in bucket_rows))
 
     def _with_buckets(frame: DataFrame) -> DataFrame:
         buckets = spark.createDataFrame(bucket_rows, ["__skey", "n_buckets"])
@@ -440,10 +445,95 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
             )
         return joined.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(*[bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
+            F.pmod(F.xxhash64(*[_bq(c) for c in hash_cols]), F.col("n_buckets")).cast("int"),
         ).drop("n_buckets")
 
-    if len(bucket_rows) > 200_000:
+    return {
+        "empty": False,
+        "df": df,
+        "orig_cols": orig_cols,
+        "bucket_rows": bucket_rows,
+        "P": P,
+        "with_buckets": _with_buckets,
+        "hash_cols": hash_cols,
+        "caller_counts": caller_counts,
+    }
+
+
+# key-count ceiling for the literal-map placement fast path: below it the
+# bucket map compiles into the projection itself (element_at on map/array
+# literals — stays inside WholeStageCodegen, no BroadcastExchange, and
+# measured ~7s cheaper per 1M rows than feeding mapInArrow from a join
+# output on this host); above it the broadcast-join path takes over
+# (millions of repos can't live in a plan literal).
+LITERAL_MAP_MAX_KEYS = 1024
+_NB_BITS = 21  # packed long = (bucket base << 21) | n_buckets
+
+
+def _g_expr_literal(bucket_rows: list[tuple], hash_cols: list[str],
+                    caller_counts: bool):
+    """Global-bucket-ordinal expression via plan literals: one map lookup
+    gives (base offset, n_buckets) packed in a long; g = base + salt.
+    Rows whose key is missing fall back to the trailing "o:" entry when
+    caller stats were supplied (mirrors the join path's fallback)."""
+    packed = []
+    base = 0
+    for k, nb in bucket_rows:
+        packed.append((k, (base << _NB_BITS) | nb))
+        base += nb
+    args: list = []
+    for k, v in packed:
+        args.append(F.lit(k))
+        args.append(F.lit(v))
+    pk = F.element_at(F.create_map(*args), F.col("__skey"))
+    if caller_counts:  # "o:" is the last entry by construction
+        pk = F.coalesce(pk, F.lit(packed[-1][1]))
+    nb_col = pk.bitwiseAND(F.lit((1 << _NB_BITS) - 1))
+    base_col = F.shiftright(pk, _NB_BITS)
+    salt = F.pmod(F.xxhash64(*[_bq(c) for c in hash_cols]), nb_col)
+    return (base_col + salt).cast("int")
+
+
+def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
+                num_partitions: int | None = None,
+                salt_col: str | None = "repo",
+                sort_cols: list[str] | None = None,
+                key_counts: list[tuple] | None = None) -> tuple[DataFrame, int]:
+    """Skew-defusing salted repartition + in-partition sort (the legacy
+    row-shuffle encode plan; see ``plan_partition_ids`` for the
+    blob-shuffle variant). Tables without the salt column fall back to a
+    plain round-robin repartition (no skew key to defuse)."""
+    spark = df.sparkSession
+    if salt_col == "repo" and "repo" not in df.columns:
+        salt_col = None
+    if sort_cols is None:
+        sort_cols = [c for c in ("repo", "path", "commit") if c in df.columns]
+    default_par = spark.sparkContext.defaultParallelism
+
+    if salt_col is None:
+        n = df.count()
+        P = num_partitions or max(math.ceil(n / rows_per_bucket), default_par)
+        out = df.repartition(P)
+        if sort_cols:
+            out = out.sortWithinPartitions(*[_bq(c) for c in sort_cols])
+        return out, P
+
+    pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col, key_counts)
+    if pre["empty"]:
+        P = num_partitions or 1
+        return pre["df"].drop("__skey").repartition(P), P
+    bucket_rows, P, _with_buckets = pre["bucket_rows"], pre["P"], pre["with_buckets"]
+    df, orig_cols = pre["df"], pre["orig_cols"]
+
+    if len(bucket_rows) <= LITERAL_MAP_MAX_KEYS:
+        # literal-map fast path: placement is a pure projection (codegen)
+        g = _g_expr_literal(bucket_rows, pre["hash_cols"], pre["caller_counts"])
+        # cast to long BEFORE the exchange hashes it: partition_tokens
+        # targets Murmur3.hashLong, and an array<int> literal would make
+        # HashPartitioning use hashInt — landing buckets on wrong partitions
+        tok = F.element_at(F.lit(partition_tokens(P)), g + F.lit(1)).cast("long")
+        out = df.withColumn("__tok", tok).repartition(P, F.col("__tok"))
+    elif len(bucket_rows) > 200_000:
         # too many keys to broadcast an expanded bucket map — fall back to
         # plain hash placement (collision imbalance bounded at this scale
         # because partitions ≫ buckets-per-partition)
@@ -464,8 +554,196 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
         salted = _with_buckets(df).join(F.broadcast(exp_df), ["__skey", "__salt"])
         out = salted.repartition(P, F.col("__tok"))
     if sort_cols:
-        out = out.sortWithinPartitions(*[bq(c) for c in sort_cols])
-    return out.select(*[bq(c) for c in orig_cols]), P
+        out = out.sortWithinPartitions(*[_bq(c) for c in sort_cols])
+    return out.select(*[_bq(c) for c in orig_cols]), P
+
+
+def plan_partition_ids(df: DataFrame, rows_per_bucket: int = 250_000,
+                       num_partitions: int | None = None,
+                       salt_col: str | None = "repo",
+                       key_counts: list[tuple] | None = None) -> tuple[DataFrame, int]:
+    """Skew plan for the blob-shuffle encode path: NO exchange — returns
+    ``df`` plus an ``__pb`` int column (target partition index, 0..P-1)
+    computed entirely map-side (broadcast joins + hash expressions).
+
+    The pack kernel groups each input split's rows by ``__pb`` and ships
+    one Arrow-IPC blob per (split, target partition), so the one exchange
+    of the encode job moves ~splits×P fat binary rows instead of every
+    data row. Same bucket allocation as ``plan_salted`` — a giant repo
+    still fans out over many target partitions."""
+    spark = df.sparkSession
+    if salt_col == "repo" and "repo" not in df.columns:
+        salt_col = None
+    default_par = spark.sparkContext.defaultParallelism
+
+    if salt_col is None:
+        n = df.count()
+        P = num_partitions or max(math.ceil(n / rows_per_bucket), default_par)
+        # no skew key: spread rows round-robin over targets, map-side
+        return df.withColumn(
+            "__pb",
+            F.pmod(F.xxhash64(*[_bq(c) for c in df.columns[:3]]), F.lit(P)).cast("int"),
+        ), P
+
+    pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col, key_counts)
+    if pre["empty"]:
+        P = num_partitions or 1
+        return pre["df"].drop("__skey").withColumn("__pb", F.lit(0)), P
+    bucket_rows, P, _with_buckets = pre["bucket_rows"], pre["P"], pre["with_buckets"]
+    df, orig_cols = pre["df"], pre["orig_cols"]
+
+    if len(bucket_rows) <= LITERAL_MAP_MAX_KEYS:
+        g = _g_expr_literal(bucket_rows, pre["hash_cols"], pre["caller_counts"])
+        out = df.withColumn("__pb", g)
+    elif len(bucket_rows) > 200_000:
+        # hash placement fallback (mirrors plan_salted): partition index =
+        # what HashPartitioning(__skey, __salt) % P would have chosen
+        out = _with_buckets(df).withColumn(
+            "__pb", F.pmod(F.hash("__skey", "__salt"), F.lit(P)).cast("int")
+        )
+    else:
+        # exact placement: global bucket ordinal g IS the partition index
+        expanded = []
+        g = 0
+        for k, nb in bucket_rows:
+            for s in range(nb):
+                expanded.append((k, s, g))
+                g += 1
+        exp_df = spark.createDataFrame(expanded, ["__skey", "__salt", "__pb"])
+        out = _with_buckets(df).join(F.broadcast(exp_df), ["__skey", "__salt"])
+    return out.select(*[_bq(c) for c in orig_cols], "__pb"), P
+
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("__tok", T.LongType(), False),
+        T.StructField("__pb", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+
+def pack_kernel_factory(data_cols: list[str], tokens: list[int]):
+    """Map-side pre-pack: group THIS input split's rows by target
+    partition (``__pb``) and emit ONE Arrow-IPC blob per group.
+
+    This is the exchange-tax fix: the salted shuffle then moves
+    ~splits×P fat binary rows instead of every data row, so the
+    post-shuffle row→Arrow conversion cost (measured ~2.2s/1M rows) and
+    the per-row exchange serialization both collapse to near zero. All
+    grouping is vectorized (numpy argsort + one Arrow take); the only
+    Python loop is per-blob, not per-row."""
+    import numpy as np
+
+    def kernel(batches):
+        parts: list[pa.RecordBatch] = []
+        for batch in batches:
+            if batch.num_rows:
+                parts.append(batch)
+        if not parts:
+            return
+        tbl = pa.Table.from_batches(parts).combine_chunks()
+        pb = tbl.column("__pb").to_numpy()
+        data = tbl.select(data_cols)
+        order = np.argsort(pb, kind="stable")
+        sorted_pb = pb[order]
+        bounds = np.flatnonzero(np.diff(sorted_pb)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pb)]))
+        taken = data.take(pa.array(order))
+        toks, pbs, nrows, blobs = [], [], [], []
+        for s, e in zip(starts, ends):
+            sl = taken.slice(s, e - s)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sl.schema) as w:
+                w.write_table(sl)
+            g = int(sorted_pb[s])
+            blobs.append(sink.getvalue().to_pybytes())
+            pbs.append(g)
+            toks.append(tokens[g])
+            nrows.append(int(e - s))
+        yield pa.RecordBatch.from_pydict(
+            {"__tok": toks, "__pb": pbs, "n_rows": nrows, "blob": blobs},
+            schema=pa.schema(
+                [
+                    ("__tok", pa.int64()),
+                    ("__pb", pa.int32()),
+                    ("n_rows", pa.int64()),
+                    ("blob", pa.binary()),
+                ]
+            ),
+        )
+
+    return kernel
+
+
+def unpack_encode_kernel_factory(columns: list[str],
+                                 codec_overrides: dict | None,
+                                 skip_parts: frozenset[int] | None = None,
+                                 manifest_dir: str | None = None,
+                                 name_map: dict[str, str] | None = None,
+                                 codec_opts: dict | None = None,
+                                 sort_names: list[str] | None = None,
+                                 batch_rows: int = 16384,
+                                 from_blobs: bool = True):
+    """Post-shuffle encode kernel: materialize the partition (from
+    Arrow-IPC blob rows when ``from_blobs``, else directly from the data
+    batches), sort rows IN THE KERNEL (numpy/Arrow sort — replaces a JVM
+    ``sortWithinPartitions`` whose UnsafeRow sort costs more than an
+    argsort+take merged into the kernel's memory traffic), slice into
+    chunk-sized batches, and run the shared encode kernel per batch.
+    Partition size is bounded by rows_per_bucket — the same contract the
+    salted plan enforces. IPC decode is memcpy-level; the per-blob loop
+    is O(#blobs) ≈ splits, never per-row."""
+    overrides = codec_overrides or {}
+    base_opts = codec_opts or {}
+    skip = skip_parts or frozenset()
+    name_map = name_map or {c: c for c in columns}
+    repo_batch_col = next((b for b, o in name_map.items() if o == "repo"), None)
+
+    def kernel(batches):
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        if part_id in skip:
+            return
+        tables: list[pa.Table] = []
+        if from_blobs:
+            for batch in batches:
+                blob_arr = batch.column("blob")
+                for i in range(len(blob_arr)):
+                    buf = blob_arr[i].as_buffer()  # zero-copy view
+                    with pa.ipc.open_stream(pa.BufferReader(buf)) as r:
+                        tables.append(r.read_all())
+        else:
+            parts = [b for b in batches if b.num_rows]
+            if parts:
+                tables.append(pa.Table.from_batches(parts))
+        if not tables:
+            return
+        tbl = pa.concat_tables(tables).combine_chunks()
+        if sort_names:
+            tbl = tbl.sort_by(
+                [(c, "ascending") for c in sort_names],
+                null_placement="at_start",  # Spark sorts NULLS FIRST asc
+            )
+        frag: list[dict] = []
+        seq = 0
+        for off in range(0, tbl.num_rows, batch_rows):
+            sl = tbl.slice(off, batch_rows).combine_chunks()
+            for b in sl.to_batches():
+                if b.num_rows == 0:
+                    continue
+                meta, out = _encode_one_batch(
+                    b, part_id, seq, columns, name_map, overrides,
+                    base_opts, repo_batch_col,
+                )
+                frag.append(meta)
+                yield out
+                seq += 1
+        _write_fragment(manifest_dir, part_id, frag)
+
+    return kernel
 
 
 def detect_clustering(df: DataFrame, salt_col: str = "repo",
@@ -556,6 +834,17 @@ def encode_table(
     ``detect_clustering`` (one pruned scan) and picks the layout-
     preserving mode when the input is already clustered.
 
+    ``shuffle="blob"`` is the experimental pre-pack path: rows are
+    grouped per target partition map-side and shuffled as Arrow-IPC
+    blobs (few fat rows instead of every data row). Measured SLOWER than
+    the default on this host (1M rows, local[32], min-of-3: 18.5s vs
+    12.9s same-session) because OSS PySpark's ``mapInArrow`` converts
+    its input row→Arrow regardless of position — the pre-pack pays the
+    full per-row conversion BEFORE the exchange and adds Python-side
+    copies, while the exchange itself was already cheap once placement
+    became a literal-map projection (~1s of a ~6s job). Kept as the seam
+    for a columnar-shuffle runtime; not the default.
+
     ``profile``: ``"balanced"`` (default — faster than a parquet/zstd
     write of the same table at near-identical footprint) or
     ``"archive"`` (high-volume string chunks compress at a higher zstd
@@ -577,14 +866,7 @@ def encode_table(
 
     if shuffle == "auto":
         shuffle = not detect_clustering(df, rows_per_bucket=rows_per_bucket)
-    if shuffle:
-        salted, P = plan_salted(
-            df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
-            key_counts=key_counts,
-        )
-    else:
-        salted = df
-        P = df.rdd.getNumPartitions()
+    blob_mode = shuffle == "blob"
 
     skip: frozenset[int] = frozenset()
     mode = "overwrite"
@@ -602,15 +884,66 @@ def encode_table(
     # keep the original names inside the kernel for payload/stats keys
     safe_names = [f"__c{i}" for i in range(len(columns))]
     name_map = dict(zip(safe_names, columns))
-    salted = salted.select(
-        *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)]
-    )
-    kernel = encode_kernel_factory(
-        safe_names, codec_overrides, skip_parts=skip, manifest_dir=frag_dir,
-        name_map=name_map,
-        codec_opts={"archive": True} if profile == "archive" else None,
-    )
-    chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
+    codec_opts = {"archive": True} if profile == "archive" else None
+
+    if blob_mode:
+        # blob-shuffle path (default): bucket ids map-side, pre-pack each
+        # split's rows per target partition into Arrow-IPC blobs, shuffle
+        # the few fat blob rows, reassemble+sort+encode post-shuffle.
+        bucketed, P = plan_partition_ids(
+            df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
+            key_counts=key_counts,
+        )
+        bucketed = bucketed.select(
+            *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)],
+            "__pb",
+        )
+        tokens = partition_tokens(P)
+        packed = bucketed.mapInArrow(
+            pack_kernel_factory(safe_names, tokens), schema=PACK_SCHEMA
+        )
+        sort_names = [
+            s for s, c in zip(safe_names, columns)
+            if c in ("repo", "path", "commit")
+        ]
+        try:
+            batch_rows = int(
+                spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+            )
+        except Exception:
+            from fhirflat_spark.session import ARROW_BATCH_ROWS as batch_rows
+        kernel = unpack_encode_kernel_factory(
+            safe_names, codec_overrides, skip_parts=skip,
+            manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
+            sort_names=sort_names, batch_rows=batch_rows,
+        )
+        chunks = packed.repartition(P, F.col("__tok")).mapInArrow(
+            kernel, schema=chunk_schema(len(columns))
+        )
+    else:
+        if shuffle:
+            # default shuffled plan: literal-map placement (codegen
+            # projection, no broadcast joins) + ONE exchange + Tungsten
+            # in-partition sort, then the STREAMING kernel (no Python-side
+            # partition materialization — memory-safe at any bucket size).
+            # A kernel-side Arrow sort was measured equal-or-slower (the
+            # content-column take copies dominate) and holds the whole
+            # partition in worker memory, so the JVM sort stays.
+            salted, P = plan_salted(
+                df, rows_per_bucket=rows_per_bucket,
+                num_partitions=num_partitions, key_counts=key_counts,
+            )
+        else:  # layout-preserving: encode splits in place, no exchange
+            salted = df
+            P = df.rdd.getNumPartitions()
+        salted = salted.select(
+            *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)]
+        )
+        kernel = encode_kernel_factory(
+            safe_names, codec_overrides, skip_parts=skip,
+            manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
+        )
+        chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
     # ONE data-sized job: encode + write chunks; tasks commit their own
     # manifest fragments alongside. partitionBy(part_id) keeps the
     # Iceberg-style partitioned layout that resume prunes/replaces by

@@ -290,6 +290,48 @@ def test_zone_filter_unknown_type_keeps_all_chunks(spark, tmp_path):
     assert chunk.where(_zone_predicate(T.StructType([]), "k", 10, 10)).count() == 1
 
 
+def test_blob_shuffle_roundtrip(spark, tmp_path):
+    """shuffle="blob" (Arrow-IPC pre-pack exchange) must produce the same
+    logical dataset as the default row-shuffle: identical footprint class,
+    bit-identical rows, same partition count."""
+    out = str(tmp_path / "blob")
+    df = gen_spark(spark, 4000, seed=11)
+    res = encode_table(df, out, rows_per_bucket=800, shuffle="blob")
+    assert res.rows == 4000
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 4000
+    fails = verify_against_source(
+        df, decoded, ["repo", "path", "commit", "lang", "content"]
+    )
+    assert fails.count() == 0
+
+
+def test_literal_and_join_placement_agree(spark):
+    """The literal-map placement fast path must assign every row the same
+    target partition as the broadcast-join path (same bucket ordinals,
+    same tokens) — a divergence would silently change dataset layout."""
+    import fhirflat_spark.encode as E
+
+    df = gen_spark(spark, 1500, seed=13)
+    lit_df, p1 = E.plan_partition_ids(df, rows_per_bucket=300)
+    lit = {
+        (r["repo"], r["path"]): r["__pb"]
+        for r in lit_df.select("repo", "path", "__pb").collect()
+    }
+    saved = E.LITERAL_MAP_MAX_KEYS
+    E.LITERAL_MAP_MAX_KEYS = 0  # force the join path
+    try:
+        join_df, p2 = E.plan_partition_ids(df, rows_per_bucket=300)
+        joined = {
+            (r["repo"], r["path"]): r["__pb"]
+            for r in join_df.select("repo", "path", "__pb").collect()
+        }
+    finally:
+        E.LITERAL_MAP_MAX_KEYS = saved
+    assert p1 == p2
+    assert lit == joined
+
+
 def test_column_selective_verify(spark, encoded):
     """verify_table(columns=subset) must check per-column shas (the
     whole-chunk sha covers every column and would always mismatch)."""
