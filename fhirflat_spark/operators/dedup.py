@@ -136,7 +136,41 @@ FROM toks GROUP BY doc_id ORDER BY doc_id
 
 # --- minhash + LSH banding: candidate pairs via equi-join on band signature
 
-def _lsh_pairs_from_sigs(sigs):
+# Hot-bucket cap: a band bucket holding k docs emits k² candidate pairs,
+# and at 10^12 files boilerplate/exact-duplicate clusters (identical
+# license files, generated code) make single buckets millions deep —
+# 10¹²-row joins. Buckets above MAX_BUCKET are dropped from the join
+# (both engine and oracle, identical semantics); the cap sits above the
+# natural bucket sizes of every test scale (sf0.1 max: 2650 LSH / 2030
+# simhash / 8 embedding), so test outputs are unchanged while degenerate
+# clusters stay bounded at MAX_BUCKET² per bucket. Dropped buckets are
+# OBSERVABLE via the `lsh_hot_buckets` query — no silent caps.
+MAX_BUCKET = 4096
+
+
+def _cap_hot_buckets(df, keys: list[str], max_n: int = MAX_BUCKET):
+    """Drop rows whose join bucket exceeds ``max_n``. The size aggregation
+    shuffles on the same keys the following self-join uses, so the
+    exchange is shared/co-partitioned."""
+    sizes = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__bkt_n"))
+        .where(F.col("__bkt_n") <= max_n)
+        .select(*keys)
+    )
+    return df.join(sizes, keys)
+
+
+def _sql_cap(src: str, keys: str, max_n: int = MAX_BUCKET) -> str:
+    """DuckDB mirror of _cap_hot_buckets as a CTE body."""
+    return (
+        f"SELECT {src}.* FROM {src} JOIN "
+        f"(SELECT {keys} FROM {src} GROUP BY {keys} "
+        f"HAVING count(*) <= {max_n}) __ok USING ({keys})"
+    )
+
+
+def _banded_sigs(sigs):
     bands = []
     for b in range(N_HASHES // BAND_SIZE):
         cols = [F.col(f"mh{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)]
@@ -147,7 +181,11 @@ def _lsh_pairs_from_sigs(sigs):
                 F.concat_ws("_", *cols).alias("sig"),
             )
         )
-    banded = bands[0].unionByName(bands[1])
+    return bands[0].unionByName(bands[1])
+
+
+def _lsh_pairs_from_sigs(sigs):
+    banded = _cap_hot_buckets(_banded_sigs(sigs), ["band", "sig"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -183,9 +221,10 @@ sigs AS (
          {mins}
   FROM toks GROUP BY doc_id
 ),
-banded AS ({banded})
+banded AS ({banded}),
+capped AS ({_sql_cap('banded', 'band, sig')})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b USING (band, sig)
+FROM capped a JOIN capped b USING (band, sig)
 WHERE a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
@@ -256,6 +295,7 @@ def q_simhash_hamming_pairs(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    blocks = _cap_hot_buckets(blocks, ["blk", "val"])
     a = blocks.alias("a")
     b = blocks.alias("b")
     return (
@@ -295,10 +335,11 @@ votes AS (
   FROM toks GROUP BY doc_id
 ),
 fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes),
-blocks AS ({block_rows})
+blocks AS ({block_rows}),
+capped AS ({_sql_cap('blocks', 'blk, val')})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM blocks a JOIN blocks b USING (blk, val)
+FROM capped a JOIN capped b USING (blk, val)
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
 ORDER BY doc_a, doc_b
@@ -376,6 +417,41 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- hot-bucket observability: the buckets the MAX_BUCKET cap would drop
+#     (the "no silent caps" duty — a deployment watches this to see what
+#     near-dup coverage it is trading away; pre-collapsing exact dups via
+#     dedup_keep_list BEFORE LSH is the standard order that empties it)
+
+def q_lsh_hot_buckets(spark, sf_dir):
+    banded = _banded_sigs(q_minhash_signatures(spark, sf_dir))
+    return (
+        banded.groupBy("band", "sig")
+        .agg(F.count("*").alias("bucket_n"))
+        .where(F.col("bucket_n") > MAX_BUCKET)
+        .orderBy("band", "sig")
+    )
+
+
+def _sql_lsh_hot_buckets() -> str:
+    mins = ", ".join(_sql_min_exprs())
+    band_rows = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+WITH toks AS ({_SQL_TOKENS}),
+sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+banded AS ({banded})
+SELECT band, sig, count(*) AS bucket_n
+FROM banded GROUP BY band, sig
+HAVING count(*) > {MAX_BUCKET}
+ORDER BY band, sig
+"""
+
+
 # --- keeper mapping: the materialized output of exact dedup — every doc
 #     mapped to the surviving representative of its content group
 
@@ -443,9 +519,10 @@ def _sql_minhash_jaccard_estimate() -> str:
 WITH toks AS ({_SQL_TOKENS}),
 sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
 banded AS ({banded}),
+capped AS ({_sql_cap('banded', 'band, sig')}),
 pairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM banded x JOIN banded y USING (band, sig)
+  FROM capped x JOIN capped y USING (band, sig)
   WHERE x.doc_id < y.doc_id
 )
 SELECT doc_a, doc_b, round(({agree}) / {N_HASHES}.0, 4) AS jaccard_est
@@ -466,6 +543,7 @@ QUERIES = {
     # deliberate rows-only; structural invariants in tests/test_dedup_fast.py)
     "minhash_signatures_fast": (q_minhash_signatures_fast, None),
     "minhash_lsh_pairs_fast": (q_minhash_lsh_pairs_fast, None),
+    "lsh_hot_buckets": (q_lsh_hot_buckets, _sql_lsh_hot_buckets()),
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),

@@ -166,9 +166,15 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
 # ~7n/2^SIGN_BITS candidate rows per vector instead of n² total.
 
 def q_embedding_neardup_pairs(spark, sf_dir):
+    from fhirflat_spark.operators.dedup import _cap_hot_buckets
+
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
+    # hot-bucket cap on the build side: a (label, bucket) cell of k
+    # vectors would emit ~7k² candidates; cells above MAX_BUCKET are
+    # dropped (mirrored in the oracle; natural max here is 8, cap 4096)
+    emb = _cap_hot_buckets(emb, ["label", "bucket"])
     probes = emb.select(
         "vec_id",
         "label",
@@ -200,12 +206,15 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 
 
 def _sql_embedding_neardup_pairs() -> str:
+    from fhirflat_spark.operators.dedup import _sql_cap
+
     probe_masks = ", ".join(["(0)"] + [f"({1 << b})" for b in range(SIGN_BITS)])
     return f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, label, embedding, {_sql_sign_bucket('embedding')} AS bucket
   FROM embeddings
 ),
+e AS ({_sql_cap('e0', 'label, bucket')}),
 probes AS (
   SELECT vec_id, label, embedding, xor(bucket, m.mask) AS pbucket
   FROM e CROSS JOIN (VALUES {probe_masks}) AS m(mask)
