@@ -154,3 +154,79 @@ def condense_one_to_one(assignments: DataFrame, id_cols: list[str]) -> DataFrame
         .agg(F.collect_set("target").alias("__conflicts"))
     )
     return wide.join(conflicts, id_cols, "left")
+
+
+# --- F6: full date-parsing semantics (reference format_dates,
+#     ingest.py:98-131): user strptime format + IANA timezone ->
+#     ISO8601 string, with (a) date-only detection when the format has
+#     no %H, (b) a "date time" split fallback when the primary parse
+#     leaves unconverted data, and (c) a warn side-channel for strings
+#     that parse neither way (the reference warns and passes the raw
+#     string through to FHIR validation). All JVM expressions — the
+#     reference's per-row strptime/dateutil loop becomes one projection.
+
+_STRPTIME_TO_JVM = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%b", "MMM"), ("%B", "MMMM"),
+]
+
+# the reference parses the time part with dateutil (fully flexible);
+# approximated here by the candidate formats that cover its common cases
+_TIME_FORMATS = ("HH:mm:ss", "HH:mm")
+
+
+def _jvm_datetime_format(strptime_fmt: str) -> str:
+    out = strptime_fmt
+    for k, v in _STRPTIME_TO_JVM:
+        out = out.replace(k, v)
+    return out
+
+
+def _iso_with_offset(ts: Column, timezone: str) -> Column:
+    """ISO8601 render with the timezone's UTC offset at that instant
+    (DST-correct): datetime.replace(tzinfo=tz).isoformat() semantics."""
+    utc = F.to_utc_timestamp(ts, timezone)
+    off = F.unix_timestamp(ts) - F.unix_timestamp(utc)
+    sign = F.when(off < 0, F.lit("-")).otherwise(F.lit("+"))
+    ao = F.abs(off)
+    hh = F.lpad((ao / 3600).cast("int").cast("string"), 2, "0")
+    mm = F.lpad(F.pmod((ao / 60).cast("int"), F.lit(60)).cast("string"), 2, "0")
+    return F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), sign, hh, F.lit(":"), mm
+    )
+
+
+def parse_dates_expr(col: Column, date_format: str,
+                     timezone: str) -> tuple[Column, Column]:
+    """Compile F6 into two Columns: ``(value, warn)``.
+
+    ``value``: the ISO8601 string (date-only when ``date_format`` lacks
+    ``%H``; with UTC offset otherwise / via the split fallback), or the
+    ORIGINAL string when unparseable (reference passes it through for
+    FHIR to flag). ``warn``: boolean flag marking those pass-throughs —
+    the distributed version of the reference's ``warnings.warn``.
+    """
+    jfmt = _jvm_datetime_format(date_format)
+    date_only = "%H" not in date_format
+    p1 = F.try_to_timestamp(col, F.lit(jfmt))
+    # fallback: exactly one "date time" space split (reference
+    # str.split(" ") unpacks into 2 parts or raises -> warn)
+    parts_ok = F.size(F.split(col, " ")) == 2
+    d2 = F.try_to_timestamp(F.substring_index(col, " ", 1), F.lit(jfmt))
+    t2 = F.coalesce(
+        *[F.try_to_timestamp(F.substring_index(col, " ", -1), F.lit(tf))
+          for tf in _TIME_FORMATS]
+    )
+    ts2 = F.when(
+        parts_ok & d2.isNotNull() & t2.isNotNull(),
+        F.timestamp_seconds(F.unix_timestamp(d2) + F.unix_timestamp(t2)),
+    )
+    primary = (
+        F.date_format(p1, "yyyy-MM-dd") if date_only
+        else _iso_with_offset(p1, timezone)
+    )
+    value = F.when(p1.isNotNull(), primary).otherwise(
+        F.when(ts2.isNotNull(), _iso_with_offset(ts2, timezone)).otherwise(col)
+    )
+    warn = col.isNotNull() & p1.isNull() & ts2.isNull()
+    return value, warn

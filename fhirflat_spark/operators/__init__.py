@@ -8,10 +8,17 @@ carry ``None`` and get the driver's weaker rows-only check.
 
 from __future__ import annotations
 
-from fhirflat_spark.operators import dedup, multimodal, relational, similarity, textops
+from fhirflat_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    storage,
+    textops,
+)
 
 REGISTRY: dict[str, tuple] = {}
-for mod in (relational, textops, dedup, similarity, multimodal):
+for mod in (relational, textops, dedup, similarity, multimodal, storage):
     REGISTRY.update(mod.QUERIES)
 
 

@@ -299,6 +299,84 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+# --- F6 (full semantics): messy-string date parsing with user strptime
+#     format + timezone, date-only detection, "date time" split
+#     fallback, warn pass-through (reference format_dates,
+#     ingest.py:98-131). The messy column is built deterministically
+#     from o_orderdate so both engines parse the same strings; tz
+#     offsets are DST-correct (orders dates span winter +01:00 and
+#     summer +02:00 for Europe/Paris).
+
+PARSE_DATE_FMT = "%d/%m/%Y"
+PARSE_DATE_TZ = "Europe/Paris"
+
+
+def q_parse_dates_messy(spark, sf_dir):
+    from fhirflat_spark.ingest import parse_dates_expr
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.pmod(F.col("o_orderkey"), F.lit(4))
+    messy = orders.select(
+        "o_orderkey",
+        F.when(k == 0, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .when(k == 1, F.concat(F.date_format("o_orderdate", "dd/MM/yyyy"),
+                               F.lit(" 14:30:00")))
+        .when(k == 2, F.lit("not-a-date"))
+        .alias("raw"),
+    )
+    value, warn = parse_dates_expr(F.col("raw"), PARSE_DATE_FMT, PARSE_DATE_TZ)
+    return messy.select(
+        "o_orderkey",
+        "raw",
+        value.alias("parsed"),
+        warn.cast("int").alias("date_warn"),
+    ).orderBy("o_orderkey")
+
+
+SQL_PARSE_DATES_MESSY = f"""
+WITH messy AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 4
+           WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+           WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y') || ' 14:30:00'
+           WHEN 2 THEN 'not-a-date'
+         END AS raw
+  FROM orders
+),
+parsed AS (
+  SELECT o_orderkey, raw,
+         try_strptime(raw, '%d/%m/%Y') AS p1,
+         CASE WHEN length(string_split(raw, ' ')) = 2
+              THEN try_strptime(split_part(raw, ' ', 1), '%d/%m/%Y')
+                   + (coalesce(try_strptime(split_part(raw, ' ', 2), '%H:%M:%S'),
+                               try_strptime(split_part(raw, ' ', 2), '%H:%M'))
+                      - TIMESTAMP '1900-01-01')  -- DuckDB strptime's default date
+         END AS ts2
+  FROM messy
+),
+iso AS (
+  SELECT o_orderkey, raw, p1, ts2,
+         coalesce(p1, ts2) AS ts,
+         CAST(epoch(coalesce(p1, ts2))
+              - epoch(coalesce(p1, ts2) AT TIME ZONE '{PARSE_DATE_TZ}') AS BIGINT) AS off
+  FROM parsed
+)
+SELECT o_orderkey, raw,
+       CASE
+         WHEN p1 IS NOT NULL THEN strftime(p1, '%Y-%m-%d')
+         WHEN ts2 IS NOT NULL THEN
+           strftime(ts2, '%Y-%m-%dT%H:%M:%S')
+           || (CASE WHEN off < 0 THEN '-' ELSE '+' END)
+           || lpad(CAST(abs(off) // 3600 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST((abs(off) // 60) % 60 AS VARCHAR), 2, '0')
+         ELSE raw
+       END AS parsed,
+       CASE WHEN raw IS NOT NULL AND p1 IS NULL AND ts2 IS NULL
+            THEN 1 ELSE 0 END AS date_warn
+FROM iso ORDER BY o_orderkey
+"""
+
+
 # --- F9/F10: the mapping-cell mini-DSL compiled to Column exprs
 #     (find_field_value ingest.py:49-95; '<A> if not <B>' ingest.py:67-77)
 
@@ -593,6 +671,7 @@ QUERIES = {
     "condense_system_code": (q_condense_system_code, SQL_CONDENSE_SYSTEM_CODE),
     "json_normalize_props": (q_json_normalize_props, SQL_JSON_NORMALIZE_PROPS),
     "format_dates": (q_format_dates, SQL_FORMAT_DATES),
+    "parse_dates_messy": (q_parse_dates_messy, SQL_PARSE_DATES_MESSY),
     "expr_dsl": (q_expr_dsl, SQL_EXPR_DSL),
     "sha256_rows": (q_sha256, SQL_SHA256),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),

@@ -1,0 +1,107 @@
+"""Chunk-store READ-path queries: the encoded dataset's IO-pruned decode
+surfaces (zone-map pruning, key-range pruning) exercised end-to-end with
+a DuckDB oracle on the same raw rows.
+
+Until round 3 these paths were pytest-only (tests/test_pipeline.py); the
+oracle-checked query proves the zone-pruned decode returns EXACTLY the
+answer SQL computes on the raw table — guarding the zone-map edge cases
+(truncated string bounds, all-NULL chunks, NaN floats, unknown types)
+where a wrong bound silently drops matching rows.
+
+The queries encode the sf_dir's ``documents`` table once into a cached
+local dataset (keyed by sf label; test data is immutable), then decode
+through ``decode_table(zone_filter=...)`` with the exact residual filter
+applied on top (zone maps overapproximate; the residual makes the result
+exact — the contract callers rely on).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+# doc_id range chosen to span multiple chunks but prune most at any sf
+ZONE_LO, ZONE_HI = 100, 500
+
+
+def _encoded_documents(spark, sf_dir: str) -> str:
+    """Encode sf_dir/documents.parquet once per (process-independent)
+    cache key; concurrent/dirty dirs re-encode via the marker check."""
+    from fhirflat_spark.encode import encode_table
+
+    label = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(
+        tempfile.gettempdir(), f"fhirflat_spark_zoneq_{label}", "ds"
+    )
+    if not os.path.exists(os.path.join(out, "summary")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs, out, rows_per_bucket=2000)
+    return out
+
+
+def q_decode_zone_pruned(spark, sf_dir):
+    """encode → zone-pruned decode → residual filter → aggregate.
+
+    The zone_filter prunes chunks whose [zmin, zmax] for doc_id cannot
+    intersect [ZONE_LO, ZONE_HI] (IO skipped before any payload decode);
+    the residual WHERE makes the answer exact."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents(spark, sf_dir)
+    dec = decode_table(spark, out, zone_filter=("doc_id", ZONE_LO, ZONE_HI))
+    return (
+        dec.where(F.col("doc_id").between(ZONE_LO, ZONE_HI))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DECODE_ZONE_PRUNED = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+WHERE doc_id BETWEEN {ZONE_LO} AND {ZONE_HI}
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_decode_key_range(spark, sf_dir):
+    """String-zone decode: chunk-level pruning on a STRING column's
+    truncated zone bounds (the parquet-style incremented-prefix upper
+    bound — the edge case ae5f882 fixed), with the exact residual on
+    top."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents(spark, sf_dir)
+    dec = decode_table(spark, out, zone_filter=("lang", "en", "fr"))
+    return (
+        dec.where(F.col("lang").between("en", "fr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+SQL_DECODE_KEY_RANGE = """
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE lang BETWEEN 'en' AND 'fr'
+GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES = {
+    "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
+    "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
+}

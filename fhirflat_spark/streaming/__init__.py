@@ -43,11 +43,14 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer
 
 
-def merge_sessions(sorted_us, state_session, gap_us: int):
-    """Gap-merge sorted event micros + the optional open-session interval
-    from state into disjoint sessions (each separated by > gap_us).
-    In-watermark late events preceding the open session by more than the
-    gap form their own sessions rather than being absorbed."""
+def merge_sessions(sorted_us, state_sessions, gap_us: int):
+    """Gap-merge sorted event micros + the session intervals carried in
+    state (one tuple or a list of tuples) into disjoint sessions (each
+    separated by > gap_us). In-watermark late events preceding a buffered
+    session by more than the gap form their own sessions rather than
+    being absorbed; within the gap they merge — which is exactly why
+    buffered sessions must not be emitted until the watermark passes
+    their end + gap."""
     sessions: list[tuple[int, int, int]] = []
     for t in sorted_us:
         if sessions and t - sessions[-1][1] <= gap_us:
@@ -55,9 +58,11 @@ def merge_sessions(sorted_us, state_session, gap_us: int):
             sessions[-1] = (s, max(e, int(t)), n + 1)
         else:
             sessions.append((int(t), int(t), 1))
-    if state_session is not None:
+    if state_sessions:
+        if isinstance(state_sessions, tuple):
+            state_sessions = [state_sessions]
         merged: list[tuple[int, int, int]] = []
-        for s0, e0, n0 in sorted(sessions + [tuple(state_session)]):
+        for s0, e0, n0 in sorted(sessions + [tuple(s) for s in state_sessions]):
             if merged and s0 - merged[-1][1] <= gap_us:
                 a, b, c = merged[-1]
                 merged[-1] = (a, max(b, e0), c + n0)
@@ -75,11 +80,19 @@ def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 1800,
     ``sessionize`` query (operators/relational.py), and the
     arbitrary-state surface SURVEY §2.8 calls for beyond windowed aggs.
 
-    Per group and micro-batch: merge the batch's events with the open
-    session carried in ``GroupState``, split on idle gaps > gap_seconds,
-    EMIT every closed session, keep the last one open in state with an
-    event-time timeout; on watermark-driven timeout the open session is
-    flushed. Arrow-batched pandas per GROUP — no per-row Python.
+    Per group and micro-batch: merge the batch's events with EVERY
+    session buffered in ``GroupState`` (closed-by-gap sessions stay
+    buffered too), then emit ONLY the sessions whose ``end + gap`` the
+    watermark has passed — such a session can never grow again (any
+    future in-watermark event has ts ≥ watermark > end + gap, so it
+    cannot merge), so append-mode output contains no overlapping or
+    duplicate sessions even under in-watermark late data. A session that
+    has a later session after it closes with ``closed_by='gap'``; the
+    trailing open session flushes with ``'timeout'`` once the watermark
+    passes its deadline. Arrow-batched pandas per GROUP — no per-row
+    Python. (Round-2 ADVICE fix: the previous version emitted gap-closed
+    sessions immediately, so a late event arriving in a later batch
+    could produce a second session overlapping an already-emitted one.)
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -89,40 +102,58 @@ def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 1800,
         f"{key_col} BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
         "n_events BIGINT, closed_by STRING"
     )
-    state_schema = "start BIGINT, end BIGINT, n BIGINT"  # epoch micros
+    # buffered sessions (epoch micros), oldest first
+    state_schema = "starts ARRAY<BIGINT>, ends ARRAY<BIGINT>, ns ARRAY<BIGINT>"
     gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs, state):
         k = key[0]
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        stored: list[tuple[int, int, int]] = []
+        if state.exists:
+            starts, ends, ns = state.get
+            stored = list(zip(starts, ends, ns))
         if state.hasTimedOut:
-            start, end, n = state.get
+            sessions = stored
+        else:
+            ts = pd.concat([pdf[ts_col] for pdf in pdfs])
+            us = (pd.to_datetime(ts).astype("int64") // 1000).sort_values()
+            sessions = merge_sessions(us, stored, gap_us)
+        if not sessions:
             state.remove()
-            yield pd.DataFrame(
-                {
-                    key_col: [k],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(end, unit="us")],
-                    "n_events": [n],
-                    "closed_by": ["timeout"],
-                }
-            )
             return
-        ts = pd.concat([pdf[ts_col] for pdf in pdfs])
-        us = (pd.to_datetime(ts).astype("int64") // 1000).sort_values()
-        sessions = merge_sessions(
-            us, tuple(state.get) if state.exists else None, gap_us
-        )
-        *closed, open_sess = sessions
-        state.update(open_sess)
-        state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
-        if closed:
+        emittable = [
+            (i, s) for i, s in enumerate(sessions) if s[1] + gap_us <= wm_us
+        ]
+        keep = [s for s in sessions if s[1] + gap_us > wm_us]
+        if keep:
+            state.update((
+                [int(s) for s, _, _ in keep],
+                [int(e) for _, e, _ in keep],
+                [int(n) for _, _, n in keep],
+            ))
+            # earliest buffered deadline; must sit strictly past the
+            # current watermark for Spark to accept it
+            deadline_ms = (min(e for _, e, _ in keep) + gap_us) // 1000
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+        else:
+            state.remove()
+        if emittable:
+            last = len(sessions) - 1
             yield pd.DataFrame(
                 {
-                    key_col: [k] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
-                    "n_events": [n for _, _, n in closed],
-                    "closed_by": ["gap"] * len(closed),
+                    key_col: [k] * len(emittable),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for _, (s, _, _) in emittable
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, (_, e, _) in emittable
+                    ],
+                    "n_events": [n for _, (_, _, n) in emittable],
+                    "closed_by": [
+                        "gap" if i < last else "timeout" for i, _ in emittable
+                    ],
                 }
             )
 

@@ -39,30 +39,40 @@ def test_streaming_encode_roundtrip(spark, tmp_path):
 
 
 def test_stateful_sessionize_stream(spark, tmp_path):
-    """applyInPandasWithState gap sessionization: intra-batch gaps close
-    sessions (emitted with closed_by='gap'); session stats must match the
-    batch computation on the same events."""
+    """applyInPandasWithState gap sessionization: sessions are emitted
+    ONLY once the watermark passes their end + gap (append-mode safety
+    under late data); gap-closed sessions carry closed_by='gap', the
+    trailing open session flushes with 'timeout'."""
     import datetime as dt
+    import time as _t
 
     from fhirflat_spark.streaming import sessionize_stream
 
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
     rows = []
-    # user 1: two clusters separated by 2h (> 30min gap) -> first closes
+    # user 1: two clusters separated by 2h (> 30min gap)
     for m in (0, 5, 10):
         rows.append((1, base + dt.timedelta(minutes=m)))
     for m in (0, 3):
         rows.append((1, base + dt.timedelta(hours=2, minutes=m)))
-    # user 2: one cluster only -> stays open, nothing emitted
+    # user 2: one cluster only
     for m in (0, 1):
         rows.append((2, base + dt.timedelta(minutes=m)))
     src = str(tmp_path / "sess_src")
-    spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP").write.mode(
-        "overwrite"
-    ).parquet(src)
+    f1 = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    f1.coalesce(1).write.mode("overwrite").parquet(src)
+    _t.sleep(1.1)  # file-source ordering is by modification time
+    # watermark pusher: far-future event (stays open itself)
+    spark.createDataFrame(
+        [(99, base + dt.timedelta(hours=12))], "user_id LONG, ts TIMESTAMP"
+    ).coalesce(1).write.mode("append").parquet(src)
 
-    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
-    out = sessionize_stream(stream, gap_seconds=1800)
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
     q = (
         out.writeStream.format("memory")
         .queryName("sess_out")
@@ -76,12 +86,144 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         (r["user_id"], r["n_events"], r["closed_by"])
         for r in spark.sql("select * from sess_out").collect()
     }
-    assert (1, 3, "gap") in got, got
-    # user 2's single session stays open (no timeout fired in one batch)
-    assert not any(u == 2 for u, _, _ in got), got
-    sess1 = [r for r in spark.sql("select * from sess_out").collect() if r["user_id"] == 1]
+    # watermark (12h - 1h delay) passed every user-1/2 deadline:
+    assert (1, 3, "gap") in got, got      # first cluster, closed by gap
+    assert (1, 2, "timeout") in got, got  # trailing cluster, wm flush
+    assert (2, 2, "timeout") in got, got
+    # the watermark pusher's own session has no passed deadline
+    assert not any(u == 99 for u, _, _ in got), got
+    sess1 = sorted(
+        (r for r in spark.sql("select * from sess_out").collect() if r["user_id"] == 1),
+        key=lambda r: r["session_start"],
+    )
     assert sess1[0]["session_start"] == base
     assert sess1[0]["session_end"] == base + dt.timedelta(minutes=10)
+
+
+def test_sessionize_no_overlap_under_late_data(spark, tmp_path):
+    """The r2 ADVICE defect: a gap-closed session emitted before the
+    watermark passes could overlap a later emission when an in-watermark
+    late event bridges into it. With buffered emission the late event
+    must MERGE into the not-yet-emitted session and exactly one session
+    covering the interval comes out."""
+    import datetime as dt
+    import time as _t
+
+    from fhirflat_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "late_src")
+    files = [
+        # batch 1: opens 12:00-12:05
+        [(1, base), (1, base + dt.timedelta(minutes=5))],
+        # batch 2: 14:00 -> closes the first session BY GAP; watermark
+        # (14:00 - 2h) = 12:00 has NOT passed 12:05+30min -> buffered
+        [(1, base + dt.timedelta(hours=2))],
+        # batch 3: late event 12:20 (>= watermark 12:00 -> in-watermark)
+        # bridges into the buffered 12:00-12:05 session
+        [(1, base + dt.timedelta(minutes=20))],
+        # batch 4: watermark pusher far in the future flushes everything
+        [(99, base + dt.timedelta(hours=12))],
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP").coalesce(
+            1
+        ).write.mode("overwrite" if i == 0 else "append").parquet(src)
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "late_ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [
+        r for r in spark.sql("select * from sess_late").collect()
+        if r["user_id"] == 1
+    ]
+    rows.sort(key=lambda r: r["session_start"])
+    # exactly two sessions: [12:00-12:20] (3 events, late one merged)
+    # and [14:00] — and no overlapping intervals
+    assert [(r["session_start"], r["session_end"], r["n_events"]) for r in rows] == [
+        (base, base + dt.timedelta(minutes=20), 3),
+        (base + dt.timedelta(hours=2), base + dt.timedelta(hours=2), 1),
+    ], rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["session_end"] < b["session_start"], "overlapping emissions"
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming sessionize (availableNow over the events fixture) must
+    agree with the batch window computation: every emitted session is a
+    batch session, exactly once, and every batch session whose deadline
+    the final watermark passed was emitted."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from fhirflat_spark.streaming import sessionize_stream
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "ev_sess")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(src)
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "eq_ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_eq").collect()
+    ]
+    assert len(emitted) == len(set(emitted)), "duplicate session emissions"
+
+    # batch oracle: gap-window sessions over the same events
+    w = W.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(emitted) <= batch, set(emitted) - batch
+    # final watermark = max(ts) - 1h; all sessions past deadline emitted
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - pd.Timedelta(hours=1)
+    due = {
+        s for s in batch
+        if s[2] + pd.Timedelta(seconds=1800) <= wm
+    }
+    assert due <= set(emitted), due - set(emitted)
 
 
 def test_windowed_counts_match_batch(spark, tmp_path):
