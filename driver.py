@@ -41,7 +41,7 @@ def main() -> None:
     enc.add_argument("--rows-per-bucket", type=int, default=250_000)
     enc.add_argument("--resume", action="store_true")
     enc.add_argument("--profile", choices=["balanced", "archive"], default="balanced")
-    enc.add_argument("--shuffle", choices=["true", "false", "auto"], default="true",
+    enc.add_argument("--shuffle", choices=["true", "false", "auto", "blob"], default="true",
                      help="auto = skip the exchange when input is already clustered")
 
     ver = sub.add_parser("verify", help="re-verify every chunk round-trips bit-identically")
@@ -73,7 +73,7 @@ def main() -> None:
             from fhirflat_spark.datagen import gen_spark
 
             df = gen_spark(spark, args.rows, seed=42)
-        shuffle = {"true": True, "false": False, "auto": "auto"}[args.shuffle]
+        shuffle = {"true": True, "false": False, "auto": "auto", "blob": "blob"}[args.shuffle]
         res = encode_table(df, args.out, rows_per_bucket=args.rows_per_bucket,
                            resume=args.resume, profile=args.profile,
                            shuffle=shuffle)

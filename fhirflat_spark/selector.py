@@ -27,10 +27,14 @@ _DICT_MAX = 1 << 16
 # bytes get a higher zstd level — the dominant byte stream is where extra
 # CPU buys footprint (measured on synthetic code content, 13 MB chunk:
 # L3 0.310 @ 139 MB/s, L9 0.297 @ 27 MB/s, L12 0.283 @ 11 MB/s per
-# core). Gated behind opts["archive"] so the default profile keeps
-# encode faster than a parquet/zstd write at near-identical footprint.
+# core). Full-dataset transcode sweep (1M rows, local[8], r3): L9
+# 249.2 MB @ 15.7 s, L12 237.5 MB @ 23 s (0.902 of parquet/zstd-L3),
+# L15 220.2 MB @ 114 s — L12 is the archive default (best ratio-per-CPU
+# under the <=0.92 footprint target; L15's extra 7% costs 7x the wall).
+# Gated behind opts["archive"] so the default profile keeps encode
+# faster than a parquet/zstd write at near-identical footprint.
 _BIG_CHUNK_BYTES = 2 << 20
-_BIG_CHUNK_LEVEL = 9
+_BIG_CHUNK_LEVEL = 12
 # fsst must beat zstd's ratio by this factor to win the race despite its
 # slower (pure-Python-orchestrated) kernel; zstd here is C via pyarrow.
 _FSST_EDGE = 0.85
