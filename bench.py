@@ -349,6 +349,16 @@ def _write_report(result: dict) -> None:
         "not engine serialization. On a real cluster N→4N adds machines",
         f"(memory buses, disks) — the regime the {N_LOW}→{N_HIGH} pair models.",
         "",
+        "Shuffled vs layout-preserving gap (round 3): placement is now a",
+        "literal-map projection (no broadcast joins; JVM placement+exchange",
+        "~1.0s/1M rows, was 3.2s), cutting the shuffled wall from r2's",
+        "10.42s to ~6.2-6.5s at local[32] (~3.0-3.3x of no-shuffle, was",
+        "5.3x). The residual gap is the exchange plus the double row↔Arrow",
+        "conversion, inherent to OSS Spark's row-based shuffle — the",
+        "suggested Arrow-IPC pre-pack (blob) shuffle was built and measured",
+        "SLOWER (mapInArrow converts its input per-row regardless of",
+        "position); full decomposition and rejected variants in SCALE.md.",
+        "",
         "## Compressed footprint",
         "",
         f"- raw logical bytes: {fp['raw_bytes']}",
