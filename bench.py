@@ -88,11 +88,14 @@ def run_queries(spark) -> dict[str, float]:
     # JIT/session warmup so the first timed query isn't charged for codegen
     spark.read.parquet(f"{SF_DIR}/nation.parquet").groupBy("n_regionkey").count().collect()
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.time() - t0, 3)
-        print(f"  query {name}: {out[name]}s ({n} rows)", flush=True)
+        walls = []
+        for _ in range(2):  # min-of-2: single-shot numbers drift 2x+
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            walls.append(round(time.time() - t0, 3))
+        out[name] = min(walls)
+        print(f"  query {name}: {walls} -> {out[name]}s ({n} rows)", flush=True)
     return out
 
 

@@ -332,6 +332,30 @@ def test_literal_and_join_placement_agree(spark):
     assert lit == joined
 
 
+def test_join_path_encode_sha_parity(spark, tmp_path):
+    """Encoding through the broadcast-join placement path (the >1024-key
+    regime) must produce the EXACT same dataset checksum as the
+    literal-map fast path — placement, partitioning, sort, and chunking
+    all bit-identical. (Both planners run driver-side, so forcing the
+    threshold works.)"""
+    import fhirflat_spark.encode as E
+    from fhirflat_spark.manifest import read_summary
+
+    df = gen_spark(spark, 2000, seed=7, partitions=4)
+    out_lit = str(tmp_path / "lit")
+    out_join = str(tmp_path / "join")
+    encode_table(df, out_lit, rows_per_bucket=400)
+    saved = E.LITERAL_MAP_MAX_KEYS
+    E.LITERAL_MAP_MAX_KEYS = 0
+    try:
+        encode_table(df, out_join, rows_per_bucket=400)
+    finally:
+        E.LITERAL_MAP_MAX_KEYS = saved
+    sha_lit = read_summary(spark, out_lit)["dataset_sha256"]
+    sha_join = read_summary(spark, out_join)["dataset_sha256"]
+    assert sha_lit == sha_join
+
+
 def test_column_selective_verify(spark, encoded):
     """verify_table(columns=subset) must check per-column shas (the
     whole-chunk sha covers every column and would always mismatch)."""
