@@ -146,10 +146,18 @@ def encode_run(cores: int, src: str, tag: str, key_counts,
                 t0 = time.time()
                 n = decode_table(spark, out).count()
                 d_walls.append(round(time.time() - t0, 2))
+            # selective decode: 1 column of 5 — nested-schema pruning
+            # should make this read ~the lang column's share of bytes
+            s_walls = []
+            for _ in range(2):
+                t0 = time.time()
+                decode_table(spark, out, columns=["lang"]).count()
+                s_walls.append(round(time.time() - t0, 2))
             decode_stats = {
                 "decode_wall_sec": min(d_walls),
                 "decode_gbps": round(res.raw_bytes / 1e9 / min(d_walls), 4),
                 "decoded_rows": n,
+                "decode_one_col_wall_sec": min(s_walls),
             }
         shutil.rmtree(out, ignore_errors=True)
         timed = sorted(walls[1:])
@@ -351,6 +359,21 @@ def _write_report(result: dict) -> None:
         "scaled 0.80 — the flattening is the host's shared memory bandwidth,",
         "not engine serialization. On a real cluster N→4N adds machines",
         f"(memory buses, disks) — the regime the {N_LOW}→{N_HIGH} pair models.",
+        "",
+        *(
+            [
+                "",
+                f"Decode at local[{CPUS}]: full table "
+                f"{enc[f'local[{CPUS}]']['decode_wall_sec']}s "
+                f"({enc[f'local[{CPUS}]']['decode_gbps']} GB/s); selective "
+                f"1-of-5-column decode "
+                f"{enc[f'local[{CPUS}]']['decode_one_col_wall_sec']}s "
+                "(parquet nested-schema pruning skips unselected columns' "
+                "payload bytes).",
+            ]
+            if "decode_one_col_wall_sec" in enc.get(f"local[{CPUS}]", {})
+            else []
+        ),
         "",
         "Shuffled vs layout-preserving gap (round 3): placement is now a",
         "literal-map projection (no broadcast joins; JVM placement+exchange",

@@ -88,3 +88,71 @@ def test_condense_conflict_flag(spark):
     assert rows["s2"]["__conflicts"] is None
     assert rows["s2"]["status"] == "died"
     assert rows["s2"]["date"] == "2021-01-01"
+
+
+def _reference_format_dates(date_str, date_format, timezone):
+    """Faithful reimplementation of the reference's format_dates
+    (reference fhirflat/ingest.py:98-131) as the parity oracle: strptime
+    primary parse, date-only when the format lacks %H, 'date time' split
+    fallback (time parsed HH:MM[:SS]), raw pass-through on failure."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    if date_str is None:
+        return None, False
+    tz = ZoneInfo(timezone)
+    try:
+        parsed = dt.datetime.strptime(date_str, date_format)
+        aware = parsed.replace(tzinfo=tz)
+        if "%H" not in date_format:
+            return aware.date().isoformat(), False
+        return aware.isoformat(), False
+    except ValueError:
+        try:
+            date_part, time_part = date_str.split(" ")
+            d = dt.datetime.strptime(date_part, date_format)
+            try:
+                t = dt.datetime.strptime(time_part, "%H:%M:%S").time()
+            except ValueError:
+                t = dt.datetime.strptime(time_part, "%H:%M").time()
+            combined = dt.datetime.combine(d.date(), t).replace(tzinfo=tz)
+            return combined.isoformat(), False
+        except ValueError:
+            return date_str, True
+
+
+def test_parse_dates_matches_reference_semantics(spark):
+    """parse_dates_expr must reproduce the reference format_dates
+    behavior case-for-case: date-only, datetime format, split fallback,
+    DST winter/summer offsets, unparseable warn pass-through, NULL."""
+    from fhirflat_spark.ingest import parse_dates_expr
+
+    cases = [
+        # (raw, fmt) — spanning every reference branch
+        ("15/06/2021", "%d/%m/%Y"),            # date-only
+        ("15/01/2021", "%d/%m/%Y"),            # winter (offset +01:00)
+        ("15/06/2021 14:30:00", "%d/%m/%Y"),   # split fallback, summer
+        ("15/01/2021 09:05", "%d/%m/%Y"),      # split fallback, HH:MM
+        ("2021-06-15 23:59:59", "%Y-%m-%d"),   # ISO-ish date + time
+        ("garbage", "%d/%m/%Y"),               # warn pass-through
+        ("15/06/2021 nonsense", "%d/%m/%Y"),   # bad time part -> warn
+        ("1/2/3/4", "%d/%m/%Y"),               # malformed -> warn
+        (None, "%d/%m/%Y"),                    # NULL stays NULL, no warn
+        ("31/12/1999 23:00:00", "%d/%m/%Y"),   # year boundary
+    ]
+    tz = "Europe/Paris"
+    for fmt in {f for _, f in cases}:
+        rows = [(i, raw) for i, (raw, f) in enumerate(cases) if f == fmt]
+        df = spark.createDataFrame(rows, "id LONG, raw STRING")
+        value, warn = parse_dates_expr(F.col("raw"), fmt, tz)
+        got = {
+            r["id"]: (r["parsed"], bool(r["warn"]))
+            for r in df.select(
+                "id", value.alias("parsed"), warn.alias("warn")
+            ).collect()
+        }
+        for i, raw in rows:
+            want = _reference_format_dates(raw, fmt, tz)
+            assert got[i] == want, (
+                f"raw={raw!r} fmt={fmt!r}: engine={got[i]} reference={want}"
+            )

@@ -50,7 +50,8 @@ def test_no_python_udf_in_relational_paths(spark):
                  "token_count", "simhash", "cosine_score_all",
                  "ngram_jaccard_pairs", "embedding_neardup_pairs",
                  "ann_lsh_bucketed", "ann_ivf_coarse",
-                 "json_normalize_props"]:
+                 "json_normalize_props", "parse_dates_messy",
+                 "lsh_hot_buckets"]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} fell back to python UDF"
