@@ -405,6 +405,90 @@ FROM events ORDER BY event_id
 """
 
 
+# --- flagship mapping-ingest pipeline END-TO-END (reference
+#     convert_data_to_flat, ingest.py:435-601): wide frame -> melt ->
+#     broadcast rule join (exact + wildcard) -> plan-time DSL compile ->
+#     one-to-one condense -> wide typed row. The pytest suite covers it
+#     on CSV fixtures; this query makes the whole composition
+#     DuckDB-oracle-checked on the events table.
+
+_INGEST_RULES = [
+    # (variable, response, target, expr) — exact literal, exact field,
+    # wildcard concat-with-carry-col, wildcard pass-through
+    ("event_type", "click", "action_kind", "clicked"),
+    ("event_type", "view", "action_kind", "<FIELD>"),
+    ("event_type", None, "action_other", "<FIELD> + <user_id>"),
+    ("props", None, "props_copy", "<FIELD>"),
+]
+
+
+def q_ingest_mapping(spark, sf_dir):
+    from fhirflat_spark.ingest import apply_mapping, condense_one_to_one
+
+    ev = load(spark, sf_dir, "events")
+    mapping = spark.createDataFrame(
+        _INGEST_RULES, "variable STRING, response STRING, target STRING, expr STRING"
+    )
+    assignments, _unmapped = apply_mapping(
+        ev, mapping, ["event_id"], carry_cols=["user_id"]
+    )
+    wide = condense_one_to_one(assignments, ["event_id"])
+    return wide.select(
+        "event_id",
+        "action_kind",
+        "action_other",
+        "props_copy",
+        F.col("__conflicts").cast("string").alias("conflicts"),
+    ).orderBy("event_id")
+
+
+SQL_INGEST_MAPPING = """
+WITH mapping(variable, response, target, expr) AS (
+  VALUES ('event_type', 'click', 'action_kind', 'clicked'),
+         ('event_type', 'view',  'action_kind', '<FIELD>'),
+         ('event_type', NULL,    'action_other', '<FIELD> + <user_id>'),
+         ('props',      NULL,    'props_copy',  '<FIELD>')
+),
+long AS (
+  SELECT event_id, user_id, 'event_type' AS variable,
+         CAST(event_type AS VARCHAR) AS response FROM events
+  UNION ALL
+  SELECT event_id, user_id, 'props', props FROM events
+),
+joined AS (
+  SELECT l.event_id, l.user_id, l.response,
+         coalesce(e.target, w.target) AS target,
+         coalesce(e.expr, w.expr) AS rule
+  FROM (SELECT * FROM long WHERE response IS NOT NULL) l
+  LEFT JOIN (SELECT * FROM mapping WHERE response IS NOT NULL) e
+         ON e.variable = l.variable AND e.response = l.response
+  LEFT JOIN (SELECT * FROM mapping WHERE response IS NULL) w
+         ON w.variable = l.variable
+),
+valued AS (
+  SELECT event_id, target,
+         CASE rule
+           WHEN 'clicked' THEN 'clicked'
+           WHEN '<FIELD>' THEN response
+           WHEN '<FIELD> + <user_id>'
+             THEN response || ' ' || CAST(user_id AS VARCHAR)
+         END AS value
+  FROM joined WHERE target IS NOT NULL
+),
+per_target AS (
+  SELECT event_id, target, min(value) AS value,
+         count(DISTINCT value) AS n
+  FROM valued GROUP BY event_id, target
+)
+SELECT event_id,
+       MAX(CASE WHEN target = 'action_kind' THEN value END) AS action_kind,
+       MAX(CASE WHEN target = 'action_other' THEN value END) AS action_other,
+       MAX(CASE WHEN target = 'props_copy' THEN value END) AS props_copy,
+       CAST(NULL AS VARCHAR) AS conflicts
+FROM per_target GROUP BY event_id ORDER BY event_id
+"""
+
+
 # --- R5: json_normalize of a dict column (fhir2flat.py:270-304's
 #     pd.json_normalize analog): schema-driven from_json -> struct ->
 #     flattened field, then grouped stats
@@ -672,6 +756,7 @@ QUERIES = {
     "json_normalize_props": (q_json_normalize_props, SQL_JSON_NORMALIZE_PROPS),
     "format_dates": (q_format_dates, SQL_FORMAT_DATES),
     "parse_dates_messy": (q_parse_dates_messy, SQL_PARSE_DATES_MESSY),
+    "ingest_mapping": (q_ingest_mapping, SQL_INGEST_MAPPING),
     "expr_dsl": (q_expr_dsl, SQL_EXPR_DSL),
     "sha256_rows": (q_sha256, SQL_SHA256),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),

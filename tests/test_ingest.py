@@ -139,6 +139,11 @@ def test_parse_dates_matches_reference_semantics(spark):
         ("1/2/3/4", "%d/%m/%Y"),               # malformed -> warn
         (None, "%d/%m/%Y"),                    # NULL stays NULL, no warn
         ("31/12/1999 23:00:00", "%d/%m/%Y"),   # year boundary
+        # formats WITH %H: primary parse emits the tz-offset ISO form
+        ("15/06/2021 14:30:00", "%d/%m/%Y %H:%M:%S"),
+        ("15/01/2021 14:30:00", "%d/%m/%Y %H:%M:%S"),  # winter offset
+        ("15/06/2021", "%d/%m/%Y %H:%M:%S"),   # missing time -> warn
+        ("15/06/2021 14:30:00 extra", "%d/%m/%Y"),  # 3 parts -> warn
     ]
     tz = "Europe/Paris"
     for fmt in {f for _, f in cases}:
