@@ -35,8 +35,7 @@ def _sql_hash64(expr: str) -> str:
     return f"(('0x' || substr(sha256({expr}), 1, 15))::BIGINT)"
 
 
-def _tokens_df(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+def _tokens_of(docs):
     return docs.select(
         "doc_id",
         "lang",
@@ -46,13 +45,21 @@ def _tokens_df(spark, sf_dir):
     ).where(F.length("token") > 0)
 
 
-_SQL_TOKENS = r"""
+def _tokens_df(spark, sf_dir):
+    return _tokens_of(load(spark, sf_dir, "documents"))
+
+
+def _sql_tokens(src: str = "documents") -> str:
+    return rf"""
   SELECT DISTINCT doc_id, lang, token
   FROM (SELECT doc_id, lang,
                unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-        FROM documents)
+        FROM {src})
   WHERE length(token) > 0
 """
+
+
+_SQL_TOKENS = _sql_tokens()
 
 
 # --- exact dedup: content-hash groupBy, keep min doc_id (hash-groupBy —
@@ -417,6 +424,56 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- canonical near-dup pipeline order: collapse EXACT duplicates first
+#     (hash-groupBy keepers), THEN band the survivors — the composition a
+#     real 100-TB run executes, and the reason hot band buckets stay
+#     small: identical-content clusters (the k² blowup source) never
+#     reach the LSH join.
+
+def q_near_dedup_pipeline(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    survivors = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("text").alias("text"),
+        )
+    )
+    toks = _tokens_of(survivors)
+    aggs = [
+        F.min(_sha_hasher(F.col("token"), i)).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = toks.groupBy("doc_id").agg(*aggs)
+    return _lsh_pairs_from_sigs(sigs)
+
+
+def _sql_near_dedup_pipeline() -> str:
+    mins = ", ".join(_sql_min_exprs())
+    band_rows = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text
+  FROM documents GROUP BY sha256(text)
+),
+toks AS ({_sql_tokens('survivors')}),
+sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+banded AS ({banded}),
+capped AS ({_sql_cap('banded', 'band, sig')})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b USING (band, sig)
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- hot-bucket observability: the buckets the MAX_BUCKET cap would drop
 #     (the "no silent caps" duty — a deployment watches this to see what
 #     near-dup coverage it is trading away; pre-collapsing exact dups via
@@ -544,6 +601,7 @@ QUERIES = {
     "minhash_signatures_fast": (q_minhash_signatures_fast, None),
     "minhash_lsh_pairs_fast": (q_minhash_lsh_pairs_fast, None),
     "lsh_hot_buckets": (q_lsh_hot_buckets, _sql_lsh_hot_buckets()),
+    "near_dedup_pipeline": (q_near_dedup_pipeline, _sql_near_dedup_pipeline()),
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
