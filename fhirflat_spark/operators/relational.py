@@ -668,6 +668,35 @@ LIMIT 10
 # --- grouping sets: rollup over (returnflag, linestatus) — engine
 #     extension beyond the reference (SURVEY §2.4 notes absence)
 
+# --- exact percentile aggregation (engine extension, §2.8 family):
+#     Spark `percentile` and DuckDB `quantile_cont` share linear-
+#     interpolation semantics, so the values verify cross-engine
+#     (rounded to 6 dp to absorb float summation order)
+
+def q_value_percentiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(value) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_rollup_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -757,6 +786,7 @@ QUERIES = {
     "format_dates": (q_format_dates, SQL_FORMAT_DATES),
     "parse_dates_messy": (q_parse_dates_messy, SQL_PARSE_DATES_MESSY),
     "ingest_mapping": (q_ingest_mapping, SQL_INGEST_MAPPING),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "expr_dsl": (q_expr_dsl, SQL_EXPR_DSL),
     "sha256_rows": (q_sha256, SQL_SHA256),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
