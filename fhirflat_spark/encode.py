@@ -280,7 +280,8 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           skip_parts: frozenset[int] | None = None,
                           manifest_dir: str | None = None,
                           name_map: dict[str, str] | None = None,
-                          codec_opts: dict | None = None):
+                          codec_opts: dict | None = None,
+                          part_offset: int = 0):
     overrides = codec_overrides or {}
     base_opts = codec_opts or {}
     skip = skip_parts or frozenset()
@@ -289,7 +290,7 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
 
     def kernel(batches):
         ctx = TaskContext.get()
-        part_id = ctx.partitionId() if ctx is not None else 0
+        part_id = (ctx.partitionId() if ctx is not None else 0) + part_offset
         if part_id in skip:
             return
         frag: list[dict] = []
@@ -403,7 +404,8 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
             merged[sk] = merged.get(sk, 0) + int(c)
         key_counts = list(merged.items())
     if not key_counts:  # empty input: nothing to salt, keep a valid plan
-        return {"empty": True, "df": df, "orig_cols": orig_cols}
+        return {"empty": True, "df": df, "orig_cols": orig_cols,
+                "key_counts_sentinel": []}
 
     # caller-supplied stats may be stale/incomplete: reserve a bounded
     # fallback key for rows whose key has no bucket entry (appended LAST
@@ -457,7 +459,14 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
         "with_buckets": _with_buckets,
         "hash_cols": hash_cols,
         "caller_counts": caller_counts,
+        "key_counts_sentinel": key_counts,
     }
+
+
+def _capture_plan_stats(stats_out, pre):
+    if stats_out is not None:
+        stats_out["key_counts"] = pre["key_counts_sentinel"]
+        stats_out["caller_counts"] = pre.get("caller_counts", False)
 
 
 # key-count ceiling for the literal-map placement fast path: below it the
@@ -498,11 +507,16 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
                 num_partitions: int | None = None,
                 salt_col: str | None = "repo",
                 sort_cols: list[str] | None = None,
-                key_counts: list[tuple] | None = None) -> tuple[DataFrame, int]:
+                key_counts: list[tuple] | None = None,
+                stats_out: dict | None = None) -> tuple[DataFrame, int]:
     """Skew-defusing salted repartition + in-partition sort (the legacy
     row-shuffle encode plan; see ``plan_partition_ids`` for the
     blob-shuffle variant). Tables without the salt column fall back to a
-    plain round-robin repartition (no skew key to defuse)."""
+    plain round-robin repartition (no skew key to defuse).
+
+    ``stats_out``: optional dict the planner fills with the (sentinel-
+    keyed) key counts it used — callers persist these as maintained
+    table statistics (the Iceberg partition-stats pattern)."""
     spark = df.sparkSession
     if salt_col == "repo" and "repo" not in df.columns:
         salt_col = None
@@ -519,6 +533,7 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
         return out, P
 
     pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col, key_counts)
+    _capture_plan_stats(stats_out, pre)
     if pre["empty"]:
         P = num_partitions or 1
         return pre["df"].drop("__skey").repartition(P), P
@@ -561,7 +576,8 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
 def plan_partition_ids(df: DataFrame, rows_per_bucket: int = 250_000,
                        num_partitions: int | None = None,
                        salt_col: str | None = "repo",
-                       key_counts: list[tuple] | None = None) -> tuple[DataFrame, int]:
+                       key_counts: list[tuple] | None = None,
+                       stats_out: dict | None = None) -> tuple[DataFrame, int]:
     """Skew plan for the blob-shuffle encode path: NO exchange — returns
     ``df`` plus an ``__pb`` int column (target partition index, 0..P-1)
     computed entirely map-side (broadcast joins + hash expressions).
@@ -586,6 +602,7 @@ def plan_partition_ids(df: DataFrame, rows_per_bucket: int = 250_000,
         ), P
 
     pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col, key_counts)
+    _capture_plan_stats(stats_out, pre)
     if pre["empty"]:
         P = num_partitions or 1
         return pre["df"].drop("__skey").withColumn("__pb", F.lit(0)), P
@@ -686,7 +703,8 @@ def unpack_encode_kernel_factory(columns: list[str],
                                  codec_opts: dict | None = None,
                                  sort_names: list[str] | None = None,
                                  batch_rows: int = 16384,
-                                 from_blobs: bool = True):
+                                 from_blobs: bool = True,
+                                 part_offset: int = 0):
     """Post-shuffle encode kernel: materialize the partition (from
     Arrow-IPC blob rows when ``from_blobs``, else directly from the data
     batches), sort rows IN THE KERNEL (numpy/Arrow sort — replaces a JVM
@@ -704,7 +722,7 @@ def unpack_encode_kernel_factory(columns: list[str],
 
     def kernel(batches):
         ctx = TaskContext.get()
-        part_id = ctx.partitionId() if ctx is not None else 0
+        part_id = (ctx.partitionId() if ctx is not None else 0) + part_offset
         if part_id in skip:
             return
         tables: list[pa.Table] = []
@@ -819,6 +837,8 @@ def encode_table(
     key_counts: list[tuple] | None = None,
     shuffle: bool | str = True,
     profile: str = "balanced",
+    append: bool = False,
+    part_offset: int = 0,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -870,12 +890,17 @@ def encode_table(
 
     skip: frozenset[int] = frozenset()
     mode = "overwrite"
-    if resume:
+    if append:
+        # incremental append: new data lands in NEW part_id directories
+        # (offset past every existing partition); old manifest fragments
+        # stay in place and write_manifest re-merges old + new
+        mode = "append"
+    elif resume:
         skip = completed_partitions(spark, out_dir)
         mode = "append" if skip else "overwrite"
 
     frag_dir = _local(out_dir) + "/manifest_parts"
-    if not resume:
+    if not (resume or append):
         import shutil
 
         shutil.rmtree(frag_dir, ignore_errors=True)
@@ -885,6 +910,7 @@ def encode_table(
     safe_names = [f"__c{i}" for i in range(len(columns))]
     name_map = dict(zip(safe_names, columns))
     codec_opts = {"archive": True} if profile == "archive" else None
+    plan_stats: dict = {}
 
     if blob_mode:
         # blob-shuffle path (default): bucket ids map-side, pre-pack each
@@ -892,7 +918,7 @@ def encode_table(
         # the few fat blob rows, reassemble+sort+encode post-shuffle.
         bucketed, P = plan_partition_ids(
             df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
-            key_counts=key_counts,
+            key_counts=key_counts, stats_out=plan_stats,
         )
         bucketed = bucketed.select(
             *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)],
@@ -916,6 +942,7 @@ def encode_table(
             safe_names, codec_overrides, skip_parts=skip,
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
             sort_names=sort_names, batch_rows=batch_rows,
+            part_offset=part_offset,
         )
         chunks = packed.repartition(P, F.col("__tok")).mapInArrow(
             kernel, schema=chunk_schema(len(columns))
@@ -932,6 +959,7 @@ def encode_table(
             salted, P = plan_salted(
                 df, rows_per_bucket=rows_per_bucket,
                 num_partitions=num_partitions, key_counts=key_counts,
+                stats_out=plan_stats,
             )
         else:  # layout-preserving: encode splits in place, no exchange
             salted = df
@@ -942,6 +970,7 @@ def encode_table(
         kernel = encode_kernel_factory(
             safe_names, codec_overrides, skip_parts=skip,
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
+            part_offset=part_offset,
         )
         chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
     # ONE data-sized job: encode + write chunks; tasks commit their own
@@ -956,10 +985,18 @@ def encode_table(
     )
     meta_rows = load_fragments(frag_dir)
     manifest_stats = write_manifest(spark, out_dir, meta_rows)
+    if plan_stats.get("key_counts") and not plan_stats.get("caller_counts"):
+        # persist SCAN-DERIVED counts only (caller-provided stats are the
+        # caller's to maintain; merging them here would double-count).
+        # append merges the new delta onto prior stats; a resume scan
+        # covered the whole table so it overwrites.
+        from fhirflat_spark.manifest import write_key_counts
+
+        write_key_counts(out_dir, plan_stats["key_counts"], merge=append)
     seconds = time.time() - t0
     result = EncodeResult(
         out_dir=out_dir,
-        num_partitions=P,
+        num_partitions=manifest_stats["n_partitions"] if append else P,
         seconds=seconds,
         rows=manifest_stats["rows"],
         raw_bytes=manifest_stats["raw_bytes"],
@@ -972,3 +1009,63 @@ def encode_table(
         dataset_sha=manifest_stats["dataset_sha256"],
     )
     return result
+
+
+def append_table(
+    df: DataFrame,
+    out_dir: str,
+    rows_per_bucket: int = 250_000,
+    num_partitions: int | None = None,
+    key_counts: list[tuple] | None = None,
+    shuffle: bool | str = True,
+    profile: str = "balanced",
+) -> EncodeResult:
+    """Incrementally append ``df`` to an EXISTING encoded dataset — the
+    daily-ingest pattern at 100 TB: new rows become NEW partitions
+    (part ids offset past every existing one), the manifest re-merges old
+    + new fragments, and the dataset checksum/summary update to cover the
+    whole table. Existing chunk files are never touched, so concurrent
+    readers keep a consistent view until the summary swap.
+
+    Columns must match the existing dataset exactly. When no
+    ``key_counts`` are given, the append batch's per-key counts are
+    scanned (cost proportional to the DELTA, not the table) and merged
+    into the persisted table statistics — so stats keep tracking the
+    whole dataset across appends without ever rescanning it. Returned
+    totals cover the WHOLE dataset after the append."""
+    from fhirflat_spark.manifest import (
+        completed_partitions,
+        load_key_counts,
+        read_summary,
+        write_key_counts,
+    )
+
+    spark = df.sparkSession
+    summary = read_summary(spark, out_dir)
+    if list(df.columns) != list(summary["columns"]):
+        raise ValueError(
+            f"append columns {list(df.columns)} != dataset columns "
+            f"{summary['columns']}"
+        )
+    existing = completed_partitions(spark, out_dir)
+    offset = (max(existing) + 1) if existing else 0
+    merged_stats: list[tuple] | None = None
+    if key_counts is None and "repo" in df.columns:
+        delta = [
+            (r[0], r["count"]) for r in df.groupBy("repo").count().collect()
+        ]
+        totals: dict = {}
+        for k, c in (load_key_counts(out_dir) or []) + delta:
+            totals[k] = totals.get(k, 0) + int(c)
+        key_counts = merged_stats = list(totals.items())
+    res = encode_table(
+        df, out_dir, rows_per_bucket=rows_per_bucket,
+        num_partitions=num_partitions, key_counts=key_counts,
+        shuffle=shuffle, profile=profile, append=True, part_offset=offset,
+    )
+    if merged_stats is not None:  # persist only after a successful append
+        write_key_counts(
+            out_dir,
+            [("n:" if k is None else f"v:{k}", c) for k, c in merged_stats],
+        )
+    return res

@@ -205,3 +205,52 @@ def write_summary(spark: SparkSession, out_dir: str, result, columns: list[str],
 def read_summary(spark: SparkSession, out_dir: str) -> dict:
     with open(_local(out_dir) + "/_SUMMARY.json") as f:
         return json.load(f)
+
+
+# --- maintained table statistics (the Iceberg partition-stats pattern):
+# the per-key row counts the salted planner used, persisted so the NEXT
+# run (or an append) skips the counting scan. Stale counts are safe by
+# design — placement keeps a fallback bucket for unseen keys.
+
+def write_key_counts(out_dir: str, sentinel_counts: list[tuple],
+                     merge: bool = False) -> None:
+    """Persist sentinel-keyed counts ("v:<k>" / "n:" / "o:") as raw-keyed
+    stats. The "o:" fallback pseudo-key is not a real key and is dropped.
+    ``merge=True`` adds onto previously persisted counts (append runs
+    contribute their delta)."""
+    import os
+
+    rows: dict[str | None, int] = {}
+    if merge:
+        prev = load_key_counts(out_dir)
+        for k, c in prev or []:
+            rows[k] = rows.get(k, 0) + int(c)
+    for sk, c in sentinel_counts:
+        if sk == "o:":
+            continue
+        k = None if sk == "n:" else sk[2:]
+        rows[k] = rows.get(k, 0) + int(c)
+    table = pa.table(
+        {
+            "key": pa.array(list(rows.keys()), pa.string()),
+            "count": pa.array(list(rows.values()), pa.int64()),
+        }
+    )
+    d = _local(out_dir) + "/stats"
+    os.makedirs(d, exist_ok=True)
+    tmp = f"{d}/.key_counts.parquet.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, f"{d}/key_counts.parquet")
+
+
+def load_key_counts(out_dir: str) -> list[tuple] | None:
+    """Previously persisted per-key counts, as caller-style
+    ``key_counts`` (raw key or None, count) — pass straight back into
+    ``encode_table``/``plan_salted``."""
+    import os
+
+    path = _local(out_dir) + "/stats/key_counts.parquet"
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    return list(zip(t["key"].to_pylist(), t["count"].to_pylist()))

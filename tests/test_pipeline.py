@@ -543,3 +543,59 @@ def test_zone_filter_generic_column(spark, tmp_path):
     want2 = docs.where(F.col("text").between(tlo, thi))
     assert got2.count() == want2.count() > 0
     assert dec2.count() < docs.count()
+
+
+def test_append_table_incremental(spark, tmp_path):
+    """Incremental append: new rows land in NEW partitions, the manifest
+    re-merges, totals/summary cover the whole dataset, and decode returns
+    the union bit-identically."""
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import load_key_counts, read_summary
+
+    out = str(tmp_path / "app")
+    df1 = gen_spark(spark, 3000, seed=31)
+    df2 = gen_spark(spark, 2000, seed=32)
+    res1 = encode_table(df1, out, rows_per_bucket=600)
+    assert res1.rows == 3000
+    # scan-derived key stats were persisted by the first run
+    kc = load_key_counts(out)
+    assert kc and sum(c for _, c in kc) == 3000
+    res2 = append_table(df2, out, rows_per_bucket=600)
+    assert res2.rows == 5000  # totals cover the whole dataset
+    summary = read_summary(spark, out)
+    assert summary["rows"] == 5000
+    # appended stats merged the delta
+    kc2 = load_key_counts(out)
+    assert sum(c for _, c in kc2) == 5000
+    both = df1.unionByName(df2)
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 5000
+    fails = verify_against_source(both, decoded, ["repo", "path", "commit", "lang", "content"])
+    assert fails.count() == 0
+    # append refuses mismatched columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        append_table(df2.drop("lang"), out)
+
+
+def test_append_partitions_disjoint(spark, tmp_path):
+    """Appended partitions must not collide with existing part ids (the
+    offset guarantees it), and old chunk files stay untouched."""
+    import os
+
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import read_manifest
+
+    out = str(tmp_path / "app2")
+    encode_table(gen_spark(spark, 1000, seed=33), out, rows_per_bucket=250)
+    before = {
+        d: os.path.getmtime(f"{out}/chunks/{d}")
+        for d in os.listdir(f"{out}/chunks") if d.startswith("part_id=")
+    }
+    append_table(gen_spark(spark, 1000, seed=34), out, rows_per_bucket=250)
+    m = read_manifest(spark, out).select("part_id").collect()
+    ids = [r["part_id"] for r in m]
+    assert len(ids) == len(set(ids)), "part_id collision after append"
+    for d, mt in before.items():
+        assert os.path.getmtime(f"{out}/chunks/{d}") == mt, f"{d} rewritten"
