@@ -44,6 +44,14 @@ def main() -> None:
     enc.add_argument("--shuffle", choices=["true", "false", "auto", "blob"], default="true",
                      help="auto = skip the exchange when input is already clustered")
 
+    app = sub.add_parser("append", help="incrementally append rows to an existing dataset")
+    app.add_argument("--rows", type=int, default=100_000, help="synthetic rows (ignored with --src)")
+    app.add_argument("--seed", type=int, default=43, help="datagen seed for synthetic append rows")
+    app.add_argument("--src", help="existing parquet table to append instead of synthetic")
+    app.add_argument("--out", required=True)
+    app.add_argument("--rows-per-bucket", type=int, default=250_000)
+    app.add_argument("--profile", choices=["balanced", "archive"], default="balanced")
+
     ver = sub.add_parser("verify", help="re-verify every chunk round-trips bit-identically")
     ver.add_argument("--out", required=True)
     ver.add_argument("--columns", help="comma-separated subset (per-column sha check)")
@@ -82,6 +90,23 @@ def main() -> None:
             "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),
             "seconds": round(res.seconds, 2), "gbps": round(res.throughput_gbps, 4),
             "partitions": res.num_partitions, "shuffled": res.shuffled,
+        }))
+    elif args.cmd == "append":
+        from fhirflat_spark.encode import append_table
+
+        if args.src:
+            df = spark.read.parquet(args.src)
+        else:
+            from fhirflat_spark.datagen import gen_spark
+
+            df = gen_spark(spark, args.rows, seed=args.seed)
+        res = append_table(df, args.out, rows_per_bucket=args.rows_per_bucket,
+                           profile=args.profile)
+        print(json.dumps({
+            "rows_total": res.rows, "raw_bytes": res.raw_bytes,
+            "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),
+            "seconds": round(res.seconds, 2),
+            "partitions_total": res.num_partitions,
         }))
     elif args.cmd == "verify":
         from pyspark.sql import functions as F
