@@ -403,6 +403,12 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
             sk = "n:" if k is None else f"v:{k}"
             merged[sk] = merged.get(sk, 0) + int(c)
         key_counts = list(merged.items())
+    # SORT by key: bucket ordinals (and therefore row→partition placement)
+    # must be a pure function of the key-count multiset, not of the
+    # nondeterministic collect() order of the counting scan — otherwise a
+    # replayed run over differently-partitioned input places rows onto
+    # different partitions and exactly-once replay breaks bit-identity.
+    key_counts = sorted(key_counts)
     if not key_counts:  # empty input: nothing to salt, keep a valid plan
         return {"empty": True, "df": df, "orig_cols": orig_cols,
                 "key_counts_sentinel": []}
@@ -839,6 +845,7 @@ def encode_table(
     profile: str = "balanced",
     append: bool = False,
     part_offset: int = 0,
+    overwrite_partitions: bool = False,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -893,8 +900,12 @@ def encode_table(
     if append:
         # incremental append: new data lands in NEW part_id directories
         # (offset past every existing partition); old manifest fragments
-        # stay in place and write_manifest re-merges old + new
-        mode = "append"
+        # stay in place and write_manifest re-merges old + new.
+        # overwrite_partitions flips to dynamic partition overwrite:
+        # re-running the SAME part_offset range replaces exactly its own
+        # partition dirs — the idempotence a replayed streaming
+        # micro-batch needs for exactly-once.
+        mode = "overwrite" if overwrite_partitions else "append"
     elif resume:
         skip = completed_partitions(spark, out_dir)
         mode = "append" if skip else "overwrite"
@@ -977,12 +988,10 @@ def encode_table(
     # manifest fragments alongside. partitionBy(part_id) keeps the
     # Iceberg-style partitioned layout that resume prunes/replaces by
     # directory.
-    (
-        chunks.write.mode(mode)
-        .option("compression", "uncompressed")
-        .partitionBy("part_id")
-        .parquet(f"{out_dir}/chunks")
-    )
+    writer = chunks.write.mode(mode).option("compression", "uncompressed")
+    if append and overwrite_partitions:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("part_id").parquet(f"{out_dir}/chunks")
     meta_rows = load_fragments(frag_dir)
     manifest_stats = write_manifest(spark, out_dir, meta_rows)
     if plan_stats.get("key_counts") and not plan_stats.get("caller_counts"):

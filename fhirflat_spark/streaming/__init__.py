@@ -43,6 +43,46 @@ def encode_stream(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer
 
 
+PARTS_PER_BATCH = 1 << 16  # part-id namespace per micro-batch (int32-safe to 32k batches)
+
+
+def encode_stream_incremental(stream_df: DataFrame, out_dir: str,
+                              checkpoint_dir: str,
+                              rows_per_bucket: int = 250_000,
+                              trigger_once: bool = True,
+                              parts_per_batch: int = PARTS_PER_BATCH):
+    """Continuous encode into ONE queryable dataset (vs ``encode_stream``'s
+    per-batch bundle dirs): every micro-batch appends its rows as new
+    partitions inside its own part-id namespace
+    (``batch_id * parts_per_batch``), the manifest/summary re-merge to
+    cover the whole table, and readers always see a consistent dataset.
+
+    Exactly-once WITHOUT a side state file: the write uses dynamic
+    partition overwrite, so a replayed batch id rewrites exactly its own
+    partition directories (and its manifest fragments, same filenames) —
+    idempotent by construction, like a checkpointed batch re-run.
+    """
+    from fhirflat_spark.encode import encode_table
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_table(
+            batch_df, out_dir, rows_per_bucket=rows_per_bucket,
+            append=True, part_offset=int(batch_id) * parts_per_batch,
+            overwrite_partitions=True,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
 def merge_sessions(sorted_us, state_sessions, gap_us: int):
     """Gap-merge sorted event micros + the session intervals carried in
     state (one tuple or a list of tuples) into disjoint sessions (each

@@ -327,3 +327,50 @@ def test_sessionize_timeout_flush(spark, tmp_path):
     assert flushed[0]["n_events"] == 2
     assert flushed[0]["session_start"] == base
     assert flushed[0]["session_end"] == base + dt.timedelta(minutes=2)
+
+
+def test_incremental_stream_encode_single_dataset(spark, tmp_path):
+    """encode_stream_incremental: multiple micro-batches land in ONE
+    dataset; decode returns every row bit-identically; a REPLAYED batch
+    (same id + data) leaves the dataset checksum unchanged (dynamic
+    partition overwrite idempotence)."""
+    import time as _t
+
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.decode import decode_table, verify_against_source
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import read_summary
+    from fhirflat_spark.streaming import PARTS_PER_BATCH, encode_stream_incremental
+
+    src_dir = str(tmp_path / "inc_src")
+    out_dir = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ck")
+    df1 = gen_spark(spark, 1200, seed=61)
+    df2 = gen_spark(spark, 800, seed=62)
+    df1.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    _t.sleep(1.1)
+    df2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = encode_stream_incremental(stream, out_dir, ckpt, rows_per_bucket=300).start()
+    q.awaitTermination(180)
+
+    both = df1.unionByName(df2)
+    decoded = decode_table(spark, out_dir)
+    assert decoded.count() == 2000
+    fails = verify_against_source(both, decoded, ["repo", "path", "commit", "lang", "content"])
+    assert fails.count() == 0
+    sha1 = read_summary(spark, out_dir)["dataset_sha256"]
+
+    # simulate a replay of batch 1 (same id, same rows): must be a no-op
+    encode_table(
+        df2, out_dir, rows_per_bucket=300, append=True,
+        part_offset=1 * PARTS_PER_BATCH, overwrite_partitions=True,
+    )
+    sha2 = read_summary(spark, out_dir)["dataset_sha256"]
+    assert sha1 == sha2
+    assert decode_table(spark, out_dir).count() == 2000
