@@ -493,3 +493,39 @@ def codec_report(spark: SparkSession, out_dir: str) -> DataFrame:
         .withColumn("ratio", F.round(F.col("encoded_bytes") / F.col("raw_bytes"), 4))
         .orderBy("column", "codec")
     )
+
+
+def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
+                  rows_per_bucket: int = 250_000,
+                  profile: str = "balanced",
+                  shuffle: bool | str = True):
+    """Rewrite a fragmented dataset (e.g. after many small appends) into
+    a freshly clustered one: decode everything, re-run the salted encode
+    with full-size buckets, write to a NEW directory. Crash-safe by
+    construction — ``dst_dir`` is complete-or-discardable and ``src_dir``
+    is never touched; callers swap directories after verifying.
+
+    Complements ``transcode_table`` (same boundaries, new codecs): this
+    is the boundary/clustering rewrite. A selective variant (compact
+    only under-filled partitions via ``decode_table(part_ids=...)`` into
+    an appended range) trades the full rewrite for multi-step metadata
+    surgery and is deliberately not offered — maintenance ops here stay
+    single-step atomic."""
+    import os as _os
+
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import _local, read_summary
+
+    if _os.path.realpath(_local(src_dir)) == _os.path.realpath(_local(dst_dir)):
+        raise ValueError("compact_table cannot write in place — use a new dst_dir")
+    summary = read_summary(spark, src_dir)
+    df = decode_table(spark, src_dir)
+    res = encode_table(
+        df, dst_dir, columns=summary["columns"],
+        rows_per_bucket=rows_per_bucket, profile=profile, shuffle=shuffle,
+    )
+    if res.rows != summary["rows"]:
+        raise RuntimeError(
+            f"compaction row mismatch: {res.rows} != {summary['rows']}"
+        )
+    return res

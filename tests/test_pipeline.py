@@ -599,3 +599,29 @@ def test_append_partitions_disjoint(spark, tmp_path):
     assert len(ids) == len(set(ids)), "part_id collision after append"
     for d, mt in before.items():
         assert os.path.getmtime(f"{out}/chunks/{d}") == mt, f"{d} rewritten"
+
+
+def test_compact_table_defragments(spark, tmp_path):
+    """Many small appends fragment the dataset; compact_table rewrites it
+    into full-size buckets — fewer partitions, identical rows."""
+    from fhirflat_spark.decode import compact_table
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import read_summary
+
+    out = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    parts = [gen_spark(spark, 500, seed=70 + i) for i in range(4)]
+    encode_table(parts[0], out, rows_per_bucket=100)
+    for p in parts[1:]:
+        append_table(p, out, rows_per_bucket=100)
+    frag_parts = read_summary(spark, out)["num_partitions"]
+    res = compact_table(spark, out, dst, rows_per_bucket=1000)
+    assert res.rows == 2000
+    assert res.num_partitions < frag_parts, (res.num_partitions, frag_parts)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    decoded = decode_table(spark, dst)
+    assert decoded.count() == 2000
+    fails = verify_against_source(union, decoded, ["repo", "path", "commit", "lang", "content"])
+    assert fails.count() == 0
