@@ -153,11 +153,22 @@ def encode_run(cores: int, src: str, tag: str, key_counts,
                 t0 = time.time()
                 decode_table(spark, out, columns=["lang"]).count()
                 s_walls.append(round(time.time() - t0, 2))
+            # incremental append of a 10% delta (the daily-ingest op):
+            # delta-proportional cost, manifest re-merge included
+            from fhirflat_spark.datagen import gen_spark
+            from fhirflat_spark.encode import append_table
+
+            delta = gen_spark(spark, max(BENCH_ROWS // 10, 1000), seed=7)
+            t0 = time.time()
+            app = append_table(delta, out, rows_per_bucket=ROWS_PER_BUCKET)
+            append_wall = round(time.time() - t0, 2)
             decode_stats = {
                 "decode_wall_sec": min(d_walls),
                 "decode_gbps": round(res.raw_bytes / 1e9 / min(d_walls), 4),
                 "decoded_rows": n,
                 "decode_one_col_wall_sec": min(s_walls),
+                "append_10pct_wall_sec": append_wall,
+                "append_rows_total": app.rows,
             }
         shutil.rmtree(out, ignore_errors=True)
         timed = sorted(walls[1:])
@@ -369,7 +380,10 @@ def _write_report(result: dict) -> None:
                 f"1-of-5-column decode "
                 f"{enc[f'local[{CPUS}]']['decode_one_col_wall_sec']}s "
                 "(parquet nested-schema pruning skips unselected columns' "
-                "payload bytes).",
+                "payload bytes). Incremental append of a 10% delta: "
+                f"{enc[f'local[{CPUS}]'].get('append_10pct_wall_sec', '?')}s "
+                "(delta-proportional — new partitions + manifest re-merge, "
+                "no table rewrite).",
             ]
             if "decode_one_col_wall_sec" in enc.get(f"local[{CPUS}]", {})
             else []

@@ -529,3 +529,24 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
             f"compaction row mismatch: {res.rows} != {summary['rows']}"
         )
     return res
+
+
+def decode_filtered(spark: SparkSession, out_dir: str, col: str, lo, hi,
+                    columns: list[str] | None = None) -> DataFrame:
+    """One-call range read: zone-map chunk pruning on ``col`` PLUS the
+    exact residual filter — the convenience wrapper around the
+    ``decode_table(zone_filter=...)`` + residual contract that
+    queries()['decode_zone_pruned'] proves correct. ``columns`` prunes
+    payload IO as usual; the filter column is read in addition when not
+    selected, then dropped."""
+    read_cols = columns
+    drop_filter_col = False
+    if columns is not None and col not in columns:
+        read_cols = [*columns, col]
+        drop_filter_col = True
+    df = decode_table(spark, out_dir, columns=read_cols,
+                      zone_filter=(col, lo, hi))
+    df = df.where(F.col(f"`{col}`").between(lo, hi))
+    if drop_filter_col:
+        df = df.drop(col)
+    return df

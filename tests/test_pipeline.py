@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from fhirflat_spark.datagen import gen_pandas, gen_spark
 from fhirflat_spark.decode import (
     codec_report,
+    decode_filtered,
     decode_table,
     verify_against_source,
     verify_table,
@@ -625,3 +626,17 @@ def test_compact_table_defragments(spark, tmp_path):
     assert decoded.count() == 2000
     fails = verify_against_source(union, decoded, ["repo", "path", "commit", "lang", "content"])
     assert fails.count() == 0
+
+
+def test_decode_filtered_one_call(spark, encoded):
+    """decode_filtered == zone-pruned decode + exact residual, including
+    when the filter column is outside the selected columns."""
+    df, out, _ = encoded
+    got = decode_filtered(spark, out, "lang", "go", "java")
+    want = df.where(F.col("lang").between("go", "java"))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+    # column-pruned variant: filter col not in selection, still applied
+    got2 = decode_filtered(spark, out, "lang", "go", "java", columns=["repo", "path"])
+    assert got2.columns == ["repo", "path"]
+    assert got2.count() == want.count()
