@@ -1066,7 +1066,11 @@ def append_table(
         totals: dict = {}
         for k, c in (load_key_counts(out_dir) or []) + delta:
             totals[k] = totals.get(k, 0) + int(c)
-        key_counts = merged_stats = list(totals.items())
+        merged_stats = list(totals.items())
+        # PLAN with the delta counts (the append job only carries the
+        # delta — whole-table totals would allocate near-empty
+        # partitions); PERSIST the merged totals
+        key_counts = delta
     res = encode_table(
         df, out_dir, rows_per_bucket=rows_per_bucket,
         num_partitions=num_partitions, key_counts=key_counts,
