@@ -158,7 +158,8 @@ def encode_run(cores: int, src: str, tag: str, key_counts,
             from fhirflat_spark.datagen import gen_spark
             from fhirflat_spark.encode import append_table
 
-            delta = gen_spark(spark, max(BENCH_ROWS // 10, 1000), seed=7)
+            delta = gen_spark(spark, max(BENCH_ROWS // 10, 1000), seed=7).cache()
+            delta.count()  # materialize: timing excludes datagen
             t0 = time.time()
             app = append_table(delta, out, rows_per_bucket=ROWS_PER_BUCKET)
             append_wall = round(time.time() - t0, 2)
