@@ -846,6 +846,7 @@ def encode_table(
     append: bool = False,
     part_offset: int = 0,
     overwrite_partitions: bool = False,
+    max_new_partitions: int | None = None,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -984,6 +985,14 @@ def encode_table(
             part_offset=part_offset,
         )
         chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
+    if max_new_partitions is not None and P > max_new_partitions:
+        # part-id namespace guard (streaming: batch_id * parts_per_batch):
+        # silently bleeding into the next range would let a later replay
+        # rewrite ANOTHER batch's partitions — fail loudly instead
+        raise ValueError(
+            f"planned {P} partitions exceed the {max_new_partitions}-wide "
+            "part-id namespace; raise parts_per_batch or rows_per_bucket"
+        )
     # ONE data-sized job: encode + write chunks; tasks commit their own
     # manifest fragments alongside. partitionBy(part_id) keeps the
     # Iceberg-style partitioned layout that resume prunes/replaces by
@@ -996,12 +1005,14 @@ def encode_table(
     manifest_stats = write_manifest(spark, out_dir, meta_rows)
     if plan_stats.get("key_counts") and not plan_stats.get("caller_counts"):
         # persist SCAN-DERIVED counts only (caller-provided stats are the
-        # caller's to maintain; merging them here would double-count).
-        # append merges the new delta onto prior stats; a resume scan
-        # covered the whole table so it overwrites.
+        # caller's to maintain). Fragment keyed by part_offset: a full
+        # encode/resume owns the table (fresh=True clears old fragments);
+        # an append/replayed batch atomically replaces only its own
+        # fragment — idempotent under retries.
         from fhirflat_spark.manifest import write_key_counts
 
-        write_key_counts(out_dir, plan_stats["key_counts"], merge=append)
+        write_key_counts(out_dir, plan_stats["key_counts"],
+                         label=f"{part_offset:012d}", fresh=not append)
     seconds = time.time() - t0
     result = EncodeResult(
         out_dir=out_dir,
@@ -1038,10 +1049,12 @@ def append_table(
 
     Columns must match the existing dataset exactly. When no
     ``key_counts`` are given, the append batch's per-key counts are
-    scanned (cost proportional to the DELTA, not the table) and merged
-    into the persisted table statistics — so stats keep tracking the
-    whole dataset across appends without ever rescanning it. Returned
-    totals cover the WHOLE dataset after the append."""
+    scanned (cost proportional to the DELTA, not the table), used to
+    plan THIS append's buckets, and persisted as this offset's stats
+    fragment — so merged statistics keep tracking the whole dataset
+    across appends without rescanning it, and a retried append replaces
+    its own fragment instead of double-counting. Returned totals cover
+    the WHOLE dataset after the append."""
     from fhirflat_spark.manifest import (
         completed_partitions,
         load_key_counts,
@@ -1058,27 +1071,26 @@ def append_table(
         )
     existing = completed_partitions(spark, out_dir)
     offset = (max(existing) + 1) if existing else 0
-    merged_stats: list[tuple] | None = None
+    delta_stats: list[tuple] | None = None
     if key_counts is None and "repo" in df.columns:
-        delta = [
+        delta_stats = [
             (r[0], r["count"]) for r in df.groupBy("repo").count().collect()
         ]
-        totals: dict = {}
-        for k, c in (load_key_counts(out_dir) or []) + delta:
-            totals[k] = totals.get(k, 0) + int(c)
-        merged_stats = list(totals.items())
-        # PLAN with the delta counts (the append job only carries the
-        # delta — whole-table totals would allocate near-empty
-        # partitions); PERSIST the merged totals
-        key_counts = delta
+        key_counts = delta_stats
     res = encode_table(
         df, out_dir, rows_per_bucket=rows_per_bucket,
         num_partitions=num_partitions, key_counts=key_counts,
         shuffle=shuffle, profile=profile, append=True, part_offset=offset,
+        # a RETRIED append reuses the same offset (the manifest was not
+        # merged before the crash); dynamic partition overwrite makes the
+        # retry replace exactly its own partition dirs instead of
+        # appending duplicate chunk files next to the crashed attempt's
+        overwrite_partitions=True,
     )
-    if merged_stats is not None:  # persist only after a successful append
+    if delta_stats is not None:  # persist only after a successful append
         write_key_counts(
             out_dir,
-            [("n:" if k is None else f"v:{k}", c) for k, c in merged_stats],
+            [("n:" if k is None else f"v:{k}", c) for k, c in delta_stats],
+            label=f"{offset:012d}",
         )
     return res

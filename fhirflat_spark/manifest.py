@@ -209,22 +209,33 @@ def read_summary(spark: SparkSession, out_dir: str) -> dict:
 
 # --- maintained table statistics (the Iceberg partition-stats pattern):
 # the per-key row counts the salted planner used, persisted so the NEXT
-# run (or an append) skips the counting scan. Stale counts are safe by
-# design — placement keeps a fallback bucket for unseen keys.
+# run (or an append) skips the counting scan. Stored as one FRAGMENT per
+# part-offset range (mirroring the manifest-fragment protocol): a
+# replayed append/streaming batch atomically REPLACES its own fragment
+# instead of re-merging into a single file, so stats stay idempotent
+# under retries. Stale counts are safe by design — placement keeps a
+# fallback bucket for unseen keys.
+
+def _stats_dir(out_dir: str) -> str:
+    return _local(out_dir) + "/stats/key_count_parts"
+
 
 def write_key_counts(out_dir: str, sentinel_counts: list[tuple],
-                     merge: bool = False) -> None:
-    """Persist sentinel-keyed counts ("v:<k>" / "n:" / "o:") as raw-keyed
-    stats. The "o:" fallback pseudo-key is not a real key and is dropped.
-    ``merge=True`` adds onto previously persisted counts (append runs
-    contribute their delta)."""
+                     label: str = "000000000000",
+                     fresh: bool = False) -> None:
+    """Persist sentinel-keyed counts ("v:<k>" / "n:" / "o:") as a
+    raw-keyed stats fragment named by ``label`` (tmp+rename — a retry of
+    the same label replaces, never duplicates). ``fresh=True`` clears
+    all fragments first (a full re-encode owns the whole table). The
+    "o:" fallback pseudo-key is not a real key and is dropped."""
     import os
+    import shutil
 
+    d = _stats_dir(out_dir)
+    if fresh:
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
     rows: dict[str | None, int] = {}
-    if merge:
-        prev = load_key_counts(out_dir)
-        for k, c in prev or []:
-            rows[k] = rows.get(k, 0) + int(c)
     for sk, c in sentinel_counts:
         if sk == "o:":
             continue
@@ -236,21 +247,26 @@ def write_key_counts(out_dir: str, sentinel_counts: list[tuple],
             "count": pa.array(list(rows.values()), pa.int64()),
         }
     )
-    d = _local(out_dir) + "/stats"
-    os.makedirs(d, exist_ok=True)
-    tmp = f"{d}/.key_counts.parquet.tmp.{os.getpid()}"
+    tmp = f"{d}/.{label}.parquet.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
-    os.replace(tmp, f"{d}/key_counts.parquet")
+    os.replace(tmp, f"{d}/{label}.parquet")
 
 
 def load_key_counts(out_dir: str) -> list[tuple] | None:
-    """Previously persisted per-key counts, as caller-style
+    """Merged per-key counts across every stats fragment, as caller-style
     ``key_counts`` (raw key or None, count) — pass straight back into
-    ``encode_table``/``plan_salted``."""
+    ``encode_table``/``plan_salted``. None when no stats exist."""
+    import glob
     import os
 
-    path = _local(out_dir) + "/stats/key_counts.parquet"
-    if not os.path.exists(path):
+    d = _stats_dir(out_dir)
+    if not os.path.isdir(d):
         return None
-    t = pq.read_table(path)
-    return list(zip(t["key"].to_pylist(), t["count"].to_pylist()))
+    totals: dict[str | None, int] = {}
+    found = False
+    for path in sorted(glob.glob(f"{d}/*.parquet")):
+        found = True
+        t = pq.read_table(path)
+        for k, c in zip(t["key"].to_pylist(), t["count"].to_pylist()):
+            totals[k] = totals.get(k, 0) + int(c)
+    return list(totals.items()) if found else None

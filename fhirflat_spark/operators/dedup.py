@@ -177,6 +177,17 @@ def _sql_cap(src: str, keys: str, max_n: int = MAX_BUCKET) -> str:
     )
 
 
+def _sql_banded(src: str = "sigs") -> str:
+    """DuckDB mirror of _banded_sigs: one UNION ALL arm per band."""
+    rows = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM {src}")
+    return " UNION ALL ".join(rows)
+
+
 def _banded_sigs(sigs):
     bands = []
     for b in range(N_HASHES // BAND_SIZE):
@@ -213,13 +224,7 @@ def q_minhash_lsh_pairs_fast(spark, sf_dir):
 
 
 def _sql_minhash_lsh_pairs() -> str:
-    band_rows = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = " || '_' || ".join(
-            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
-        )
-        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
-    banded = " UNION ALL ".join(band_rows)
+    banded = _sql_banded()
     mins = ", ".join(_sql_min_exprs())
     return f"""
 WITH toks AS ({_SQL_TOKENS}),
@@ -451,13 +456,7 @@ def q_near_dedup_pipeline(spark, sf_dir):
 
 def _sql_near_dedup_pipeline() -> str:
     mins = ", ".join(_sql_min_exprs())
-    band_rows = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = " || '_' || ".join(
-            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
-        )
-        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
-    banded = " UNION ALL ".join(band_rows)
+    banded = _sql_banded()
     return f"""
 WITH survivors AS (
   SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text
@@ -491,13 +490,7 @@ def q_lsh_hot_buckets(spark, sf_dir):
 
 def _sql_lsh_hot_buckets() -> str:
     mins = ", ".join(_sql_min_exprs())
-    band_rows = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = " || '_' || ".join(
-            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
-        )
-        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
-    banded = " UNION ALL ".join(band_rows)
+    banded = _sql_banded()
     return f"""
 WITH toks AS ({_SQL_TOKENS}),
 sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
@@ -562,13 +555,7 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
 
 def _sql_minhash_jaccard_estimate() -> str:
     mins = ", ".join(_sql_min_exprs())
-    band_rows = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = " || '_' || ".join(
-            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
-        )
-        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sigs")
-    banded = " UNION ALL ".join(band_rows)
+    banded = _sql_banded()
     agree = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
     )

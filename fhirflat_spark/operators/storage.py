@@ -35,7 +35,7 @@ def _encoded_documents(spark, sf_dir: str) -> str:
     out = os.path.join(
         tempfile.gettempdir(), f"fhirflat_spark_zoneq_{label}", "ds"
     )
-    if not os.path.exists(os.path.join(out, "summary")):
+    if not os.path.exists(os.path.join(out, "_SUMMARY.json")):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         encode_table(docs, out, rows_per_bucket=2000)
     return out

@@ -640,3 +640,38 @@ def test_decode_filtered_one_call(spark, encoded):
     got2 = decode_filtered(spark, out, "lang", "go", "java", columns=["repo", "path"])
     assert got2.columns == ["repo", "path"]
     assert got2.count() == want.count()
+
+
+def test_append_retry_idempotent(spark, tmp_path):
+    """A crashed-then-retried append reuses the SAME part_offset (the
+    manifest was not merged before the crash). The retry must replace the
+    crashed attempt's partition dirs via dynamic partition overwrite —
+    not add duplicate chunk files — leaving the dataset checksum
+    unchanged and rows exact."""
+    from fhirflat_spark.manifest import read_summary
+
+    out = str(tmp_path / "retry")
+    df1 = gen_spark(spark, 1500, seed=81)
+    df2 = gen_spark(spark, 500, seed=82)
+    encode_table(df1, out, rows_per_bucket=300)
+    base_parts = read_summary(spark, out)["num_partitions"]
+    offset = base_parts + 10  # any offset past the existing partitions
+    kc = [(r[0], r["count"]) for r in df2.groupBy("repo").count().collect()]
+    first = encode_table(
+        df2, out, rows_per_bucket=300, key_counts=kc,
+        append=True, part_offset=offset, overwrite_partitions=True,
+    )
+    sha1 = read_summary(spark, out)["dataset_sha256"]
+    # the retry: identical data, identical offset
+    encode_table(
+        df2, out, rows_per_bucket=300, key_counts=kc,
+        append=True, part_offset=offset, overwrite_partitions=True,
+    )
+    sha2 = read_summary(spark, out)["dataset_sha256"]
+    assert sha1 == sha2
+    decoded = decode_table(spark, out)
+    assert decoded.count() == 2000
+    fails = verify_against_source(
+        df1.unionByName(df2), decoded, ["repo", "path", "commit"]
+    )
+    assert fails.count() == 0

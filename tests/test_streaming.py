@@ -374,3 +374,7 @@ def test_incremental_stream_encode_single_dataset(spark, tmp_path):
     sha2 = read_summary(spark, out_dir)["dataset_sha256"]
     assert sha1 == sha2
     assert decode_table(spark, out_dir).count() == 2000
+    # stats fragments are replaced, not re-merged: totals still 2000
+    from fhirflat_spark.manifest import load_key_counts
+
+    assert sum(c for _, c in load_key_counts(out_dir)) == 2000
