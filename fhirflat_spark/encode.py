@@ -916,6 +916,13 @@ def encode_table(
         import shutil
 
         shutil.rmtree(frag_dir, ignore_errors=True)
+        # a fresh encode owns the whole table: stale stats fragments from
+        # previous contents would otherwise survive when write_key_counts
+        # (fresh=True) is skipped (caller-supplied counts / no-shuffle /
+        # no salt column) and corrupt load_key_counts totals
+        from fhirflat_spark.manifest import _stats_dir
+
+        shutil.rmtree(_stats_dir(out_dir), ignore_errors=True)
     # pyspark's mapInArrow resolves plain column names, which breaks on
     # dotted flat names (period.start) — feed it positional safe names and
     # keep the original names inside the kernel for payload/stats keys
@@ -925,7 +932,9 @@ def encode_table(
     plan_stats: dict = {}
 
     if blob_mode:
-        # blob-shuffle path (default): bucket ids map-side, pre-pack each
+        # blob-shuffle path (experimental, opt-in via shuffle="blob" —
+        # measured slower than the row exchange, kept as the columnar-
+        # shuffle seam): bucket ids map-side, pre-pack each
         # split's rows per target partition into Arrow-IPC blobs, shuffle
         # the few fat blob rows, reassemble+sort+encode post-shuffle.
         bucketed, P = plan_partition_ids(
@@ -1055,9 +1064,14 @@ def append_table(
     across appends without rescanning it, and a retried append replaces
     its own fragment instead of double-counting. Returned totals cover
     the WHOLE dataset after the append."""
+    # Planning deliberately counts only the DELTA (cost proportional to
+    # the append, never the table): merged totals from load_key_counts
+    # would size buckets as if the whole table were in this append and
+    # over-fragment small deltas. The persisted merged stats serve
+    # whole-table observability (tests/test_pipeline.py) and future
+    # full re-plans, not per-append placement.
     from fhirflat_spark.manifest import (
         completed_partitions,
-        load_key_counts,
         read_summary,
         write_key_counts,
     )

@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 
 MANIFEST_VERSION = 2  # v2: payload = struct<__c{i}: binary> (was map<string,binary>)
 
+# Dataset layout epoch — bump whenever codec selection, chunking, bucket
+# placement, or hashing changes the bytes a given input encodes to (the
+# same changes that re-pin tests/golden_manifest_sha.txt). Cache layers
+# key on this so a format change can never silently reuse stale data.
+FORMAT_VERSION = 3  # v3: sorted key-count bucket allocation (round 3)
+
 MANIFEST_ARROW_SCHEMA = pa.schema(
     [
         ("part_id", pa.int32()),
@@ -152,6 +158,46 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/manifest")
 
 
+CHUNK_STATS_SCHEMA = (
+    "map<string, struct<codec: string, raw: bigint, enc: bigint,"
+    " sha: string, zmin: string, zmax: string>>"
+)
+
+
+def read_chunk_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-(chunk, column) lineage as a queryable DataFrame: codec choice,
+    raw/encoded bytes, content sha, and zone-map span for every chunk of
+    every column — the flattened view of the per-chunk ``stats`` JSON the
+    encode kernel records (the Iceberg manifest-file analog).
+
+    Reads ONLY the metadata columns of the chunk files (payload blobs are
+    pruned by the nested-column projection), so cost is #chunks, not data
+    size. Zone bounds come back as strings (numeric columns stringify);
+    cast at the call site for numeric min/max semantics."""
+    return (
+        spark.read.parquet(f"{out_dir}/chunks")
+        .select(
+            "part_id",
+            "chunk_seq",
+            "n_rows",
+            F.explode(F.from_json("stats", CHUNK_STATS_SCHEMA)).alias(
+                "column", "st"
+            ),
+        )
+        .select(
+            "part_id",
+            "chunk_seq",
+            "n_rows",
+            "column",
+            F.col("st.codec").alias("codec"),
+            F.col("st.raw").alias("raw_bytes"),
+            F.col("st.enc").alias("encoded_bytes"),
+            F.col("st.zmin").alias("zmin"),
+            F.col("st.zmax").alias("zmax"),
+        )
+    )
+
+
 def completed_partitions(spark: SparkSession, out_dir: str) -> frozenset[int]:
     """Partitions already encoded + recorded ok — the resume skip set."""
     import os
@@ -208,8 +254,11 @@ def read_summary(spark: SparkSession, out_dir: str) -> dict:
 
 
 # --- maintained table statistics (the Iceberg partition-stats pattern):
-# the per-key row counts the salted planner used, persisted so the NEXT
-# run (or an append) skips the counting scan. Stored as one FRAGMENT per
+# the per-key row counts the salted planner used, persisted so whole-
+# table totals stay queryable without a rescan (appends still count
+# their own delta for placement — merged totals would over-fragment
+# small appends; a caller doing a full re-encode can feed the merged
+# counts back in as key_counts to skip the scan). Stored as one FRAGMENT per
 # part-offset range (mirroring the manifest-fragment protocol): a
 # replayed append/streaming batch atomically REPLACES its own fragment
 # instead of re-merging into a single file, so stats stay idempotent

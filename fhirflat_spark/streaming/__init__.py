@@ -163,10 +163,13 @@ def sessionize_stream(stream_df: DataFrame, gap_seconds: int = 1800,
         if not sessions:
             state.remove()
             return
+        # strict <: Spark still admits events at ts == watermark, and the
+        # merge bound (t - end <= gap) is inclusive — an event at exactly
+        # end+gap == wm could merge into a session already emitted
         emittable = [
-            (i, s) for i, s in enumerate(sessions) if s[1] + gap_us <= wm_us
+            (i, s) for i, s in enumerate(sessions) if s[1] + gap_us < wm_us
         ]
-        keep = [s for s in sessions if s[1] + gap_us > wm_us]
+        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
         if keep:
             state.update((
                 [int(s) for s, _, _ in keep],

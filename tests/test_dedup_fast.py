@@ -132,9 +132,11 @@ def test_embedding_neardup_lsh_recall(spark, tmp_path):
             .collect()
         )
     }
+    # explicit production-grade threshold: the module default is tuned to
+    # the shipped near-orthogonal fixtures (see NEARDUP_COSINE docstring)
     lsh = {
         (r["vec_a"], r["vec_b"])
-        for r in q_embedding_neardup_pairs(spark, sf_dir).collect()
+        for r in q_embedding_neardup_pairs(spark, sf_dir, threshold=0.95).collect()
     }
     assert lsh <= exact, f"LSH emitted non-near-dup pairs: {lsh - exact}"
     assert exact, "fixture has no near-dup pairs to measure recall on"
