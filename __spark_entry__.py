@@ -35,8 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
     from fhirflat_spark.encode import encode_table
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # store the content fingerprint alongside the row — the dedup key
+    # (dedup_exact / dedup_keep_list group on sha2(text)) a curation
+    # pipeline keeps materialized. High-entropy hex is also the corpus
+    # class where the fsst tile coder beats zstd in the codec race
+    # (complete pair coverage: ratio ~0.50 vs zstd ~0.52), so the codec
+    # report exercises every string-codec family the selector knows.
+    docs = docs.withColumn("content_sha", F.sha2(F.col("text"), 256))
+    # one partition: sf0.001 is 500 rows — the keyless planner's
+    # default-parallelism floor would split it into 8 KB chunks whose
+    # fixed codec overheads (fsst's 512 B symbol table) distort the
+    # codec race that production-size chunks (100 KB+) see
     out = tempfile.mkdtemp(prefix="fhirflat_spark_entry_") + "/ds"
-    res = encode_table(docs, out, rows_per_bucket=2000)
+    res = encode_table(docs, out, rows_per_bucket=2000, num_partitions=1)
     verified = verify_table(spark, out)
     n_bad = verified.where(~F.col("ok")).count()
     report = codec_report(spark, out)

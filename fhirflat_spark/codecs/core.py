@@ -201,8 +201,14 @@ def string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     return lengths, data
 
 
-def strings_from_parts(lengths: np.ndarray, data: bytes | memoryview, dtype: pa.DataType) -> pa.Array:
-    """Rebuild a string/binary array from lengths + concatenated bytes."""
+def strings_from_parts(lengths: np.ndarray, data, dtype: pa.DataType) -> pa.Array:
+    """Rebuild a string/binary array from lengths + concatenated bytes.
+
+    ``data`` may be bytes, memoryview, or a uint8 ndarray — py_buffer
+    wraps any buffer-protocol object ZERO-COPY and holds a reference, so
+    no ``bytes()`` materialization (it doubled decode's allocation
+    traffic on multi-MB string chunks). Callers must not mutate ``data``
+    after the call."""
     n = len(lengths)
     large = pa.types.is_large_string(dtype) or pa.types.is_large_binary(dtype)
     off_dtype = np.int64 if large else np.int32
@@ -210,6 +216,6 @@ def strings_from_parts(lengths: np.ndarray, data: bytes | memoryview, dtype: pa.
     np.cumsum(lengths, out=offsets[1:])
     if not large and offsets[-1] > np.iinfo(np.int32).max:
         raise CodecError("chunk too large for 32-bit string offsets")
-    off_buf = pa.py_buffer(offsets.astype(off_dtype, copy=False).tobytes())
-    data_buf = pa.py_buffer(bytes(data))
+    off_buf = pa.py_buffer(offsets.astype(off_dtype, copy=False))
+    data_buf = pa.py_buffer(data)
     return pa.Array.from_buffers(dtype, n, [None, off_buf, data_buf])

@@ -44,7 +44,9 @@ def _zstd(data: bytes, level: int = _ZSTD_LEVEL) -> bytes:
 
 
 def _unzstd(data: bytes | memoryview, raw_size: int) -> bytes:
-    return pa.Codec("zstd").decompress(bytes(data), raw_size, asbytes=True)
+    # no bytes(data) copy: Codec.decompress takes any buffer-protocol
+    # input, and blobs here are multi-MB (the copy showed in profiles)
+    return pa.Codec("zstd").decompress(data, raw_size, asbytes=True)
 
 
 def _is_stringlike(t: pa.DataType) -> bool:
@@ -409,12 +411,16 @@ def dec_prefix(meta: dict, secs: list, n: int, dtype: pa.DataType) -> pa.Array:
     mat[row_s, col_s] = sbuf
     # ownership: cell (i,j) explicitly written iff pl[i] <= j < len[i];
     # otherwise inherit from the nearest earlier writer (forward fill).
-    owner = np.full((n, max_len), -1, dtype=np.int64)
-    owner[row_s, col_s] = row_s
+    # int32 halves the accumulate's memory traffic (the single hottest
+    # pass); owner stores row+1 so 0 means "no writer yet".
+    idt = np.int32 if n < 2**31 - 1 else np.int64
+    owner = np.zeros((n, max_len), dtype=idt)
+    owner[row_s, col_s] = row_s + 1
     src = np.maximum.accumulate(owner, axis=0)
+    np.subtract(src, 1, out=src)
     # cells with j < pl[i] have src >= 0 by the front-coding invariant
     np.maximum(src, 0, out=src)
-    resolved = mat[src, np.arange(max_len)[None, :].repeat(n, axis=0)]
+    resolved = np.take_along_axis(mat, src, axis=0)
     out_mask = (np.arange(max_len)[None, :] < lengths[:, None]).ravel()
-    out = resolved.ravel()[out_mask].tobytes()
+    out = resolved.ravel()[out_mask]
     return strings_from_parts(lengths, out, dtype)

@@ -276,6 +276,41 @@ def _write_fragment(manifest_dir: str | None, part_id: int, frag: list[dict]):
     _os.replace(tmp, f"{manifest_dir}/{part_id:06d}.json")
 
 
+def _rebatch(batches, target: int):
+    """Re-slice an incoming Arrow batch stream to ``target``-row chunks.
+
+    Chunk geometry must be a pure function of partition row ORDER, not of
+    the source's physical layout: reading a parquet file with tiny row
+    groups otherwise leaks each row group through as its own tiny chunk,
+    paying full per-chunk overhead (codec tables, stats, manifest rows) —
+    at 100 TB a ragged upstream writer would silently multiply chunk
+    count by orders of magnitude. Streams already arriving at ``target``
+    rows (the post-shuffle exchange path, which the golden manifest pins)
+    pass through untouched, so this changes nothing where layout is
+    already planned."""
+    buf: list[pa.RecordBatch] = []
+    n = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        if not buf and b.num_rows == target:
+            yield b
+            continue
+        buf.append(b)
+        n += b.num_rows
+        if n >= target:
+            tbl = pa.Table.from_batches(buf)
+            off = 0
+            while n - off >= target:
+                yield tbl.slice(off, target).combine_chunks().to_batches()[0]
+                off += target
+            rem = tbl.slice(off)
+            buf = rem.to_batches() if rem.num_rows else []
+            n = rem.num_rows
+    if buf:
+        yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+
+
 def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           skip_parts: frozenset[int] | None = None,
                           manifest_dir: str | None = None,
@@ -293,8 +328,10 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
         part_id = (ctx.partitionId() if ctx is not None else 0) + part_offset
         if part_id in skip:
             return
+        from fhirflat_spark.session import ARROW_BATCH_ROWS
+
         frag: list[dict] = []
-        for seq, batch in enumerate(batches):
+        for seq, batch in enumerate(_rebatch(batches, ARROW_BATCH_ROWS)):
             if batch.num_rows == 0:
                 continue
             meta, out = _encode_one_batch(

@@ -33,7 +33,8 @@ MANIFEST_VERSION = 2  # v2: payload = struct<__c{i}: binary> (was map<string,bin
 # placement, or hashing changes the bytes a given input encodes to (the
 # same changes that re-pin tests/golden_manifest_sha.txt). Cache layers
 # key on this so a format change can never silently reuse stale data.
-FORMAT_VERSION = 3  # v3: sorted key-count bucket allocation (round 3)
+FORMAT_VERSION = 4  # v4: kernel rebatcher — chunk geometry independent of
+#     source row-group layout; fsst tile-pair format (round 4)
 
 MANIFEST_ARROW_SCHEMA = pa.schema(
     [

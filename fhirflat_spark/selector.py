@@ -35,9 +35,15 @@ _DICT_MAX = 1 << 16
 # faster than a parquet/zstd write at near-identical footprint.
 _BIG_CHUNK_BYTES = 2 << 20
 _BIG_CHUNK_LEVEL = 12
-# fsst must beat zstd's ratio by this factor to win the race despite its
-# slower (pure-Python-orchestrated) kernel; zstd here is C via pyarrow.
-_FSST_EDGE = 0.85
+# fsst must beat zstd's measured ratio by this factor to win the race —
+# just enough margin to keep near-ties from flapping between runs. The
+# r1-r3 edge (0.85) priced in a ~10x-slower pure-Python matcher; the r4
+# tile coder runs at numpy bandwidth (measured 160 MB/s enc / 540 MB/s
+# dec on hex vs zstd's 150/870), so a strict ratio win is the honest
+# criterion. fsst's natural margin on its winning corpora
+# (complete-coverage alphabets like hex ids: 0.500 vs zstd 0.520) is
+# only 1-5%, which a 3%+ edge would wrongly erase.
+_FSST_EDGE = 0.995
 
 
 def _is_stringlike(t: pa.DataType) -> bool:
@@ -116,26 +122,34 @@ def _avg_prefix_share(arr: pa.Array, stats: dict, sample: int = 512) -> float:
     return float(pl.mean() / max(lengths.mean(), 1.0))
 
 
-def _trial_ratios(arr: pa.Array, try_fsst: bool = True) -> tuple[float, float, list[bytes] | None]:
+def _trial_ratios(arr: pa.Array, try_fsst: bool = True):
     """(zstd_ratio, fsst_ratio, trained_symbols) on a bounded byte sample.
 
-    The fsst race-trial (train + sample encode) costs ~10x the zstd trial,
-    so it only runs when zstd's measured ratio leaves room for fsst to win
-    (zstd poor) — the common content case short-circuits to zstd.
+    The fsst trial is one bincount + LUT pass over the sample (the r3
+    greedy-regex matcher cost ~10x the zstd trial; the r4 tile coder
+    costs ~1/10th of it), so it races whenever zstd's measured ratio
+    leaves any room for fsst's ~0.5 floor to win — high-ratio zstd
+    columns (prose, code content) still short-circuit.
     """
     _, data = string_parts(arr)
     sample = data[:_TRIAL_SAMPLE]
     if len(sample) < 64:
         return 1.0, 1.0, None
     z_ratio = len(_zstd(sample)) / len(sample)
-    if not try_fsst or z_ratio <= 0.5:
+    if not try_fsst or z_ratio <= 0.45:
         return z_ratio, 1.0, None
     symbols = fsst_mod.train_symbols(sample)
-    if not symbols:
+    if len(symbols) == 0:
         return z_ratio, 1.0, None
-    codes, lit_lens, lit_data = fsst_mod.fsst_encode_buffer(sample, symbols)
-    fsst_size = len(codes) + len(lit_data) + len(lit_lens) * 2 + sum(map(len, symbols))
-    return z_ratio, fsst_size / len(sample), symbols
+    codes, maskb, lits, tail = fsst_mod.fsst_encode_buffer(sample, symbols)
+    fsst_size = fsst_mod.fsst_encoded_size(codes, maskb, lits, tail, symbols)
+    # amortize the fixed symbol table over the FULL buffer, not the
+    # sample — at 64 KiB the 512 B table is 0.8% of the ratio, enough to
+    # flip the race on corpora where fsst's true margin is ~1%
+    table_bytes = 2 * len(symbols)
+    full_bytes = max(len(data), len(sample))
+    f_ratio = (fsst_size - table_bytes) / len(sample) + table_bytes / full_bytes
+    return z_ratio, f_ratio, symbols
 
 
 def choose_codec(
@@ -168,7 +182,7 @@ def choose_codec(
         ):
             return "prefix", opts
         z_ratio, f_ratio, symbols = _trial_ratios(arr, try_fsst=depth == 0)
-        if f_ratio < z_ratio * _FSST_EDGE and symbols:
+        if f_ratio < z_ratio * _FSST_EDGE and symbols is not None and len(symbols):
             opts["symbols"] = symbols
             return "fsst", opts
         if z_ratio < 0.98:

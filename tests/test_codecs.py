@@ -186,13 +186,15 @@ def test_empty_arrays():
 # ---------------------------------------------------------------- fsst
 
 def test_fsst_buffer_roundtrip():
+    from fhirflat_spark.codecs.fsst import fsst_encoded_size
+
     data = (b"for i in range(100): print(i)\n" * 200) + "日本語".encode() * 50 + b"\x01\x02"
     symbols = train_symbols(data)
-    assert symbols, "training should find symbols in repetitive source"
-    codes, lit_lens, lit_data = fsst_encode_buffer(data, symbols)
-    assert fsst_decode_buffer(codes, lit_lens, lit_data, symbols) == data
-    encoded = len(codes) + len(lit_data)
-    assert encoded < len(data), "fsst should compress repetitive source"
+    assert len(symbols), "training should find symbols in repetitive source"
+    codes, maskb, lits, tail = fsst_encode_buffer(data, symbols)
+    out = fsst_decode_buffer(codes, maskb, lits, tail, symbols, len(data) // 2)
+    assert out == data
+    assert fsst_encoded_size(codes, maskb, lits, tail, symbols) < len(data)
 
 
 def test_fsst_codec_roundtrip():
@@ -200,13 +202,45 @@ def test_fsst_codec_roundtrip():
     roundtrip(pa.array(vals), "fsst")
 
 
+def test_fsst_odd_length_and_empty_rows():
+    vals = ["", "a", "ab", "abc", "" , "hexhexhex" * 7, "x"]
+    roundtrip(pa.array(vals * 40), "fsst")
+
+
 def test_fsst_incompressible_no_blowup():
+    from fhirflat_spark.codecs.fsst import fsst_encoded_size
+
     data = bytes(rng.integers(0, 255, size=10_000, dtype=np.uint8))
-    symbols = train_symbols(data) or [b"zz"]
-    codes, lit_lens, lit_data = fsst_encode_buffer(data, symbols)
-    out = fsst_decode_buffer(codes, lit_lens, lit_data, symbols)
+    symbols = train_symbols(data)
+    codes, maskb, lits, tail = fsst_encode_buffer(data, symbols)
+    out = fsst_decode_buffer(codes, maskb, lits, tail, symbols, len(data) // 2)
     assert out == data
-    assert len(codes) + len(lit_data) <= int(len(data) * 1.05) + 64
+    assert fsst_encoded_size(codes, maskb, lits, tail, symbols) <= int(len(data) * 1.10) + 600
+
+
+def test_fsst_complete_coverage_elides_mask_and_beats_zstd():
+    """High-entropy hex identifiers: every aligned tile is one of 256 hex
+    pairs, the mask is elided, and the ratio floors at ~0.50 + table —
+    BELOW whole-buffer zstd (~0.53, no cross-row redundancy to exploit).
+    This is the corpus class where the selector genuinely picks fsst."""
+    import hashlib
+
+    from fhirflat_spark.codecs.kernels import _zstd
+    from fhirflat_spark.codecs.fsst import fsst_encoded_size
+    from fhirflat_spark.selector import choose_codec
+
+    vals = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(4000)]
+    data = "".join(vals).encode()
+    symbols = train_symbols(data[:1 << 16])
+    codes, maskb, lits, tail = fsst_encode_buffer(data, symbols)
+    assert maskb is None, "hex pairs fit in 256 symbols: mask must elide"
+    f_ratio = fsst_encoded_size(codes, maskb, lits, tail, symbols) / len(data)
+    z_ratio = len(_zstd(data)) / len(data)
+    assert f_ratio < z_ratio, (f_ratio, z_ratio)
+    arr = pa.array(vals)
+    codec, opts = choose_codec(arr)
+    assert codec == "fsst", f"selector picked {codec} on unique-hex ids"
+    roundtrip(arr, "fsst")
 
 
 # ---------------------------------------------------------------- compression sanity
