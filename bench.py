@@ -382,7 +382,16 @@ def main() -> None:
         },
         "bench_total_sec": total,
     }
-    if "--sf1" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_SF1"):
+    env_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
+    # default ON for full-scale invocations (the per-round driver run,
+    # which records BENCH_r{N}.json) so scale drift is caught every
+    # round; tiny verify-scale runs skip it. --sf1 / env force either way.
+    run_sf1 = (
+        "--sf1" in sys.argv
+        or env_sf1 not in ("", "0")
+        or (env_sf1 != "0" and BENCH_ROWS >= 1_000_000)
+    )
+    if run_sf1:
         result["sf1"] = sf1_stage()
         result["bench_total_sec"] = round(time.time() - t_start, 2)
     _write_report(result)
