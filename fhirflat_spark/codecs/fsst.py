@@ -54,14 +54,16 @@ def train_symbols(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> np.ndarray:
         return np.empty(0, dtype=np.uint16)
     tiles = buf[:m].view("<u2")
     counts = np.bincount(tiles, minlength=65536)
-    nz = int((counts >= _MIN_COUNT).sum())
-    k = min(max_symbols, nz)
-    if k == 0:
+    # full lexsort over the (≤65536) viable candidates, never
+    # argpartition: its choice among tiles tied at the k-th count is
+    # implementation-defined and would make the symbol table (and every
+    # encoded byte) numpy-version-dependent — breaking golden-manifest
+    # pins and bit-identical streaming replay
+    cand = np.nonzero(counts >= _MIN_COUNT)[0]
+    if len(cand) == 0:
         return np.empty(0, dtype=np.uint16)
-    top = np.argpartition(counts, -k)[-k:]
-    top = top[counts[top] >= _MIN_COUNT]
-    order = np.lexsort((top, -counts[top]))
-    return top[order].astype(np.uint16)
+    order = np.lexsort((cand, -counts[cand]))
+    return cand[order[:max_symbols]].astype(np.uint16)
 
 
 def fsst_encode_buffer(
@@ -156,6 +158,12 @@ def enc_fsst(values: pa.Array, opts: dict) -> tuple[dict, list[bytes]]:
 def dec_fsst(meta: dict, secs: list, n: int, dtype: pa.DataType) -> pa.Array:
     from fhirflat_spark.codecs.kernels import _dec_sub
 
+    if "ntiles" not in meta:
+        raise CodecError(
+            "fsst chunk in the pre-v4 greedy-match format (engine "
+            "FORMAT_VERSION < 4) — re-encode the source or transcode the "
+            "dataset with the v3 engine first"
+        )
     symbols = np.frombuffer(secs[0], dtype=np.uint16)
     lengths = _dec_sub(secs[1]).to_numpy(zero_copy_only=False)
     maskb = None if meta.get("allm") else secs[2]

@@ -35,7 +35,7 @@ VERIFY_SCHEMA = T.StructType(
 
 
 def _check_version(summary: dict) -> None:
-    from fhirflat_spark.manifest import MANIFEST_VERSION
+    from fhirflat_spark.manifest import FORMAT_VERSION, MANIFEST_VERSION
 
     ver = summary.get("manifest_version")
     if ver != MANIFEST_VERSION:
@@ -44,6 +44,15 @@ def _check_version(summary: dict) -> None:
             f"v{MANIFEST_VERSION} (v2 changed the chunk payload from "
             "map<string,binary> to struct) — re-encode or transcode with a "
             "matching engine version"
+        )
+    # older format_version stays readable (chunks are self-describing;
+    # pre-v4 fsst blobs raise a clear CodecError per-chunk if present),
+    # but a FUTURE format must not be misread as garbage
+    fv = summary.get("format_version", 0)
+    if fv > FORMAT_VERSION:
+        raise ValueError(
+            f"dataset format_version {fv} is newer than this engine's "
+            f"{FORMAT_VERSION} — upgrade the engine to read it"
         )
 
 

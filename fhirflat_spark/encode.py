@@ -1120,6 +1120,19 @@ def append_table(
             f"append columns {list(df.columns)} != dataset columns "
             f"{summary['columns']}"
         )
+    from fhirflat_spark.manifest import FORMAT_VERSION
+
+    fv = summary.get("format_version", 0)
+    if fv != FORMAT_VERSION:
+        # appending current-format chunks into an older-format dataset
+        # would mix codec blob formats inside one table (pre-v4 fsst
+        # chunks are unreadable by this engine) — upgrade first
+        raise ValueError(
+            f"dataset format_version {fv} != engine {FORMAT_VERSION}; "
+            "upgrade the dataset first (compact_table/transcode_table "
+            "with this engine — or re-encode from source if it contains "
+            "chunks this engine's codecs no longer read)"
+        )
     existing = completed_partitions(spark, out_dir)
     offset = (max(existing) + 1) if existing else 0
     delta_stats: list[tuple] | None = None

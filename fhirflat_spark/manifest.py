@@ -233,6 +233,7 @@ def write_summary(spark: SparkSession, out_dir: str, result, columns: list[str],
         "engine": "fhirflat_spark",
         "version": __version__,
         "manifest_version": MANIFEST_VERSION,
+        "format_version": FORMAT_VERSION,
         "columns": columns,
         "spark_schema": spark_schema,
         "rows": result.rows,

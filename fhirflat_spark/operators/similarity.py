@@ -290,6 +290,8 @@ def assign_cells(df, centroids, vec_col: str = "embedding",
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     if C.ndim != 2:
         raise ValueError(f"centroids must be (K, dim), got shape {C.shape}")
+    if vec_col not in df.columns:
+        raise ValueError(f"vec_col {vec_col!r} not in {df.columns}")
     bc = df.sparkSession.sparkContext.broadcast(C)
     dim = C.shape[1]
 
@@ -299,6 +301,8 @@ def assign_cells(df, centroids, vec_col: str = "embedding",
         Ct = Cm.T
         for b in batches:
             idx = b.schema.get_field_index(vec_col)
+            if idx < 0:  # -1 would silently index the LAST column
+                raise ValueError(f"column {vec_col!r} missing from batch")
             col = b.column(idx)
             flat = col.flatten().to_numpy(zero_copy_only=False)
             if flat.size != len(col) * dim:

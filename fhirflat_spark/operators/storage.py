@@ -50,10 +50,18 @@ def _encoded_documents(spark, sf_dir: str) -> str:
         encode_table(docs, os.path.join(build, "ds"), rows_per_bucket=2000)
         try:
             os.rename(os.path.join(build, "ds"), out)
-        except OSError:
-            # another session won the race — use its complete dataset
-            pass
+        except OSError as e:
+            import errno
+
+            # only the lost-race errnos are ignorable (the winner's
+            # complete dataset is used); anything else (EACCES, EXDEV)
+            # must surface, not turn into a missing-path error downstream
+            if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                shutil.rmtree(build, ignore_errors=True)
+                raise
         shutil.rmtree(build, ignore_errors=True)
+    if not os.path.exists(os.path.join(out, "_SUMMARY.json")):
+        raise RuntimeError(f"zone-query cache build failed to produce {out}")
     return out
 
 

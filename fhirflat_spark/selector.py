@@ -132,7 +132,18 @@ def _trial_ratios(arr: pa.Array, try_fsst: bool = True):
     columns (prose, code content) still short-circuit.
     """
     _, data = string_parts(arr)
-    sample = data[:_TRIAL_SAMPLE]
+    if len(data) <= _TRIAL_SAMPLE:
+        sample = data
+    else:
+        # head + middle + tail slices, not just the head: chunks are
+        # sorted by (repo, path, commit), so a buffer can OPEN with 64 KiB
+        # of hex digests/lockfile hashes and continue with prose — a
+        # head-only sample would let fsst win the race on a chunk whose
+        # bulk zstd compresses 2x better. Both codecs trial the SAME
+        # composite sample, so the race stays fair.
+        h, q = _TRIAL_SAMPLE // 2, _TRIAL_SAMPLE // 4
+        mid = (len(data) - q) // 2
+        sample = data[:h] + data[mid : mid + q] + data[len(data) - q :]
     if len(sample) < 64:
         return 1.0, 1.0, None
     z_ratio = len(_zstd(sample)) / len(sample)
