@@ -402,21 +402,24 @@ def main() -> None:
 def _sf1_report_lines(sf1: dict | None) -> list[str]:
     if sf1 is None:
         # stage not run this invocation — keep the last recorded numbers
-        # visible (r3 one-off, 2026-08-17) so the section never vanishes
+        # visible (r4 standing-stage run, 2026-08-17) so the section
+        # never vanishes
         return [
             "## Scale proof point: sf1 (10M rows — run `python bench.py --sf1` to refresh)",
             "",
-            "Last recorded run (r3 one-off, local[32], tmpfs, key_counts "
-            "supplied, num_partitions=64):",
+            "Last recorded run (r4 standing stage, local[32], key_counts "
+            "supplied, num_partitions=64; r3 one-off for comparison: wall "
+            "130.6s on a faster VM phase, same ratio/partitions):",
             "",
             "| rows | raw bytes | encoded bytes | ratio | wall (s) | GB/s | partitions | round-trip |",
             "|---|---|---|---|---|---|---|---|",
-            "| 10,000,000 | 9,439,452,503 | 2,587,421,099 | 0.2741 | 130.6 "
-            "| 0.072 | 69 | verify green: 0 bad chunks, 10M rows decoded (127.2s) |",
+            "| 10,000,000 | 9,439,452,503 | 2,587,421,099 | 0.2741 | 198.7 "
+            "| 0.048 | 69 | verify green: 0 bad chunks (70.9s), 10M rows decoded (41.0s) |",
             "",
-            "Ratio is identical to the 1M-row run (0.274) — codec selection and",
-            "rows_per_bucket partition sizing hold at 10×; partitions stayed at",
-            "the planned 69 (bucket allocation is row-count-proportional).",
+            "Ratio is identical to the 1M-row run (0.2741-0.2746) — codec",
+            "selection and rows_per_bucket partition sizing hold at 10×;",
+            "partitions stayed at the planned 69 (bucket allocation is",
+            "row-count-proportional).",
             "",
         ]
     return [
