@@ -592,6 +592,121 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- near-dup CLUSTER collapse: candidate pairs are not the final
+#     product — a production dedup keeps ONE representative per
+#     connected component of the near-dup graph (a transitively linked
+#     group of rewrites collapses together even when its endpoints never
+#     shared a band). Pairs → components → keeper labels.
+
+CC_MAX_ITERS = 50
+
+
+def connected_components(pairs, src: str = "doc_a", dst: str = "doc_b"):
+    """Min-label propagation over an undirected edge list →
+    (node, cluster) where cluster = the component's minimum node id.
+
+    Each iteration is one equi-join + min-aggregate (two shuffles on the
+    node key); iterations needed = graph diameter, which for LSH
+    candidate graphs (band buckets are near-cliques) is small. Labels
+    are localCheckpoint'd per round so the plan doesn't deepen with the
+    iteration count — on a real cluster point `spark.sparkContext.
+    setCheckpointDir` at durable storage and swap in `checkpoint()`.
+    Deterministic: min is order-free. Raises after ``CC_MAX_ITERS``
+    (a pathological path graph of that diameter is not a dedup
+    candidate graph)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        merged = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                "cluster",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
+                ).alias("new_cluster"),
+            )
+        )
+        changed = merged.where(F.col("new_cluster") != F.col("cluster")).count()
+        labels = merged.select(
+            "node", F.col("new_cluster").alias("cluster")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {CC_MAX_ITERS} rounds"
+    )
+
+
+def q_near_dedup_clusters(spark, sf_dir):
+    """The op a 100-TB curation run actually executes: exact-collapse →
+    LSH candidate pairs → connected components → per-doc cluster label +
+    keeper flag. Only docs that appear in at least one candidate pair
+    are emitted (singletons are trivially their own keeper)."""
+    pairs = q_near_dedup_pipeline(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            "cluster",
+            (F.col("node") != F.col("cluster")).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_near_dedup_clusters() -> str:
+    """DuckDB mirror: transitive closure by recursive CTE (UNION dedups,
+    so it terminates), then cluster = min reachable node. Closure size is
+    sum of component sizes squared — LSH components are band-bucket
+    near-cliques, so this stays ~O(pairs) at oracle scale."""
+    mins = ", ".join(_sql_min_exprs())
+    banded = _sql_banded()
+    return f"""
+WITH RECURSIVE survivors AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text
+  FROM documents GROUP BY sha256(text)
+),
+toks AS ({_sql_tokens('survivors')}),
+sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+banded AS ({banded}),
+capped AS ({_sql_cap('banded', 'band, sig')}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b USING (band, sig)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster,
+       CASE WHEN node != min(label) THEN 1 ELSE 0 END AS is_dup
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),
@@ -604,6 +719,7 @@ QUERIES = {
     "minhash_lsh_pairs_fast": (q_minhash_lsh_pairs_fast, None),
     "lsh_hot_buckets": (q_lsh_hot_buckets, _sql_lsh_hot_buckets()),
     "near_dedup_pipeline": (q_near_dedup_pipeline, _sql_near_dedup_pipeline()),
+    "near_dedup_clusters": (q_near_dedup_clusters, _sql_near_dedup_clusters()),
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, _sql_simhash_hamming_pairs()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),

@@ -324,6 +324,114 @@ def assign_cells(df, centroids, vec_col: str = "embedding",
     return df.mapInArrow(kernel, out_schema)
 
 
+def train_centroids(df, k: int, vec_col: str = "embedding",
+                    id_col: str = "vec_id", iters: int = 5,
+                    init_rows: int = 2048):
+    """Distributed Lloyd k-means for the IVF coarse quantizer — the
+    offline training step `q_ann_ivf_coarse`'s first-K-vectors stand-in
+    documents as "production trains k-means offline".
+
+    Deterministic end to end (no RNG): init is farthest-first traversal
+    over the first ``init_rows`` vectors by ``id_col`` (driver-side
+    numpy), then ``iters`` fixed Lloyd rounds. Each round is one
+    ``assign_cells`` pass (broadcast centroids + batch matmul argmax, no
+    shuffle) plus one posexplode→groupBy(cell, pos) mean — a K·dim-row
+    aggregate, so driver traffic is the CENTROID table, never the data.
+    Empty cells keep their previous centroid. Returns (K, dim) float64.
+    """
+    import numpy as np
+
+    sample = np.asarray(
+        [
+            [float(x) for x in r[vec_col]]
+            for r in df.select(id_col, vec_col).orderBy(id_col).limit(init_rows).collect()
+        ],
+        dtype=np.float64,
+    )
+    if len(sample) < k:
+        raise ValueError(f"need >= k={k} init vectors, got {len(sample)}")
+    # farthest-first traversal (deterministic kmeans++ analog)
+    chosen = [0]
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    C = sample[chosen].copy()
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        assigned = assign_cells(df.select(id_col, vec_col), C, vec_col=vec_col)
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in rows:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        occupied = counts > 0
+        C[occupied] = sums[occupied] / counts[occupied, None]
+    return C
+
+
+def inertia(df, centroids, vec_col: str = "embedding") -> float:
+    """Sum of squared distances to the assigned centroid (the Lloyd
+    objective) — one distributed pass, used to verify training improves."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = assign_cells(df.select(vec_col), C, vec_col=vec_col)
+    cc = [float(x) for x in (C * C).sum(axis=1)]
+    clit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in C])
+    # ||v||^2 - 2 v·c + ||c||^2 with c = the assigned centroid
+    cvec = F.element_at(clit, F.col("cell") + 1)
+    vv = _dot(F.col(vec_col), F.col(vec_col))
+    vc = _dot(F.col(vec_col), cvec)
+    ccl = F.element_at(F.array(*[F.lit(x) for x in cc]), F.col("cell") + 1)
+    return (
+        assigned.select((vv - 2.0 * vc + ccl).alias("d2"))
+        .agg(F.sum("d2").alias("s"))
+        .collect()[0]["s"]
+    )
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF probe over TRAINED centroids (k-means, 3 Lloyd rounds) instead
+    of the first-K stand-in. No DuckDB oracle by design — iterative
+    float k-means is engine-order-sensitive (the brief's listed oracle
+    exemption class); invariants are pinned in
+    tests/test_similarity_scale.py (inertia monotonicity, assignment =
+    argmin, recall vs brute force)."""
+    emb = load(spark, sf_dir, "embeddings")
+    C = train_centroids(emb, K_CENTROIDS, iters=3)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    ]
+    import numpy as np
+
+    qs = 2.0 * (np.asarray(C) @ np.asarray(qvec)) - (np.asarray(C) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(-qs)[:NPROBE]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        assign_cells(emb, C)
+        .where(F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), qlit), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_ann_ivf_coarse(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     cents = {
@@ -392,5 +500,9 @@ QUERIES = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, _sql_ann_lsh_bucketed()),
     "ann_ivf_coarse": (q_ann_ivf_coarse, _sql_ann_ivf_coarse()),
+    # trained-quantizer variant: rows-only by design (iterative float
+    # k-means is the brief's listed oracle-exemption class; invariants
+    # in tests/test_similarity_scale.py)
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _sql_embedding_neardup_pairs()),
 }

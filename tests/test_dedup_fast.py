@@ -159,3 +159,35 @@ def test_fast_and_sha_candidate_sets_overlap(spark):
     # expected regime — the invariant guards against a broken hash
     # (overlap ≈ 0) without over-pinning LSH randomness
     assert jac > 0.3, f"fast/sha candidate overlap too low: {jac:.3f}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """CC must label TRANSITIVE groups (a-b, b-c, c-d collapse to one
+    cluster even though a and d never pair) and keep islands apart —
+    the property that distinguishes cluster dedup from pair dedup."""
+    from fhirflat_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path(spark):
+    """A path graph needs diameter/2-ish propagation rounds — pin that
+    convergence detection actually iterates past round one."""
+    from fhirflat_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs)
+    assert got.where(F.col("cluster") != 0).count() == 0
+    assert got.count() == n + 1

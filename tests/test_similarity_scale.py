@@ -86,3 +86,48 @@ def test_assign_cells_rejects_ragged_vectors(spark):
     C = np.eye(2, dtype=np.float64)
     with pytest.raises(Exception, match="fixed"):
         assign_cells(df, C).collect()
+
+
+def test_train_centroids_inertia_decreases(spark, emb):
+    """Lloyd rounds must not increase the objective; training must beat
+    the raw farthest-first init."""
+    from fhirflat_spark.operators.similarity import inertia, train_centroids
+
+    i0 = inertia(emb, train_centroids(emb, 8, iters=0))
+    i2 = inertia(emb, train_centroids(emb, 8, iters=2))
+    i4 = inertia(emb, train_centroids(emb, 8, iters=4))
+    assert i2 < i0, (i0, i2)
+    assert i4 <= i2 * 1.0001, (i2, i4)
+
+
+def test_train_centroids_deterministic(spark, emb):
+    from fhirflat_spark.operators.similarity import train_centroids
+
+    a = train_centroids(emb, 8, iters=2)
+    b = train_centroids(emb, 8, iters=2)
+    assert (a == b).all()
+
+
+def test_train_centroids_k64_runs(spark, emb):
+    """K beyond the literal-plan regime: training + assignment stay
+    plan-size-bounded (broadcast matrix path) at K=64 on 500 vectors."""
+    from fhirflat_spark.operators.similarity import assign_cells, train_centroids
+
+    C = train_centroids(emb, 64, iters=1)
+    assert C.shape[0] == 64
+    n_cells = assign_cells(emb, C).select("cell").distinct().count()
+    assert n_cells > 8
+
+
+def test_ann_ivf_kmeans_recall(spark):
+    """Trained-quantizer IVF must recover most of the brute-force top-k
+    (NPROBE=2 of K=8 cells; misses are the IVF design tradeoff)."""
+    from fhirflat_spark.operators.similarity import (
+        q_ann_ivf_kmeans,
+        q_cosine_topk,
+    )
+
+    exact = [r["vec_id"] for r in q_cosine_topk(spark, SF_DIR).collect()]
+    approx = {r["vec_id"] for r in q_ann_ivf_kmeans(spark, SF_DIR).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.5, f"IVF k-means recall {recall}"
