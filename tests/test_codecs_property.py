@@ -89,3 +89,26 @@ def test_nan_bit_patterns_roundtrip():
 def test_sorted_strings_prefix_codec(values):
     arr = pa.array(sorted(values), type=pa.string())
     _roundtrip(arr, "prefix")
+
+
+@_settings
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=120),
+            st.text(alphabet="0123456789abcdef", min_size=8, max_size=64),
+        ),
+        max_size=300,
+    )
+)
+def test_fsst_tile_format_roundtrips(values):
+    """Force the r4 fsst tile-pair format on arbitrary mixed text + hex
+    (odd lengths, empty rows, repeated tiles, unicode): bit-identical or
+    a clean CodecError (too little data to train) — never wrong bytes."""
+    from fhirflat_spark.codecs.core import CodecError
+
+    arr = pa.array(values, type=pa.string())
+    try:
+        _roundtrip(arr, codec="fsst")
+    except CodecError:
+        pass  # "no viable symbols" on tiny/low-repeat samples is legal

@@ -675,3 +675,44 @@ def test_append_retry_idempotent(spark, tmp_path):
         df1.unionByName(df2), decoded, ["repo", "path", "commit"]
     )
     assert fails.count() == 0
+
+
+def test_register_dataset_catalog_views(spark, tmp_path):
+    """catalog.register_dataset: the decoded table and its lineage are
+    plain SQL views — counts agree between the data view, the manifest,
+    and the chunk stats, and the summary row matches the dataset."""
+    from fhirflat_spark.catalog import register_dataset
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.encode import encode_table
+
+    out = str(tmp_path / "cat_ds")
+    df = gen_spark(spark, 3000, seed=33)
+    encode_table(df, out, rows_per_bucket=1000)
+    register_dataset(spark, out, "cds")
+
+    n = spark.sql("SELECT count(*) AS n FROM cds").collect()[0]["n"]
+    m = spark.sql("SELECT sum(rows) AS n FROM cds_manifest").collect()[0]["n"]
+    assert n == m == 3000
+    # chunk stats: every column accounted for, per-column row totals agree
+    per_col = {
+        r["column"]: r["n"]
+        for r in spark.sql(
+            "SELECT column, sum(n_rows) AS n FROM cds_chunks GROUP BY column"
+        ).collect()
+    }
+    assert set(per_col) == set(df.columns)
+    assert all(v == 3000 for v in per_col.values())
+    # lineage join: manifest partitions == chunk-store partitions
+    joined = spark.sql("""
+        SELECT m.part_id FROM cds_manifest m
+        LEFT ANTI JOIN (SELECT DISTINCT part_id FROM cds_chunks) c
+        ON m.part_id = c.part_id
+    """).count()
+    assert joined == 0
+    s = spark.sql("SELECT rows, format_version FROM cds_summary").collect()[0]
+    assert s["rows"] == 3000
+    from fhirflat_spark.manifest import FORMAT_VERSION
+
+    assert s["format_version"] == FORMAT_VERSION
+    with pytest.raises(ValueError, match="view name"):
+        register_dataset(spark, out, "bad-name")
