@@ -83,6 +83,49 @@ def encode_stream_incremental(stream_df: DataFrame, out_dir: str,
     return writer
 
 
+def dedup_stream(stream_df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document per content
+    hash across all micro-batches (the streaming face of
+    ``dedup_exact``/``dedup_keep_list``).
+
+    State is one boolean per sha256(text) key — the continuously
+    maintained dedup index a streaming ingest needs so late-arriving
+    copies of already-ingested content are dropped, not re-emitted.
+    Within a batch the keeper is the minimum ``id_col`` row
+    (deterministic). State lives forever by design (a seen-set has no
+    natural TTL); at 100-TB scale this is exactly the workload the
+    RocksDB state store (`spark.sql.streaming.stateStore.providerClass`)
+    exists for — keys are 32-byte hashes, so 10^12 documents is ~32 TB
+    of state spread across the cluster's stores, not heap."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = list(stream_df.columns)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            return  # content already emitted in an earlier batch
+        pdf = pd.concat(list(pdfs))
+        if len(pdf) == 0:
+            return
+        state.update((True,))
+        yield pdf.sort_values(id_col).head(1)[cols]
+
+    return (
+        stream_df.withColumn("__h", F.sha2(F.col(text_col).cast("string"), 256))
+        .groupBy("__h")
+        .applyInPandasWithState(
+            fn,
+            stream_df.schema,
+            "seen BOOLEAN",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def merge_sessions(sorted_us, state_sessions, gap_us: int):
     """Gap-merge sorted event micros + the session intervals carried in
     state (one tuple or a list of tuples) into disjoint sessions (each

@@ -181,3 +181,22 @@ def test_blob_encode_plan_single_fat_shuffle(spark):
     data_exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(data_exchanges) == 1, plan
     assert "hashpartitioning(__tok" in plan, plan
+
+
+def test_cluster_collapse_pairs_stage_equi_join(spark):
+    """near_dedup_clusters' candidate stage must stay a capped equi-join
+    (the CC iterations run at execution time; here we pin the pair
+    generator feeding them keeps the banded join shape)."""
+    plan = plan_of(spark, "near_dedup_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_kmeans_assignment_literal_free(spark):
+    """The trained-quantizer query's plan must not inline centroids —
+    one MapInArrow per assignment pass, independent of K."""
+    plan = plan_of(spark, "ann_ivf_kmeans")
+    assert "MapInArrow" in plan
+    # an unrolled literal chain at K=8/dim=64 would put hundreds of
+    # float literals in the plan text; the broadcast path keeps it small
+    assert plan.count("CASE WHEN") <= 2, "centroid when-chain leaked back"

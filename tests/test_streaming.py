@@ -474,3 +474,48 @@ def test_incremental_stream_crash_replay_bit_identical(spark, tmp_path):
     )
     assert fails.count() == 0
     assert sum(c for _, c in load_key_counts(crash_out)) == 2000
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """dedup_stream: first occurrence per content hash survives; a copy
+    arriving in a LATER micro-batch is dropped (state carries the seen
+    set across batches); within-batch dups keep the min doc_id."""
+    import time as _t
+
+    import pandas as pd
+
+    from fhirflat_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "dd_src")
+    sink = str(tmp_path / "dd_sink")
+    ckpt = str(tmp_path / "dd_ck")
+    b1 = pd.DataFrame(
+        {"doc_id": [1, 2, 5], "text": ["alpha", "beta", "alpha"]}
+    )  # 5 is a within-batch dup of 1
+    b2 = pd.DataFrame(
+        {"doc_id": [7, 8], "text": ["alpha", "gamma"]}
+    )  # 7 is a cross-batch dup of 1
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(src)
+    _t.sleep(1.1)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (8, "gamma")}
