@@ -123,8 +123,9 @@ def decode_table(spark: SparkSession, out_dir: str,
     additionally filters CHUNK rows by their recorded [repo_min,
     repo_max] zone (JVM-side, before any payload reaches the Python
     kernel), so chunks outside the range cost no decode CPU.
-    ``zone_filter=(col, lo, hi)`` does the same for ANY orderable column
-    via the per-column zone bounds recorded in chunk stats — an
+    ``zone_filter=(col, lo, hi)`` — or a list of such triples, applied
+    conjunctively — does the same for ANY orderable column via the
+    per-column zone bounds recorded in chunk stats — an
     overapproximation: callers still apply the exact residual filter.
     """
     from fhirflat_spark.manifest import read_summary
@@ -150,17 +151,22 @@ def decode_table(spark: SparkSession, out_dir: str,
             | ~((F.col("repo_max") < lo) | (F.col("repo_min") > hi))
         )
     if zone_filter is not None:
-        zcol, zlo, zhi = zone_filter
-        if zcol not in all_cols:
-            raise ValueError(
-                f"zone_filter column {zcol!r} not in dataset columns {all_cols}"
-            )
+        # one (col, lo, hi) triple or a list of them (conjunctive: a
+        # chunk survives only if EVERY predicate's zone intersects)
+        filters = (
+            [zone_filter] if isinstance(zone_filter, tuple) else list(zone_filter)
+        )
         zschema = (
             T.StructType.fromJson(json.loads(summary["spark_schema"]))
             if summary.get("spark_schema")
             else T.StructType([])
         )
-        chunks = chunks.where(_zone_predicate(zschema, zcol, zlo, zhi))
+        for zcol, zlo, zhi in filters:
+            if zcol not in all_cols:
+                raise ValueError(
+                    f"zone_filter column {zcol!r} not in dataset columns {all_cols}"
+                )
+            chunks = chunks.where(_zone_predicate(zschema, zcol, zlo, zhi))
     if summary.get("spark_schema"):
         full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
         by_name = {f.name: f for f in full.fields}
