@@ -392,7 +392,10 @@ def main() -> None:
         or (env_sf1 != "0" and BENCH_ROWS >= 1_000_000)
     )
     if run_sf1:
-        result["sf1"] = sf1_stage()
+        try:
+            result["sf1"] = sf1_stage()
+        except Exception as e:  # the 10x stage must never sink the run
+            result["sf1"] = {"error": f"{type(e).__name__}: {e}"}
         result["bench_total_sec"] = round(time.time() - t_start, 2)
     _write_report(result)
     shutil.rmtree(SHM, ignore_errors=True)
@@ -400,6 +403,14 @@ def main() -> None:
 
 
 def _sf1_report_lines(sf1: dict | None) -> list[str]:
+    if sf1 is not None and "error" in sf1:
+        return [
+            "## Scale proof point: sf1",
+            "",
+            f"Stage FAILED this run: {sf1['error']} (see prior rounds / "
+            "BENCH/r4_runs.jsonl for the last green numbers).",
+            "",
+        ]
     if sf1 is None:
         # stage not run this invocation — keep the last recorded numbers
         # visible (r4 standing-stage run, 2026-08-17) so the section
