@@ -60,6 +60,16 @@ def main() -> None:
     dec.add_argument("--out", required=True)
     dec.add_argument("--show", type=int, default=5)
     dec.add_argument("--columns", help="comma-separated subset (IO-pruned selective decode)")
+    dec.add_argument("--snapshot", type=int, help="time-travel to this snapshot version")
+
+    snp = sub.add_parser("snapshots", help="list/rollback/expire/vacuum snapshot history")
+    snp.add_argument("--out", required=True)
+    snp.add_argument("--rollback", type=int, metavar="V",
+                     help="restore snapshot V as a new commit")
+    snp.add_argument("--expire-keep", type=int, metavar="N",
+                     help="drop all but the newest N snapshots")
+    snp.add_argument("--vacuum", action="store_true",
+                     help="delete chunk partitions no retained snapshot references")
 
     trc = sub.add_parser("transcode", help="re-compress chunks without the raw table")
     trc.add_argument("--src", required=True)
@@ -125,9 +135,23 @@ def main() -> None:
         from fhirflat_spark.decode import decode_table
 
         cols = _parse_columns(args.columns)
-        df = decode_table(spark, args.out, columns=cols)
+        df = decode_table(spark, args.out, columns=cols, snapshot=args.snapshot)
         print(json.dumps({"rows": df.count()}))
         df.show(args.show, truncate=60)
+    elif args.cmd == "snapshots":
+        from fhirflat_spark import manifest as M
+
+        out = {}
+        if args.rollback is not None:
+            out["rollback"] = M.rollback(spark, args.out, args.rollback)
+        if args.expire_keep is not None:
+            out["expired"] = M.expire_snapshots(args.out, keep_last=args.expire_keep)
+        if args.vacuum:
+            out["vacuumed_part_ids"] = M.vacuum(spark, args.out)
+        out["snapshots"] = [
+            r.asDict() for r in M.list_snapshots(spark, args.out).collect()
+        ]
+        print(json.dumps(out))
     elif args.cmd == "transcode":
         from fhirflat_spark.decode import transcode_table
 

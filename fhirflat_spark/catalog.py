@@ -13,7 +13,11 @@ own lineage, reference analog: the fhirflat bundle's ``fhirflat.toml`` +
 - ``{name}_manifest``  — per-partition lineage (rows, bytes, checksums,
                          key zone spans, status);
 - ``{name}_chunks``    — per-(chunk, column) codec/bytes/zone-span stats;
-- ``{name}_summary``   — the one-row dataset summary.
+- ``{name}_summary``   — the one-row dataset summary;
+- ``{name}_snapshots`` — the snapshot log (version, totals, dataset
+                         checksum, is_current — Iceberg's
+                         `db.table.snapshots` analog; pair with
+                         ``decode_table(snapshot=N)`` for time travel).
 
 Views are session-scoped temp views: no Hive metastore or external
 catalog is assumed (none exists in this sandbox); on a deployment with a
@@ -28,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 def register_dataset(spark: SparkSession, out_dir: str, name: str) -> dict[str, DataFrame]:
     from fhirflat_spark.decode import decode_table
     from fhirflat_spark.manifest import (
+        list_snapshots,
         read_chunk_stats,
         read_manifest,
         read_summary,
@@ -40,6 +45,7 @@ def register_dataset(spark: SparkSession, out_dir: str, name: str) -> dict[str, 
         f"{name}_manifest": read_manifest(spark, out_dir),
         f"{name}_chunks": read_chunk_stats(spark, out_dir),
         f"{name}_summary": spark.createDataFrame([read_summary(spark, out_dir)]),
+        f"{name}_snapshots": list_snapshots(spark, out_dir),
     }
     for vname, df in views.items():
         df.createOrReplaceTempView(vname)

@@ -110,11 +110,50 @@ def _zone_predicate(schema: T.StructType, col: str, lo, hi):
     return zmin.isNull() | zmax.isNull() | ~((zmax < lo) | (zmin > hi))
 
 
+def _live_part_ids(out_dir: str) -> list[int] | None:
+    """ok part ids from the current manifest; None when the manifest is
+    missing/unreadable (read everything — the pre-manifest behavior)."""
+    from fhirflat_spark import fsio
+
+    try:
+        t = fsio.read_parquet(f"{out_dir}/manifest",
+                              columns=["part_id", "status"])
+    except Exception:
+        return None
+    return [
+        int(p) for p, s in zip(t["part_id"].to_pylist(), t["status"].to_pylist())
+        if s == "ok"
+    ]
+
+
+def _part_range_predicate(ids: list[int]):
+    """part-id membership as OR-of-BETWEENs over the contiguous runs —
+    predicate size O(discontinuities) (one per append epoch), not
+    O(partitions), so it pushes to the scan even at 10^5+ partitions."""
+    if not ids:
+        return F.lit(False)
+    ids = sorted(ids)
+    ranges = []
+    start = prev = ids[0]
+    for i in ids[1:]:
+        if i == prev + 1:
+            prev = i
+            continue
+        ranges.append((start, prev))
+        start = prev = i
+    ranges.append((start, prev))
+    pred = F.col("part_id").between(*ranges[0])
+    for lo, hi in ranges[1:]:
+        pred = pred | F.col("part_id").between(lo, hi)
+    return pred
+
+
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  part_ids: list[int] | None = None,
                  key_range: tuple[str, str] | None = None,
-                 zone_filter: tuple | None = None) -> DataFrame:
+                 zone_filter: tuple | None = None,
+                 snapshot: int | None = None) -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
 
     ``part_ids`` prunes to specific partitions — parquet partition pruning
@@ -127,13 +166,30 @@ def decode_table(spark: SparkSession, out_dir: str,
     conjunctively — does the same for ANY orderable column via the
     per-column zone bounds recorded in chunk stats — an
     overapproximation: callers still apply the exact residual filter.
+    ``snapshot=N`` time-travels: only the partitions that historical
+    snapshot committed are read (partition-directory pruning — committed
+    partitions are immutable, so the old part-id set IS the old table).
+
+    The table IS what the manifest says: decode always prunes to the
+    manifest's ok partitions (as contiguous part-id ranges — a handful
+    of BETWEENs regardless of partition count, so the predicate stays
+    O(appends), never O(partitions)). Chunk directories a rollback
+    orphaned, or a crashed run half-wrote, are thereby invisible to
+    readers even before ``vacuum`` reclaims them.
     """
-    from fhirflat_spark.manifest import read_summary
+    from fhirflat_spark.manifest import read_summary, snapshot_part_ids
 
     from fhirflat_spark.encode import chunk_schema
 
     summary = read_summary(spark, out_dir)
     _check_version(summary)
+    if snapshot is not None:
+        snap_ids = snapshot_part_ids(out_dir, snapshot)
+        part_ids = (
+            snap_ids if part_ids is None
+            else sorted(set(part_ids) & set(snap_ids))
+        )
+    live = _live_part_ids(out_dir)
     all_cols = summary["columns"]
     if columns is None:
         columns = all_cols
@@ -143,6 +199,10 @@ def decode_table(spark: SparkSession, out_dir: str,
     chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(f"{out_dir}/chunks")
     if part_ids is not None:
         chunks = chunks.where(F.col("part_id").isin(part_ids))
+    elif live is not None:
+        # current view (no explicit part list / snapshot pin): read only
+        # manifest-committed partitions
+        chunks = chunks.where(_part_range_predicate(live))
     if key_range is not None:
         lo, hi = key_range
         chunks = chunks.where(
@@ -324,7 +384,6 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
     guarantees and the dataset checksum carry over unchanged. Zero
     exchanges: one embarrassingly-parallel map over chunk files."""
     import os as _os
-    import shutil as _shutil
 
     from fhirflat_spark.codecs import encode_array
     from fhirflat_spark.codecs.core import unpack_chunk
@@ -354,8 +413,10 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
     overrides = codec_overrides or {}
     base_opts = {"archive": True} if profile == "archive" else {}
     schema = chunk_schema(len(columns))
-    frag_dir = _local(dst_dir) + "/manifest_parts"
-    _shutil.rmtree(frag_dir, ignore_errors=True)
+    frag_dir = f"{dst_dir}/manifest_parts"
+    from fhirflat_spark import fsio as _fsio
+
+    _fsio.delete_dir(frag_dir)
 
     def kernel(batches):
         import json as _json

@@ -262,18 +262,19 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
 def _write_fragment(manifest_dir: str | None, part_id: int, frag: list[dict]):
     """Task-commit metadata (the Iceberg-manifest pattern): each task
     durably records its own chunk inventory; the driver merges fragments
-    with a glob instead of a second Spark job over chunks. tmp+rename
-    keeps retried/speculative tasks idempotent."""
+    with a listing instead of a second Spark job over chunks. The
+    atomic publish (tmp+rename locally, single put on an object store —
+    fsio) keeps retried/speculative tasks idempotent."""
     if manifest_dir is None or not frag:
         return
     import json as _json
     import os as _os
 
-    _os.makedirs(manifest_dir, exist_ok=True)
-    tmp = f"{manifest_dir}/.{part_id:06d}.json.tmp.{_os.getpid()}"
-    with open(tmp, "w") as f:
-        _json.dump(frag, f)
-    _os.replace(tmp, f"{manifest_dir}/{part_id:06d}.json")
+    from fhirflat_spark import fsio as _fsio
+
+    _fsio.write_bytes_atomic(f"{manifest_dir}/{part_id:06d}.json",
+                             _json.dumps(frag).encode(),
+                             token=str(_os.getpid()))
 
 
 def _rebatch(batches, target: int):
@@ -916,7 +917,6 @@ def encode_table(
     level: ~4-6% smaller than parquet/zstd at default AND level-matched
     settings, at a slower encode — the write-once/store-forever mode)."""
     from fhirflat_spark.manifest import (
-        _local,
         completed_partitions,
         load_fragments,
         write_manifest,
@@ -948,18 +948,19 @@ def encode_table(
         skip = completed_partitions(spark, out_dir)
         mode = "append" if skip else "overwrite"
 
-    frag_dir = _local(out_dir) + "/manifest_parts"
+    frag_dir = f"{out_dir}/manifest_parts"
     if not (resume or append):
-        import shutil
-
-        shutil.rmtree(frag_dir, ignore_errors=True)
         # a fresh encode owns the whole table: stale stats fragments from
         # previous contents would otherwise survive when write_key_counts
         # (fresh=True) is skipped (caller-supplied counts / no-shuffle /
-        # no salt column) and corrupt load_key_counts totals
-        from fhirflat_spark.manifest import _stats_dir
+        # no salt column) and corrupt load_key_counts totals; stale
+        # snapshots would time-travel into a different table's history
+        from fhirflat_spark import fsio
+        from fhirflat_spark.manifest import _snap_dir, _stats_dir
 
-        shutil.rmtree(_stats_dir(out_dir), ignore_errors=True)
+        fsio.delete_dir(frag_dir)
+        fsio.delete_dir(_stats_dir(out_dir))
+        fsio.delete_dir(_snap_dir(out_dir))
     # pyspark's mapInArrow resolves plain column names, which breaks on
     # dotted flat names (period.start) — feed it positional safe names and
     # keep the original names inside the kernel for payload/stats keys
@@ -1134,7 +1135,16 @@ def append_table(
             "chunks this engine's codecs no longer read)"
         )
     existing = completed_partitions(spark, out_dir)
-    offset = (max(existing) + 1) if existing else 0
+    # mint ids past every partition any RETAINED snapshot references,
+    # not just the current manifest: after a rollback the dropped
+    # partitions are still time-travel-readable, and reusing their ids
+    # (dynamic overwrite clears the dir) would silently rewrite that
+    # history. Ids from a crashed append are in NO snapshot — those stay
+    # reusable, which is what makes a retried append idempotent.
+    from fhirflat_spark.manifest import all_snapshot_part_ids
+
+    top = max([*existing, *all_snapshot_part_ids(out_dir)], default=None)
+    offset = (top + 1) if top is not None else 0
     delta_stats: list[tuple] | None = None
     if key_counts is None and "repo" in df.columns:
         delta_stats = [

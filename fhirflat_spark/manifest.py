@@ -27,6 +27,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fhirflat_spark import fsio
+
 MANIFEST_VERSION = 2  # v2: payload = struct<__c{i}: binary> (was map<string,binary>)
 
 # Dataset layout epoch — bump whenever codec selection, chunking, bucket
@@ -58,29 +60,32 @@ def _local(path: str) -> str:
 def load_fragments(frag_dir: str) -> list[dict]:
     """Merge task-committed manifest fragments (one json per partition).
 
-    Local-path I/O; a real object-store deployment would glob via
-    ``pyarrow.fs`` — the fragment protocol itself (task writes
-    ``<part_id>.json`` atomically, driver merges) is scheme-agnostic.
+    Scheme-agnostic via :mod:`fhirflat_spark.fsio`: the task writes
+    ``<part_id>.json`` atomically (rename locally, single put on an
+    object store), the driver lists + merges.
     """
-    import glob
-    import os
-
     rows: list[dict] = []
-    if not os.path.isdir(frag_dir):
-        return rows
-    for path in sorted(glob.glob(f"{frag_dir}/*.json")):
-        with open(path) as f:
-            rows.extend(json.load(f))
+    for name in fsio.list_files(frag_dir, suffix=".json"):
+        rows.extend(json.loads(fsio.read_bytes(f"{frag_dir}/{name}")))
     return rows
 
 
 def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list) -> dict:
-    """Aggregate collected chunk-meta rows → manifest parquet + stats.
+    """Aggregate collected chunk-meta rows → manifest parquet + stats,
+    committed as a new SNAPSHOT (Iceberg-style versioned metadata).
 
     Partition checksum = sha256 over that partition's chunk checksums in
     chunk order; dataset checksum = sha256 over partition checksums in
     part_id order (the checksum-of-checksums pattern of the reference's
     ``sha256sums.txt`` + ``fhirflat.toml``).
+
+    Commit protocol (every write atomic via fsio): (1) the immutable
+    ``snapshots/v{N}.manifest.parquet``, (2) the current
+    ``manifest/manifest.parquet``, (3) the ``snapshots/version-hint.txt``
+    pointer. A reader mid-commit sees the previous manifest or the new
+    one, never a torn state. Chunk files for committed partitions are
+    immutable (appends mint fresh part ids), so every retained snapshot
+    stays readable — the basis for time travel and rollback.
     """
     by_part: dict[int, list] = defaultdict(list)
     for r in meta_rows:
@@ -121,9 +126,16 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list) -> dict:
     )
     import os
 
-    os.makedirs(_local(out_dir) + "/manifest", exist_ok=True)
-    pq.write_table(table, _local(out_dir) + "/manifest/manifest.parquet")
-    return {**totals, "dataset_sha256": dataset_h.hexdigest(), "n_partitions": len(by_part)}
+    version = (current_snapshot(out_dir) or 0) + 1
+    token = str(os.getpid())
+    fsio.write_parquet_atomic(table, snapshot_manifest_path(out_dir, version),
+                              token=token)
+    fsio.write_parquet_atomic(table, f"{out_dir}/manifest/manifest.parquet",
+                              token=token)
+    fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
+                            str(version).encode(), token=token)
+    return {**totals, "dataset_sha256": dataset_h.hexdigest(),
+            "n_partitions": len(by_part), "snapshot": version}
 
 
 def build_manifest(chunk_df: DataFrame) -> DataFrame:
@@ -155,8 +167,183 @@ def build_manifest(chunk_df: DataFrame) -> DataFrame:
     )
 
 
-def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/manifest")
+# --- snapshots (Iceberg-style versioned metadata): every write_manifest
+# commit leaves an immutable snapshots/v{N}.manifest.parquet plus a
+# version-hint pointer. Because committed chunk partitions are never
+# mutated (appends mint fresh part ids; resume only replaces partitions
+# that never reached an ok snapshot), an old snapshot's part-id set is a
+# consistent historical view of the table — time travel is "decode the
+# part_ids that snapshot lists", rollback is "recommit an old snapshot's
+# manifest as the new current", and vacuum deletes chunk partitions no
+# retained snapshot references.
+
+def _snap_dir(out_dir: str) -> str:
+    return f"{out_dir}/snapshots"
+
+
+def snapshot_manifest_path(out_dir: str, version: int) -> str:
+    return f"{_snap_dir(out_dir)}/v{version:010d}.manifest.parquet"
+
+
+def _snapshot_versions(out_dir: str) -> list[int]:
+    return sorted(
+        int(n[1:-len(".manifest.parquet")])
+        for n in fsio.list_files(_snap_dir(out_dir), suffix=".manifest.parquet")
+    )
+
+
+def current_snapshot(out_dir: str) -> int | None:
+    """Latest committed snapshot version (hint file, falling back to a
+    listing when the hint is missing/corrupt), or None for a fresh dir."""
+    hint = f"{_snap_dir(out_dir)}/version-hint.txt"
+    try:
+        v = int(fsio.read_bytes(hint).decode().strip())
+    except (FileNotFoundError, OSError, ValueError):
+        v = None
+    versions = _snapshot_versions(out_dir)
+    if versions and (v is None or v < versions[-1]):
+        return versions[-1]
+    return v
+
+
+def read_snapshot_manifest(out_dir: str, version: int,
+                           columns: list[str] | None = None) -> pa.Table:
+    return fsio.read_parquet(snapshot_manifest_path(out_dir, version),
+                             columns=columns)
+
+
+def snapshot_part_ids(out_dir: str, version: int) -> list[int]:
+    """Partitions an historical snapshot committed as ok — the part-id
+    set time-travel decode prunes to."""
+    t = read_snapshot_manifest(out_dir, version, columns=["part_id", "status"])
+    return [
+        int(p) for p, s in zip(t["part_id"].to_pylist(), t["status"].to_pylist())
+        if s == "ok"
+    ]
+
+
+def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Snapshot log as a queryable DataFrame: per version, partition
+    count, row/byte totals and the dataset checksum-of-checksums —
+    driver-sized (versions × O(1) stats from column-pruned reads of the
+    snapshot manifests, payloads untouched)."""
+    cur = current_snapshot(out_dir)
+    rows = []
+    for v in _snapshot_versions(out_dir):
+        t = read_snapshot_manifest(out_dir, v)
+        h = hashlib.sha256()
+        for _, sha in sorted(
+            zip(t["part_id"].to_pylist(), t["partition_sha"].to_pylist())
+        ):
+            h.update(sha.encode())
+        rows.append((v, t.num_rows, sum(t["rows"].to_pylist()),
+                     sum(t["raw_bytes"].to_pylist()),
+                     sum(t["encoded_bytes"].to_pylist()),
+                     h.hexdigest(), v == cur))
+    return spark.createDataFrame(
+        rows,
+        "version INT, n_partitions BIGINT, rows BIGINT, raw_bytes BIGINT, "
+        "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN",
+    )
+
+
+def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
+    """Roll the table back to ``version`` by recommitting that snapshot's
+    manifest as a NEW snapshot (the Iceberg rollback semantics: history
+    is preserved, the current pointer moves). Updates the summary totals
+    and dataset checksum to the rolled-back state, and drops the task
+    fragments of the rolled-back partitions (they are the re-merge
+    input of the NEXT append — leaving them would resurrect the dropped
+    partitions into its manifest). Chunk files are left in place
+    (``vacuum`` reclaims the ones no snapshot references)."""
+    import os
+
+    t = read_snapshot_manifest(out_dir, version)
+    restored_ids = {int(p) for p in t["part_id"].to_pylist()}
+    frag_dir = f"{out_dir}/manifest_parts"
+    for name in fsio.list_files(frag_dir, suffix=".json"):
+        if int(name[:-len(".json")]) not in restored_ids:
+            fsio.delete_file(f"{frag_dir}/{name}")
+    new_version = (current_snapshot(out_dir) or 0) + 1
+    token = str(os.getpid())
+    fsio.write_parquet_atomic(t, snapshot_manifest_path(out_dir, new_version),
+                              token=token)
+    fsio.write_parquet_atomic(t, f"{out_dir}/manifest/manifest.parquet",
+                              token=token)
+    fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
+                            str(new_version).encode(), token=token)
+    summary = read_summary(spark, out_dir)
+    h = hashlib.sha256()
+    for _, sha in sorted(
+        zip(t["part_id"].to_pylist(), t["partition_sha"].to_pylist())
+    ):
+        h.update(sha.encode())
+    raw = sum(t["raw_bytes"].to_pylist())
+    enc = sum(t["encoded_bytes"].to_pylist())
+    summary.update(
+        rows=sum(t["rows"].to_pylist()), raw_bytes=raw, encoded_bytes=enc,
+        compression_ratio=round(enc / raw, 6) if raw else 0.0,
+        num_partitions=t.num_rows, dataset_sha256=h.hexdigest(),
+    )
+    fsio.write_bytes_atomic(f"{out_dir}/_SUMMARY.json",
+                            json.dumps(summary, indent=2).encode(), token=token)
+    return {"snapshot": new_version, "restored": version,
+            "rows": summary["rows"], "n_partitions": t.num_rows}
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshot manifests (the
+    current snapshot always survives). Returns the expired versions;
+    follow with ``vacuum`` to reclaim newly-unreferenced chunk files."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _snapshot_versions(out_dir)
+    cur = current_snapshot(out_dir)
+    expired = [v for v in versions[:-keep_last] if v != cur]
+    for v in expired:
+        fsio.delete_file(snapshot_manifest_path(out_dir, v))
+    return expired
+
+
+def all_snapshot_part_ids(out_dir: str) -> set[int]:
+    """Union of part ids across every retained snapshot — the set whose
+    chunk directories must not be touched (vacuum keeps them, appends
+    mint past them)."""
+    live: set[int] = set()
+    for v in _snapshot_versions(out_dir):
+        live.update(
+            int(p) for p in
+            read_snapshot_manifest(out_dir, v, columns=["part_id"])
+            ["part_id"].to_pylist()
+        )
+    return live
+
+
+def vacuum(spark: SparkSession, out_dir: str) -> list[int]:
+    """Delete chunk partitions referenced by NO retained snapshot (e.g.
+    appends rolled back and expired). Directory-level deletes on the
+    ``chunks/part_id=N`` layout; returns the part ids removed."""
+    live = all_snapshot_part_ids(out_dir)
+    removed = []
+    for name in fsio.list_dirs(f"{out_dir}/chunks"):
+        if not name.startswith("part_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        if pid not in live:
+            fsio.delete_dir(f"{out_dir}/chunks/{name}")
+            removed.append(pid)
+    return sorted(removed)
+
+
+def read_manifest(spark: SparkSession, out_dir: str,
+                  snapshot: int | None = None) -> DataFrame:
+    """Current manifest via the Spark reader; an historical ``snapshot``
+    loads through fsio (manifest cardinality is #partitions — driver-
+    sized by design, SCALE.md)."""
+    if snapshot is None:
+        return spark.read.parquet(f"{out_dir}/manifest")
+    t = read_snapshot_manifest(out_dir, snapshot)
+    return spark.createDataFrame(t.to_pandas())
 
 
 CHUNK_STATS_SCHEMA = (
@@ -201,12 +388,9 @@ def read_chunk_stats(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def completed_partitions(spark: SparkSession, out_dir: str) -> frozenset[int]:
     """Partitions already encoded + recorded ok — the resume skip set."""
-    import os
-
-    if not os.path.exists(_local(out_dir) + "/manifest"):
-        return frozenset()
     try:
-        t = pq.read_table(_local(out_dir) + "/manifest", columns=["part_id", "status"])
+        t = fsio.read_parquet(f"{out_dir}/manifest",
+                              columns=["part_id", "status"])
     except Exception:
         return frozenset()
     return frozenset(
@@ -243,16 +427,16 @@ def write_summary(spark: SparkSession, out_dir: str, result, columns: list[str],
         "num_partitions": result.num_partitions,
         "dataset_sha256": dataset_sha,
     }
-    # driver-side metadata file; on an object store this would go through
-    # the hadoop FS API — local path I/O suffices for this sandbox
-    with open(_local(out_dir) + "/_SUMMARY.json", "w") as f:
-        json.dump(summary, f, indent=2)
+    import os
+
+    fsio.write_bytes_atomic(f"{out_dir}/_SUMMARY.json",
+                            json.dumps(summary, indent=2).encode(),
+                            token=str(os.getpid()))
     return summary
 
 
 def read_summary(spark: SparkSession, out_dir: str) -> dict:
-    with open(_local(out_dir) + "/_SUMMARY.json") as f:
-        return json.load(f)
+    return json.loads(fsio.read_bytes(f"{out_dir}/_SUMMARY.json"))
 
 
 # --- maintained table statistics (the Iceberg partition-stats pattern):
@@ -268,24 +452,22 @@ def read_summary(spark: SparkSession, out_dir: str) -> dict:
 # fallback bucket for unseen keys.
 
 def _stats_dir(out_dir: str) -> str:
-    return _local(out_dir) + "/stats/key_count_parts"
+    return f"{out_dir}/stats/key_count_parts"
 
 
 def write_key_counts(out_dir: str, sentinel_counts: list[tuple],
                      label: str = "000000000000",
                      fresh: bool = False) -> None:
     """Persist sentinel-keyed counts ("v:<k>" / "n:" / "o:") as a
-    raw-keyed stats fragment named by ``label`` (tmp+rename — a retry of
-    the same label replaces, never duplicates). ``fresh=True`` clears
-    all fragments first (a full re-encode owns the whole table). The
-    "o:" fallback pseudo-key is not a real key and is dropped."""
+    raw-keyed stats fragment named by ``label`` (atomic publish — a
+    retry of the same label replaces, never duplicates). ``fresh=True``
+    clears all fragments first (a full re-encode owns the whole table).
+    The "o:" fallback pseudo-key is not a real key and is dropped."""
     import os
-    import shutil
 
     d = _stats_dir(out_dir)
     if fresh:
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
+        fsio.delete_dir(d)
     rows: dict[str | None, int] = {}
     for sk, c in sentinel_counts:
         if sk == "o:":
@@ -298,26 +480,21 @@ def write_key_counts(out_dir: str, sentinel_counts: list[tuple],
             "count": pa.array(list(rows.values()), pa.int64()),
         }
     )
-    tmp = f"{d}/.{label}.parquet.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, f"{d}/{label}.parquet")
+    fsio.write_parquet_atomic(table, f"{d}/{label}.parquet",
+                              token=str(os.getpid()))
 
 
 def load_key_counts(out_dir: str) -> list[tuple] | None:
     """Merged per-key counts across every stats fragment, as caller-style
     ``key_counts`` (raw key or None, count) — pass straight back into
     ``encode_table``/``plan_salted``. None when no stats exist."""
-    import glob
-    import os
-
     d = _stats_dir(out_dir)
-    if not os.path.isdir(d):
+    names = fsio.list_files(d, suffix=".parquet")
+    if not names:
         return None
     totals: dict[str | None, int] = {}
-    found = False
-    for path in sorted(glob.glob(f"{d}/*.parquet")):
-        found = True
-        t = pq.read_table(path)
+    for name in names:
+        t = fsio.read_parquet(f"{d}/{name}")
         for k, c in zip(t["key"].to_pylist(), t["count"].to_pylist()):
             totals[k] = totals.get(k, 0) + int(c)
-    return list(totals.items()) if found else None
+    return list(totals.items())

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 ZONE_LO, ZONE_HI = 100, 500
 
 
-def _encoded_documents(spark, sf_dir: str) -> str:
-    """Encode sf_dir/documents.parquet once per (sf label, FORMAT_VERSION)
+def _cached_dataset(spark, sf_dir: str, tag: str, build_fn) -> str:
+    """Build an encoded dataset once per (tag, sf label, FORMAT_VERSION)
     cache key. The build happens in a per-process scratch dir that is
     atomically renamed into place, so (a) concurrent sessions never write
     the same directory and the loser just adopts the winner's dataset, and
@@ -35,19 +35,17 @@ def _encoded_documents(spark, sf_dir: str) -> str:
     silently reusing stale-layout chunks."""
     import shutil
 
-    from fhirflat_spark.encode import encode_table
     from fhirflat_spark.manifest import FORMAT_VERSION
 
     label = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(
-        tempfile.gettempdir(), f"fhirflat_spark_zoneq_{label}_v{FORMAT_VERSION}"
+        tempfile.gettempdir(), f"fhirflat_spark_{tag}_{label}_v{FORMAT_VERSION}"
     )
     out = os.path.join(root, "ds")
     if not os.path.exists(os.path.join(out, "_SUMMARY.json")):
         build = os.path.join(root, f".build.{os.getpid()}")
         shutil.rmtree(build, ignore_errors=True)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        encode_table(docs, os.path.join(build, "ds"), rows_per_bucket=2000)
+        build_fn(os.path.join(build, "ds"))
         try:
             os.rename(os.path.join(build, "ds"), out)
         except OSError as e:
@@ -61,8 +59,33 @@ def _encoded_documents(spark, sf_dir: str) -> str:
                 raise
         shutil.rmtree(build, ignore_errors=True)
     if not os.path.exists(os.path.join(out, "_SUMMARY.json")):
-        raise RuntimeError(f"zone-query cache build failed to produce {out}")
+        raise RuntimeError(f"{tag} cache build failed to produce {out}")
     return out
+
+
+def _encoded_documents(spark, sf_dir: str) -> str:
+    from fhirflat_spark.encode import encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs, path, rows_per_bucket=2000)
+
+    return _cached_dataset(spark, sf_dir, "zoneq", build)
+
+
+def _encoded_documents_versioned(spark, sf_dir: str) -> str:
+    """Two-snapshot dataset: even doc_ids encoded as snapshot 1, odd
+    doc_ids appended as snapshot 2 — the time-travel fixture."""
+    from fhirflat_spark.encode import append_table, encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs.where(F.col("doc_id") % 2 == 0), path,
+                     rows_per_bucket=2000)
+        append_table(docs.where(F.col("doc_id") % 2 == 1), path,
+                     rows_per_bucket=2000)
+
+    return _cached_dataset(spark, sf_dir, "snapq", build)
 
 
 def q_decode_zone_pruned(spark, sf_dir):
@@ -178,8 +201,49 @@ SELECT * FROM (
 """
 
 
+def q_time_travel(spark, sf_dir):
+    """Snapshot time travel (Iceberg-style versioned manifests): the
+    fixture encodes even doc_ids (snapshot 1) then appends the odd ones
+    (snapshot 2); decoding at each pinned snapshot must reproduce
+    exactly the table as of that commit — which the oracle states as
+    plain SQL over the raw rows. A wrong part-id set in either snapshot
+    manifest, or a decode that reads chunk dirs outside the snapshot,
+    shifts the counts/sums and fails the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_versioned(spark, sf_dir)
+
+    def agg(df, version):
+        return df.agg(
+            F.lit(version).alias("snapshot"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+
+    return (
+        agg(decode_table(spark, out, snapshot=1), 1)
+        .unionByName(agg(decode_table(spark, out, snapshot=2), 2))
+        .orderBy("snapshot")
+    )
+
+
+SQL_TIME_TRAVEL = """
+SELECT 1 AS snapshot, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT), min(doc_id), max(doc_id)
+FROM documents
+ORDER BY snapshot
+"""
+
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),
+    "time_travel_snapshot": (q_time_travel, SQL_TIME_TRAVEL),
 }

@@ -108,8 +108,9 @@ def encode_dataset(tables: dict[str, DataFrame], out_dir: str,
                    rows_per_bucket: int = 250_000, resume: bool = False) -> dict:
     """Encode a bundle of tables; one encoded dataset per table + a
     bundle summary whose checksum covers every table's dataset checksum."""
+    from fhirflat_spark import fsio
     from fhirflat_spark.encode import encode_table
-    from fhirflat_spark.manifest import _local, read_summary
+    from fhirflat_spark.manifest import read_summary
 
     results = {}
     h = hashlib.sha256()
@@ -132,15 +133,14 @@ def encode_dataset(tables: dict[str, DataFrame], out_dir: str,
         "bundle_sha256": h.hexdigest(),
         "n_tables": len(results),
     }
-    with open(_local(out_dir) + "/_BUNDLE.json", "w") as f:
-        json.dump(bundle, f, indent=2)
+    fsio.write_bytes_atomic(f"{out_dir}/_BUNDLE.json",
+                            json.dumps(bundle, indent=2).encode())
     return bundle
 
 
 def decode_dataset(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    from fhirflat_spark import fsio
     from fhirflat_spark.decode import decode_table
-    from fhirflat_spark.manifest import _local
 
-    with open(_local(out_dir) + "/_BUNDLE.json") as f:
-        bundle = json.load(f)
+    bundle = json.loads(fsio.read_bytes(f"{out_dir}/_BUNDLE.json"))
     return {name: decode_table(spark, f"{out_dir}/{name}") for name in bundle["tables"]}

@@ -714,6 +714,12 @@ def test_register_dataset_catalog_views(spark, tmp_path):
     from fhirflat_spark.manifest import FORMAT_VERSION
 
     assert s["format_version"] == FORMAT_VERSION
+    snap = spark.sql(
+        "SELECT version, rows, is_current FROM cds_snapshots"
+    ).collect()
+    assert [(r["version"], r["rows"], r["is_current"]) for r in snap] == [
+        (1, 3000, True)
+    ]
     with pytest.raises(ValueError, match="view name"):
         register_dataset(spark, out, "bad-name")
 

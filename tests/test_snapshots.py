@@ -1,0 +1,168 @@
+"""Snapshot lifecycle: versioned manifest commits, time-travel decode,
+rollback, expiry, vacuum — the Iceberg-style metadata layer over the
+chunk store (manifest.py). Committed chunk partitions are immutable
+(appends mint fresh part ids), which is the invariant every test here
+leans on: an old snapshot's part-id set IS the old table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture()
+def ds(spark, docs, tmp_path):
+    """base (even doc_id) encoded as snapshot 1, delta (odd) appended as
+    snapshot 2."""
+    from fhirflat_spark.encode import append_table, encode_table
+
+    out = str(tmp_path / "ds")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    encode_table(base, out, rows_per_bucket=500)
+    append_table(delta, out, rows_per_bucket=500)
+    return out, base, delta
+
+
+def _same_rows(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_time_travel_decode(spark, ds):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.manifest import current_snapshot, list_snapshots
+
+    out, base, delta = ds
+    assert current_snapshot(out) == 2
+    assert _same_rows(decode_table(spark, out, snapshot=1), base)
+    assert _same_rows(decode_table(spark, out, snapshot=2),
+                      base.unionByName(delta))
+    log = {r["version"]: r for r in list_snapshots(spark, out).collect()}
+    assert log[1]["rows"] == base.count() and not log[1]["is_current"]
+    assert log[2]["rows"] == base.count() + delta.count()
+    assert log[2]["is_current"]
+
+
+def test_snapshot_decode_composes_with_column_pruning(spark, ds):
+    from fhirflat_spark.decode import decode_table
+
+    out, base, _ = ds
+    one = decode_table(spark, out, columns=["lang"], snapshot=1)
+    assert one.columns == ["lang"]
+    assert one.count() == base.count()
+
+
+def test_rollback_restores_and_preserves_history(spark, ds):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.manifest import current_snapshot, rollback
+
+    out, base, delta = ds
+    info = rollback(spark, out, 1)
+    assert info["restored"] == 1 and info["snapshot"] == 3
+    assert current_snapshot(out) == 3
+    # current view = snapshot-1 contents, even though the rolled-back
+    # chunk dirs still exist on disk (not yet vacuumed)
+    assert _same_rows(decode_table(spark, out), base)
+    # history is preserved: the rolled-back snapshot stays readable
+    assert _same_rows(decode_table(spark, out, snapshot=2),
+                      base.unionByName(delta))
+
+
+def test_append_after_rollback_does_not_rewrite_history(spark, ds):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import (
+        current_snapshot,
+        rollback,
+        snapshot_part_ids,
+    )
+
+    out, base, delta = ds
+    dropped = set(snapshot_part_ids(out, 2)) - set(snapshot_part_ids(out, 1))
+    rollback(spark, out, 1)
+    delta2 = delta.where(F.col("doc_id") < 100)
+    res = append_table(delta2, out, rows_per_bucket=500)
+    # the re-merged manifest covers base + new delta only — the
+    # rolled-back partitions' fragments must not resurrect
+    assert res.rows == base.count() + delta2.count()
+    cur_ids = set(snapshot_part_ids(out, current_snapshot(out)))
+    # new ids minted PAST every snapshot-referenced id: reusing a
+    # dropped-but-retained id would overwrite snapshot-2's history
+    assert not (cur_ids & dropped)
+    assert _same_rows(decode_table(spark, out),
+                      base.unionByName(delta2))
+    assert _same_rows(decode_table(spark, out, snapshot=2),
+                      base.unionByName(delta))
+
+
+def test_expire_and_vacuum_reclaim_unreferenced_partitions(spark, ds):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.manifest import (
+        expire_snapshots,
+        rollback,
+        snapshot_part_ids,
+        vacuum,
+    )
+
+    out, base, delta = ds
+    dropped = sorted(
+        set(snapshot_part_ids(out, 2)) - set(snapshot_part_ids(out, 1))
+    )
+    rollback(spark, out, 1)
+    # nothing reclaimable while snapshot 2 still references the parts
+    assert vacuum(spark, out) == []
+    expired = expire_snapshots(out, keep_last=1)
+    assert 2 in expired
+    assert vacuum(spark, out) == dropped
+    for pid in dropped:
+        assert not os.path.exists(f"{out}/chunks/part_id={pid}")
+    assert _same_rows(decode_table(spark, out), base)
+
+
+def test_expire_keeps_current(spark, ds):
+    from fhirflat_spark.manifest import (
+        current_snapshot,
+        expire_snapshots,
+        snapshot_manifest_path,
+    )
+    from fhirflat_spark import fsio
+
+    out, *_ = ds
+    expire_snapshots(out, keep_last=1)
+    assert fsio.exists(snapshot_manifest_path(out, current_snapshot(out)))
+    assert not fsio.exists(snapshot_manifest_path(out, 1))
+
+
+def test_uncommitted_chunk_dir_is_invisible(spark, ds):
+    """The table IS what the manifest says: a chunk directory from a
+    crashed run (present on disk, absent from the manifest) must not
+    leak into decode."""
+    from fhirflat_spark.decode import decode_table
+
+    out, base, delta = ds
+    n = decode_table(spark, out).count()
+    src = f"{out}/chunks/part_id=0"
+    shutil.copytree(src, f"{out}/chunks/part_id=9000")
+    assert decode_table(spark, out).count() == n
+    shutil.rmtree(f"{out}/chunks/part_id=9000")
+
+
+def test_fresh_encode_resets_snapshot_history(spark, docs, tmp_path):
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import current_snapshot, list_snapshots
+
+    out = str(tmp_path / "ds")
+    encode_table(docs.limit(100), out, rows_per_bucket=500)
+    encode_table(docs.limit(200), out, rows_per_bucket=500)
+    # overwrite = a new table: exactly one snapshot, version restarts
+    assert current_snapshot(out) == 1
+    assert list_snapshots(spark, out).count() == 1
