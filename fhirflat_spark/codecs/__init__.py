@@ -34,6 +34,7 @@ CODECS = {
     "raw": (kernels.enc_raw, kernels.dec_raw),
     "zstd": (kernels.enc_zstd, kernels.dec_zstd),
     "bss": (kernels.enc_bss, kernels.dec_bss),
+    "alp": (kernels.enc_alp, kernels.dec_alp),
     "bitpack": (kernels.enc_bitpack, kernels.dec_bitpack),
     "for": (kernels.enc_for, kernels.dec_for),
     "delta": (kernels.enc_delta, kernels.dec_delta),

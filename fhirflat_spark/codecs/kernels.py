@@ -198,6 +198,106 @@ def dec_bss(meta: dict, secs: list, n: int, dtype: pa.DataType) -> pa.Array:
 
 
 # ---------------------------------------------------------------------------
+# ALP-style adaptive lossless float (decimal-scaled ints + exceptions)
+# ---------------------------------------------------------------------------
+# The ALP idea (Afroozeh & Boncz, "ALP: Adaptive Lossless floating-Point
+# compression", public SIGMOD'24 paper): most real-world doubles are
+# decimals — x == round(x · 10^e) / 10^e bit-exactly for some small e —
+# so store the integers (FoR/bit-packed, tiny) plus a patch list of the
+# values that aren't exact. This simplified single-factor variant probes
+# e on a sample; the full encode verifies EVERY value bitwise, so the
+# codec is lossless by construction regardless of the probe.
+
+_ALP_MAX_E = 14  # beyond ~14 decimal digits float64 noise dominates
+_ALP_INT_LIMIT = float(1 << 51)  # |scaled| bound: exact int in a double
+
+
+def _alp_exact_ints(w: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 candidates, bitwise-exact mask) for scale 10^e over float64
+    ``w``. The exactness test uses the same expression decode uses
+    (ints / 10^e), compared on the raw bit patterns so -0.0/NaN never
+    alias."""
+    p = 10.0 ** e
+    with np.errstate(invalid="ignore", over="ignore"):
+        scaled = w * p
+        in_range = np.isfinite(scaled) & (np.abs(scaled) < _ALP_INT_LIMIT)
+        ints = np.where(in_range, np.round(scaled), 0.0).astype(np.int64)
+        back = ints / p
+    exact = in_range & (back.view(np.int64) == w.view(np.int64))
+    return ints, exact
+
+
+def alp_probe(v: np.ndarray, sample: int = 1024) -> tuple[int, float]:
+    """Best exponent + exact-hit rate on a sample (selector trial)."""
+    w = v.astype(np.float64, copy=False)
+    if len(w) > sample:
+        w = w[:: max(1, len(w) // sample)][:sample]
+    if len(w) == 0:
+        return 0, 1.0
+    best_e, best_hit = 0, -1.0
+    for e in range(_ALP_MAX_E + 1):
+        _, exact = _alp_exact_ints(w, e)
+        hit = float(exact.mean())
+        if hit > best_hit + 1e-9:  # ties → smallest e (smallest ints)
+            best_e, best_hit = e, hit
+        if hit == 1.0:
+            break
+    return best_e, best_hit
+
+
+def enc_alp(values: pa.Array, opts: dict) -> tuple[dict, list[bytes]]:
+    v = _prim_np(values)
+    if v.dtype not in (np.float64, np.float32):
+        raise CodecError("alp codec is float-only")
+    f32 = v.dtype == np.float32
+    n = len(v)
+    if n == 0:
+        return {"e": 0, "ref": 0, "width": 0, "nexc": 0}, [b"", b"", b""]
+    w = v.astype(np.float64) if f32 else v
+    e = opts["e"] if "e" in opts else alp_probe(v)[0]
+    ints, exact = _alp_exact_ints(w, e)
+    if f32:
+        # exactness must hold in the STORED width: decode casts back to
+        # float32, so compare there
+        p = 10.0 ** e
+        with np.errstate(invalid="ignore", over="ignore"):
+            back32 = (ints / p).astype(np.float32)
+        exact = exact & (back32.view(np.int32) == v.view(np.int32))
+    exc_idx = np.flatnonzero(~exact)
+    if len(exc_idx) > n * float(opts.get("max_exc", 0.2)):
+        raise CodecError(f"alp exception rate {len(exc_idx)}/{n}")
+    if len(exc_idx):
+        # placeholder keeps exception slots from widening the pack
+        fill = ints[exact][0] if exact.any() else 0
+        ints[exc_idx] = fill
+    ref = int(ints.min())
+    with np.errstate(over="ignore"):
+        d = _as_u64_wrapped(ints) - np.uint64(ref & 0xFFFFFFFFFFFFFFFF)
+    width = bit_width(int(d.max()))
+    return (
+        {"e": e, "ref": ref, "width": width, "nexc": len(exc_idx)},
+        [
+            pack_bits(d, width),
+            exc_idx.astype(np.uint32).tobytes(),
+            v[exc_idx].tobytes(),
+        ],
+    )
+
+
+def dec_alp(meta: dict, secs: list, n: int, dtype: pa.DataType) -> pa.Array:
+    npdt = np.dtype(dtype.to_pandas_dtype())
+    u = unpack_bits(secs[0], meta["width"], n)
+    with np.errstate(over="ignore"):
+        ints = (u + np.uint64(meta["ref"] & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+    x = ints / (10.0 ** meta["e"])
+    out = x.astype(npdt) if npdt != np.float64 else x
+    if meta["nexc"]:
+        pos = np.frombuffer(secs[1], dtype=np.uint32)
+        out[pos] = np.frombuffer(secs[2], dtype=npdt)
+    return pa.array(out, type=dtype)
+
+
+# ---------------------------------------------------------------------------
 # bit-pack / frame-of-reference / delta (integers)
 # ---------------------------------------------------------------------------
 

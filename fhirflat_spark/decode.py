@@ -64,21 +64,30 @@ def _blob_view(col: pa.Array, i: int) -> memoryview:
     return memoryview(col[i].as_buffer())
 
 
-def decode_kernel_factory(columns: list[str], field_names: list[str]):
+def decode_kernel_factory(columns: list[str], field_names: list[str],
+                          arrow_types: list | None = None):
     """``field_names[j]`` is the chunk-struct field holding ``columns[j]``
     — the kernel only ever sees the SELECTED fields (parquet nested
-    pruning keeps unselected columns' bytes unread)."""
+    pruning keeps unselected columns' bytes unread).
+
+    A NULL payload cell means the chunk predates the column (schema
+    evolution: appends may add columns; old partitions are never
+    rewritten) — the kernel emits a typed all-null array of the chunk's
+    length, which is why the batch carries ``n_rows``."""
 
     def kernel(batches):
         for batch in batches:
+            nrs = batch.column("n_rows")
             cols = [batch.column(f) for f in field_names]
             for i in range(batch.num_rows):  # iterates CHUNKS (≈16k rows each), not rows
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        name: decode_array(_blob_view(col, i))
-                        for name, col in zip(columns, cols)
-                    }
-                )
+                arrays = {}
+                for j, (name, col) in enumerate(zip(columns, cols)):
+                    if not col[i].is_valid:
+                        at = arrow_types[j] if arrow_types else pa.string()
+                        arrays[name] = pa.nulls(nrs[i].as_py(), type=at)
+                    else:
+                        arrays[name] = decode_array(_blob_view(col, i))
+                yield pa.RecordBatch.from_pydict(arrays)
 
     return kernel
 
@@ -108,6 +117,18 @@ def _zone_predicate(schema: T.StructType, col: str, lo, hi):
     else:
         return F.lit(True)  # unknown type: keep every chunk (conservative)
     return zmin.isNull() | zmax.isNull() | ~((zmax < lo) | (zmin > hi))
+
+
+def _arrow_types(spark: SparkSession, schema: T.StructType) -> list:
+    """Arrow type per field of a Spark schema (drives the typed null
+    fill for schema-evolved columns)."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        return [to_arrow_type(f.dataType) for f in schema.fields]
+    except Exception:
+        # fallback: round-trip an empty frame (one degenerate job)
+        return [f.type for f in spark.createDataFrame([], schema).toArrow().schema]
 
 
 def _live_part_ids(out_dir: str) -> list[int] | None:
@@ -233,12 +254,17 @@ def decode_table(spark: SparkSession, out_dir: str,
         schema = T.StructType([by_name[c] for c in columns])
     else:
         schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
-    # select only the requested payload fields: nested-schema pruning
+    # select only the requested payload fields plus the per-chunk row
+    # count (int64/chunk — needed to size typed null fills for columns
+    # added after a chunk was written): nested-schema pruning still
     # reaches the parquet scan, so unselected columns cost zero IO
     pruned = chunks.select(
-        *[F.col(f"payload.{f}").alias(f) for f in fields]
+        "n_rows", *[F.col(f"payload.{f}").alias(f) for f in fields]
     )
-    return pruned.mapInArrow(decode_kernel_factory(columns, fields), schema=schema)
+    return pruned.mapInArrow(
+        decode_kernel_factory(columns, fields, _arrow_types(spark, schema)),
+        schema=schema,
+    )
 
 
 def verify_kernel_factory(columns: list[str], field_names: list[str]):
@@ -264,6 +290,11 @@ def verify_kernel_factory(columns: list[str], field_names: list[str]):
                     full = set(columns) >= set(stats.keys())
                     shas = {}
                     for name, col in zip(columns, cols):
+                        if name not in stats:
+                            # chunk predates this column (schema
+                            # evolution) — nothing was recorded, nothing
+                            # to verify
+                            continue
                         arr = decode_array(_blob_view(col, i))
                         shas[name], _ = _col_raw_sha(arr)
                     if full:
@@ -275,10 +306,15 @@ def verify_kernel_factory(columns: list[str], field_names: list[str]):
                             sha_all.update(shas[name].encode())
                         actual = sha_all.hexdigest()
                     else:
-                        expected = "|".join(stats[c]["sha"] for c in columns)
-                        actual = "|".join(shas[c] for c in columns)
+                        # only the columns this chunk actually recorded
+                        # (schema evolution: added columns have no bytes
+                        # and no sha in pre-evolution chunks)
+                        present = [c for c in columns if c in stats]
+                        expected = "|".join(stats[c]["sha"] for c in present)
+                        actual = "|".join(shas[c] for c in present)
                     err = None
-                    bad = [c for c in columns if shas[c] != stats[c]["sha"]]
+                    bad = [c for c in columns
+                           if c in stats and shas[c] != stats[c]["sha"]]
                     if bad:
                         err = f"column sha mismatch: {','.join(bad)}"
                 except Exception as e:  # failure localized to this chunk
@@ -434,6 +470,11 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                 payload = {}
                 enc_total = 0
                 for j, name in enumerate(columns):
+                    if not cols[j][i].is_valid:
+                        # chunk predates this column (schema evolution):
+                        # carry the absence through unchanged
+                        payload[f"__c{j}"] = None
+                        continue
                     arr = decode_array(_blob_view(cols[j], i))
                     blob = encode_array(
                         arr, codec=overrides.get(name, "auto"),

@@ -48,8 +48,11 @@ def chunk_schema(n_cols: int) -> T.StructType:
     maps them back) rather than a map<string,binary>: parquet nested-
     schema pruning then skips unselected columns' bytes at IO time, so a
     single-column decode of a 100-TB dataset reads ~1/n_cols of it."""
+    # payload fields are NULLABLE: a chunk written before a column was
+    # added (schema evolution) has no bytes for it — readers fill typed
+    # nulls, transcode carries the absence through
     payload = T.StructType(
-        [T.StructField(f"__c{i}", T.BinaryType(), False) for i in range(n_cols)]
+        [T.StructField(f"__c{i}", T.BinaryType(), True) for i in range(n_cols)]
     )
     return T.StructType(
         [
@@ -1094,7 +1097,13 @@ def append_table(
     whole table. Existing chunk files are never touched, so concurrent
     readers keep a consistent view until the summary swap.
 
-    Columns must match the existing dataset exactly. When no
+    Schema evolution (Iceberg add-column semantics): the delta may ADD
+    columns — they append to the dataset's column list (old columns keep
+    their positional payload fields, so existing chunks stay readable
+    as-is) and old partitions decode as typed nulls for them. The delta
+    may also OMIT existing columns — they are null-filled from the
+    dataset schema. A shared column whose Spark type differs is an
+    error: silent coercion at 100 TB is how tables rot. When no
     ``key_counts`` are given, the append batch's per-key counts are
     scanned (cost proportional to the DELTA, not the table), used to
     plan THIS append's buckets, and persisted as this offset's stats
@@ -1116,10 +1125,32 @@ def append_table(
 
     spark = df.sparkSession
     summary = read_summary(spark, out_dir)
-    if list(df.columns) != list(summary["columns"]):
+    old_cols = list(summary["columns"])
+    added = [c for c in df.columns if c not in old_cols]
+    missing = [c for c in old_cols if c not in df.columns]
+    evolved = bool(added or missing) or list(df.columns) != old_cols
+    if summary.get("spark_schema"):
+        old_schema = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+        by_name = {f.name: f for f in old_schema.fields}
+        for c in df.columns:
+            if c in by_name and df.schema[c].dataType != by_name[c].dataType:
+                raise ValueError(
+                    f"append column {c!r} type {df.schema[c].dataType} != "
+                    f"dataset type {by_name[c].dataType} — evolve types "
+                    "explicitly (transcode), not by append coercion"
+                )
+        for c in missing:
+            df = df.withColumn(c, F.lit(None).cast(by_name[c].dataType))
+        if evolved:
+            # stable positional payload mapping: old columns keep their
+            # indices, added columns take fresh trailing ones — existing
+            # chunks stay readable and decode fills typed nulls
+            df = df.select(*[F.col(f"`{c}`") for c in old_cols + added])
+    elif evolved:
         raise ValueError(
             f"append columns {list(df.columns)} != dataset columns "
-            f"{summary['columns']}"
+            f"{old_cols} and the dataset records no spark_schema to "
+            "evolve against"
         )
     from fhirflat_spark.manifest import FORMAT_VERSION
 

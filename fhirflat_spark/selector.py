@@ -220,6 +220,17 @@ def choose_codec(
     if pa.types.is_floating(t):
         if depth == 0 and stats["distinct"] <= min(_DICT_MAX, max(16, n * 0.1)):
             return "dict", opts
+        # decimal-valued floats (prices, measurements): ALP stores
+        # round(x·10^e) bit-packed — typically 2-4x tighter than
+        # byte-stream-split. Probe on a sample; the codec still verifies
+        # every value bitwise and raises (→ fallback) past its
+        # exception budget, so an unlucky sample can't lose data.
+        from fhirflat_spark.codecs.kernels import alp_probe
+
+        e, hit = alp_probe(arr.to_numpy(zero_copy_only=False))
+        if hit >= 0.95:
+            opts["e"] = e
+            return "alp", opts
         return "bss", opts
 
     return "arrowz", opts

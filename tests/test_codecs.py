@@ -257,6 +257,59 @@ def test_rle_compresses_runs():
     assert len(encode_array(vals, codec="rle")) < 500
 
 
+# ---------------------------------------------------------------- alp (floats)
+
+def _bitwise_rt(arr: pa.Array, codec: str = "alp") -> int:
+    blob = encode_array(arr, codec=codec)
+    out = decode_array(blob)
+    a = arr.to_numpy(zero_copy_only=False)
+    b = out.to_numpy(zero_copy_only=False)
+    assert a.tobytes() == b.tobytes()
+    return len(blob)
+
+
+def test_alp_decimal_floats_bitwise_and_beats_bss():
+    prices = pa.array(np.round(rng.uniform(1, 1000, 8192), 2))
+    alp_len = _bitwise_rt(prices)
+    bss_len = len(encode_array(prices, codec="bss"))
+    assert alp_len < bss_len * 0.6  # 2-decimal doubles: ints bit-pack tight
+
+
+def test_alp_exceptions_patch_bitwise():
+    # values no decimal scale reproduces: stored via the exception
+    # channel, still bit-identical (incl. -0.0, NaN, denormal, inf)
+    v = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 5e-324, np.pi,
+                  1.25, 2.50, 3.75, 1e300] + [0.01 * i for i in range(100)])
+    _bitwise_rt(pa.array(v))
+
+
+def test_alp_float32_checks_exactness_in_stored_width():
+    v = np.round(rng.uniform(0, 100, 4096), 1).astype(np.float32)
+    _bitwise_rt(pa.array(v, type=pa.float32()))
+
+
+def test_alp_rejects_full_precision_noise():
+    from fhirflat_spark.codecs.core import CodecError, unpack_chunk
+    from fhirflat_spark.codecs.kernels import alp_probe, enc_alp
+
+    noise = rng.normal(size=4096)
+    assert alp_probe(noise)[1] < 0.5
+    with pytest.raises(CodecError):
+        enc_alp(pa.array(noise), {})
+    # selector path: auto falls through to bss, never lossy
+    assert unpack_chunk(encode_array(pa.array(noise), codec="auto"))[0] == "bss"
+    # and decimal floats pick alp
+    dec = pa.array(np.round(rng.uniform(1, 50, 4096), 2))
+    assert unpack_chunk(encode_array(dec, codec="auto"))[0] == "alp"
+
+
+def test_alp_empty_and_nullable():
+    _bitwise_rt(pa.array([], type=pa.float64()))
+    nul = pa.array([1.25, None, 3.5, None, 7.75] * 200)
+    out = decode_array(encode_array(nul, codec="auto"))
+    assert out.equals(nul)
+
+
 def test_prefix_compresses_sorted_paths():
     vals = pa.array(STRING_FIXTURES["paths_sorted"] * 20)
     srt = pa.array(sorted(vals.to_pylist()))
@@ -268,5 +321,5 @@ def test_prefix_compresses_sorted_paths():
 def test_registry_complete():
     assert set(CODECS) >= {
         "dict", "rle", "fsst", "bitpack", "for", "delta",
-        "prefix", "constant", "raw", "zstd", "bss", "arrowz",
+        "prefix", "constant", "raw", "zstd", "bss", "alp", "arrowz",
     }

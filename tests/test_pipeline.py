@@ -573,11 +573,11 @@ def test_append_table_incremental(spark, tmp_path):
     assert decoded.count() == 5000
     fails = verify_against_source(both, decoded, ["repo", "path", "commit", "lang", "content"])
     assert fails.count() == 0
-    # append refuses mismatched columns
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        append_table(df2.drop("lang"), out)
+    # append evolves add/omit columns (tests/test_schema_evolution.py)
+    # but still refuses a shared-column TYPE conflict — no silent
+    # coercion
+    with pytest.raises(ValueError, match="type"):
+        append_table(df2.withColumn("lang", F.lit(1).cast("long")), out)
 
 
 def test_append_partitions_disjoint(spark, tmp_path):
