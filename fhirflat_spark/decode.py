@@ -119,6 +119,27 @@ def _zone_predicate(schema: T.StructType, col: str, lo, hi):
     return zmin.isNull() | zmax.isNull() | ~((zmax < lo) | (zmin > hi))
 
 
+def _bloom_predicate(col: str, value: str):
+    """Chunk-keep condition for a point lookup against the per-chunk
+    Bloom filter in stats (fhirflat_spark/bloom.py). The K probe bit
+    positions are constants computed driver-side, so membership becomes
+    a conjunction of ``substring(bloom_hex, char, 1) IN (8 hex
+    digits)`` — pure Catalyst over the stats column, no payload bytes
+    touched for pruned chunks. Chunks without a bloom (other datasets'
+    columns, all-null chunks, a different bit-set geometry) are KEPT —
+    pruning is always conservative; callers still apply the exact
+    residual filter (Bloom false positives pass the probe)."""
+    from fhirflat_spark import bloom as B
+
+    bl = F.get_json_object(F.col("stats"), f"$['{col}'].bloom")
+    bb = F.get_json_object(F.col("stats"), f"$['{col}'].bbits")
+    hit = F.lit(True)
+    for pos in B.probe_positions(value):
+        char_idx, chars = B.hex_probe(pos)
+        hit = hit & F.substring(bl, char_idx + 1, 1).isin(*chars)
+    return bl.isNull() | (bb != F.lit(str(B.M_BITS))) | hit
+
+
 def _arrow_types(spark: SparkSession, schema: T.StructType) -> list:
     """Arrow type per field of a Spark schema (drives the typed null
     fill for schema-evolved columns)."""
@@ -174,6 +195,7 @@ def decode_table(spark: SparkSession, out_dir: str,
                  part_ids: list[int] | None = None,
                  key_range: tuple[str, str] | None = None,
                  zone_filter: tuple | None = None,
+                 point_filter: tuple | None = None,
                  snapshot: int | None = None) -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
 
@@ -187,7 +209,13 @@ def decode_table(spark: SparkSession, out_dir: str,
     conjunctively — does the same for ANY orderable column via the
     per-column zone bounds recorded in chunk stats — an
     overapproximation: callers still apply the exact residual filter.
-    ``snapshot=N`` time-travels: only the partitions that historical
+    ``point_filter=(col, value)`` — or a list of such pairs, conjunctive
+    — prunes via the per-chunk Bloom filters (encode with
+    ``bloom_columns=[col]``): the point-lookup path for unsorted
+    high-cardinality keys where zone maps cannot prune (a ~2% Bloom
+    false-positive rate decodes ~2% of chunks instead of all; never a
+    false negative, so pruning is safe — apply the exact residual on
+    top). ``snapshot=N`` time-travels: only the partitions that historical
     snapshot committed are read (partition-directory pruning — committed
     partitions are immutable, so the old part-id set IS the old table).
 
@@ -248,6 +276,25 @@ def decode_table(spark: SparkSession, out_dir: str,
                     f"zone_filter column {zcol!r} not in dataset columns {all_cols}"
                 )
             chunks = chunks.where(_zone_predicate(zschema, zcol, zlo, zhi))
+    if point_filter is not None:
+        pfilters = (
+            [point_filter] if isinstance(point_filter, tuple)
+            else list(point_filter)
+        )
+        bloomed = set(summary.get("bloom_columns", ()))
+        for pcol, pval in pfilters:
+            if pcol not in all_cols:
+                raise ValueError(
+                    f"point_filter column {pcol!r} not in dataset columns "
+                    f"{all_cols}"
+                )
+            if pcol not in bloomed:
+                raise ValueError(
+                    f"point_filter column {pcol!r} has no Bloom filter — "
+                    f"encode with bloom_columns=[{pcol!r}] "
+                    f"(bloomed: {sorted(bloomed)})"
+                )
+            chunks = chunks.where(_bloom_predicate(pcol, pval))
     if summary.get("spark_schema"):
         full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
         by_name = {f.name: f for f in full.fields}
@@ -561,6 +608,10 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
         spark, dst_dir, result, columns,
         spark_schema=summary.get("spark_schema"),
         dataset_sha=manifest_stats["dataset_sha256"],
+        extra=(
+            {"bloom_columns": summary["bloom_columns"]}
+            if summary.get("bloom_columns") else None
+        ),
     )
     return result
 

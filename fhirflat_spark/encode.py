@@ -167,7 +167,8 @@ def _zone_bounds(arr: pa.Array):
 def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
                       columns: list[str], name_map: dict[str, str],
                       overrides: dict, base_opts: dict,
-                      repo_batch_col: str | None):
+                      repo_batch_col: str | None,
+                      bloom_cols: frozenset[str] | None = None):
     """Encode ONE Arrow batch into a (fragment-meta, chunk-row batch) pair.
 
     Shared by the legacy row-shuffle kernel and the blob-shuffle unpack
@@ -203,6 +204,13 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
         zones = _zone_bounds(arr)
         if zones is not None:
             stats[out_name]["zmin"], stats[out_name]["zmax"] = zones
+        if bloom_cols and out_name in bloom_cols:
+            from fhirflat_spark import bloom as _bloom
+
+            bh = _bloom.bloom_hex(arr)
+            if bh is not None:
+                stats[out_name]["bloom"] = bh
+                stats[out_name]["bbits"] = _bloom.M_BITS
         raw_total += raw_bytes
         enc_total += len(blob)
     repo_col = (
@@ -320,7 +328,8 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           manifest_dir: str | None = None,
                           name_map: dict[str, str] | None = None,
                           codec_opts: dict | None = None,
-                          part_offset: int = 0):
+                          part_offset: int = 0,
+                          bloom_columns: frozenset[str] | None = None):
     overrides = codec_overrides or {}
     base_opts = codec_opts or {}
     skip = skip_parts or frozenset()
@@ -340,7 +349,7 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                 continue
             meta, out = _encode_one_batch(
                 batch, part_id, seq, columns, name_map, overrides,
-                base_opts, repo_batch_col,
+                base_opts, repo_batch_col, bloom_columns,
             )
             frag.append(meta)
             yield out
@@ -751,7 +760,8 @@ def unpack_encode_kernel_factory(columns: list[str],
                                  sort_names: list[str] | None = None,
                                  batch_rows: int = 16384,
                                  from_blobs: bool = True,
-                                 part_offset: int = 0):
+                                 part_offset: int = 0,
+                                 bloom_columns: frozenset[str] | None = None):
     """Post-shuffle encode kernel: materialize the partition (from
     Arrow-IPC blob rows when ``from_blobs``, else directly from the data
     batches), sort rows IN THE KERNEL (numpy/Arrow sort — replaces a JVM
@@ -801,7 +811,7 @@ def unpack_encode_kernel_factory(columns: list[str],
                     continue
                 meta, out = _encode_one_batch(
                     b, part_id, seq, columns, name_map, overrides,
-                    base_opts, repo_batch_col,
+                    base_opts, repo_batch_col, bloom_columns,
                 )
                 frag.append(meta)
                 yield out
@@ -888,6 +898,7 @@ def encode_table(
     part_offset: int = 0,
     overwrite_partitions: bool = False,
     max_new_partitions: int | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -930,6 +941,18 @@ def encode_table(
         raise ValueError(f"unknown profile {profile!r}")
     spark = df.sparkSession
     columns = columns or df.columns
+    # bloom_columns: per-chunk Bloom filters for point-lookup pruning
+    # (decode_table(point_filter=...)); string columns only — the probe
+    # hashes utf-8 bytes
+    bloom_set = frozenset(bloom_columns or ())
+    for c in bloom_set:
+        if c not in columns:
+            raise ValueError(f"bloom column {c!r} not in encoded columns")
+        if not isinstance(df.schema[c].dataType, T.StringType):
+            raise ValueError(
+                f"bloom column {c!r} must be a string column "
+                f"(got {df.schema[c].dataType})"
+            )
     t0 = time.time()
 
     if shuffle == "auto":
@@ -1004,7 +1027,7 @@ def encode_table(
             safe_names, codec_overrides, skip_parts=skip,
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
             sort_names=sort_names, batch_rows=batch_rows,
-            part_offset=part_offset,
+            part_offset=part_offset, bloom_columns=bloom_set,
         )
         chunks = packed.repartition(P, F.col("__tok")).mapInArrow(
             kernel, schema=chunk_schema(len(columns))
@@ -1032,7 +1055,7 @@ def encode_table(
         kernel = encode_kernel_factory(
             safe_names, codec_overrides, skip_parts=skip,
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
-            part_offset=part_offset,
+            part_offset=part_offset, bloom_columns=bloom_set,
         )
         chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
     if max_new_partitions is not None and P > max_new_partitions:
@@ -1077,6 +1100,7 @@ def encode_table(
         spark, out_dir, result, columns,
         spark_schema=df.select(*[F.col(f"`{c}`") for c in columns]).schema.json(),
         dataset_sha=manifest_stats["dataset_sha256"],
+        extra={"bloom_columns": sorted(bloom_set)} if bloom_set else None,
     )
     return result
 
@@ -1186,6 +1210,10 @@ def append_table(
         df, out_dir, rows_per_bucket=rows_per_bucket,
         num_partitions=num_partitions, key_counts=key_counts,
         shuffle=shuffle, profile=profile, append=True, part_offset=offset,
+        # appended chunks keep indexing the columns the dataset blooms
+        # (added columns can opt in only via a fresh encode)
+        bloom_columns=[c for c in summary.get("bloom_columns", ())
+                       if c in df.columns],
         # a RETRIED append reuses the same offset (the manifest was not
         # merged before the crash); dynamic partition overwrite makes the
         # retry replace exactly its own partition dirs instead of

@@ -410,7 +410,8 @@ def dataset_checksum(manifest: DataFrame) -> str:
 
 def write_summary(spark: SparkSession, out_dir: str, result, columns: list[str],
                   spark_schema: str | None = None,
-                  dataset_sha: str | None = None) -> dict:
+                  dataset_sha: str | None = None,
+                  extra: dict | None = None) -> dict:
     from fhirflat_spark import __version__
 
     summary = {
@@ -427,6 +428,8 @@ def write_summary(spark: SparkSession, out_dir: str, result, columns: list[str],
         "num_partitions": result.num_partitions,
         "dataset_sha256": dataset_sha,
     }
+    if extra:
+        summary.update(extra)
     import os
 
     fsio.write_bytes_atomic(f"{out_dir}/_SUMMARY.json",

@@ -201,6 +201,118 @@ SELECT * FROM (
 """
 
 
+def _encoded_documents_evolved(spark, sf_dir: str) -> str:
+    """Schema-evolution fixture: even doc_ids encoded with the original
+    5 columns, odd doc_ids appended WITH an added ``quality`` double and
+    WITHOUT ``source`` (null-filled) — old partitions never rewritten."""
+    from fhirflat_spark.encode import append_table, encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs.where(F.col("doc_id") % 2 == 0), path,
+                     rows_per_bucket=2000)
+        delta = (
+            docs.where(F.col("doc_id") % 2 == 1)
+            .withColumn("quality",
+                        (F.col("doc_id") % 7).cast("double") / 2.0)
+            .drop("source")
+        )
+        append_table(delta, path, rows_per_bucket=2000)
+
+    return _cached_dataset(spark, sf_dir, "evoq", build)
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Decode across a schema-evolved table: pre-evolution rows must
+    surface the added column as NULL (typed null fill from per-chunk row
+    counts), post-evolution rows must carry its values and NULL for the
+    omitted column — all stated as plain SQL over the raw rows, so a
+    wrong null fill, a dropped chunk, or a shifted payload mapping
+    breaks the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_evolved(spark, sf_dir)
+    dec = decode_table(spark, out)
+    return (
+        dec.groupBy((F.col("doc_id") % 2).cast("int").alias("parity"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("quality").alias("quality_present"),
+            F.count("source").alias("source_present"),
+            F.sum("quality").alias("quality_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("parity")
+    )
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT CAST(doc_id % 2 AS INT) AS parity,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS quality_present,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS source_present,
+       sum(CASE WHEN doc_id % 2 = 1
+                THEN CAST(doc_id % 7 AS DOUBLE) / 2.0 END) AS quality_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY parity ORDER BY parity
+"""
+
+
+def _encoded_documents_bloomed(spark, sf_dir: str) -> str:
+    """Point-lookup fixture: documents encoded with a per-chunk Bloom
+    filter on ``text`` (the exact-content-membership key a dedup
+    pipeline probes)."""
+    from fhirflat_spark.encode import encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs, path, rows_per_bucket=2000,
+                     bloom_columns=["text"])
+
+    return _cached_dataset(spark, sf_dir, "bloomq", build)
+
+
+PROBE_DOC_ID = 42  # deterministic at every sf (doc_ids are dense from 0)
+
+
+def q_point_lookup(spark, sf_dir):
+    """Bloom point lookup: fetch the rows matching one exact text value
+    through the per-chunk Bloom filters (decode touches only chunks
+    whose bit set matches — never a false negative) plus the exact
+    residual; the oracle states the same lookup as a scalar-subquery
+    WHERE on the raw rows. A false NEGATIVE (wrong bits, wrong probe
+    hash, wrong substring mapping) drops rows and fails the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_bloomed(spark, sf_dir)
+    probe = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") == PROBE_DOC_ID)
+        .select("text").collect()[0][0]
+    )
+    dec = decode_table(spark, out, point_filter=("text", probe))
+    return (
+        dec.where(F.col("text") == probe)
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+    )
+
+
+SQL_POINT_LOOKUP = f"""
+SELECT count(*) AS n_matches,
+       min(doc_id) AS min_doc,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+WHERE text = (SELECT text FROM documents WHERE doc_id = {PROBE_DOC_ID})
+"""
+
+
 def q_time_travel(spark, sf_dir):
     """Snapshot time travel (Iceberg-style versioned manifests): the
     fixture encodes even doc_ids (snapshot 1) then appends the odd ones
@@ -246,4 +358,6 @@ QUERIES = {
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),
     "time_travel_snapshot": (q_time_travel, SQL_TIME_TRAVEL),
+    "schema_evolution_decode": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    "point_lookup_bloom": (q_point_lookup, SQL_POINT_LOOKUP),
 }
