@@ -245,10 +245,91 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (public Rae et al. 2021
+    filters, word-level): per document the distinct-word ratio, the
+    most-frequent-word fraction, and the most-frequent-bigram fraction —
+    the signals that flag degenerate ("batch batch batch") generations a
+    training-data pipeline must drop. Pure higher-order Catalyst array
+    expressions (transform/filter/zip_with) — no explode, no shuffle
+    beyond the final per-language aggregate; per-row cost is
+    O(distinct × words), JVM-vectorized."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    n = F.size(words)
+    top_word = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    bigrams = F.zip_with(
+        F.expr(r"slice(split(trim(text), '\\s+'), 1, size(split(trim(text), '\\s+')) - 1)"),
+        F.expr(r"slice(split(trim(text), '\\s+'), 2, size(split(trim(text), '\\s+')) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda w: F.size(F.filter(bigrams, lambda x: x == w)),
+        )
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.round(F.size(F.array_distinct(words)) / n, 6).alias("distinct_ratio"),
+        F.round(top_word / n, 6).alias("top_word_frac"),
+        F.round(top_bigram / F.greatest(n - 1, F.lit(1)), 6).alias("top_bigram_frac"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+            F.round(F.avg("top_word_frac"), 6).alias("avg_top_word_frac"),
+            F.sum(
+                (F.col("top_bigram_frac") > 0.08).cast("long")
+            ).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_REPETITION_SIGNALS = r"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\s+') AS w,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang, n,
+         round(len(list_distinct(w)) / n, 6) AS distinct_ratio,
+         round(list_max(list_transform(list_distinct(w),
+               t -> len(list_filter(w, x -> x = t)))) / n, 6)
+             AS top_word_frac,
+         round(list_max(list_transform(list_distinct(
+                   list_transform(range(1, n), i -> w[i] || ' ' || w[i+1])),
+               t -> len(list_filter(
+                   list_transform(range(1, n), i -> w[i] || ' ' || w[i+1]),
+                   x -> x = t)))) / greatest(n - 1, 1), 6)
+             AS top_bigram_frac
+  FROM per_doc
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(distinct_ratio), 6) AS avg_distinct_ratio,
+       round(avg(top_word_frac), 6) AS avg_top_word_frac,
+       CAST(sum(CASE WHEN top_bigram_frac > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repetitive
+FROM sig GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
+    "repetition_signals": (q_repetition_signals, SQL_REPETITION_SIGNALS),
 }

@@ -51,7 +51,7 @@ def test_no_python_udf_in_relational_paths(spark):
                  "ngram_jaccard_pairs", "embedding_neardup_pairs",
                  "ann_lsh_bucketed", "ann_ivf_coarse",
                  "json_normalize_props", "parse_dates_messy",
-                 "lsh_hot_buckets"]:
+                 "lsh_hot_buckets", "repetition_signals"]:
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} fell back to python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} fell back to python UDF"
