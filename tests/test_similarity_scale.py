@@ -131,3 +131,80 @@ def test_ann_ivf_kmeans_recall(spark):
     approx = {r["vec_id"] for r in q_ann_ivf_kmeans(spark, SF_DIR).collect()}
     recall = len(set(exact) & approx) / len(exact)
     assert recall >= 0.5, f"IVF k-means recall {recall}"
+
+
+# --- product quantization (r4 cont.: the FAISS IVF-PQ compressed-domain
+# search path — sample-trained codebooks, distributed encode, ADC
+# shortlist + exact rerank)
+
+def test_pq_encode_codes_valid_and_deterministic(spark, emb):
+    from fhirflat_spark.operators.similarity import pq_encode, train_pq
+
+    cb = train_pq(emb, m=8, codes=64)
+    assert np.asarray(cb).shape == (8, 64, 8)  # 64-dim / 8 subspaces
+    enc = pq_encode(emb.select("vec_id", "embedding"), cb)
+    rows = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert len(rows) == emb.count()
+    assert all(
+        len(c) == 8 and all(0 <= x < 64 for x in c) for c in rows.values()
+    )
+    rows2 = {r["vec_id"]: r["pq_code"] for r in
+             pq_encode(emb.select("vec_id", "embedding"), cb).collect()}
+    assert rows == rows2
+
+
+def test_pq_adc_matches_sequential_reference(spark, emb):
+    """ADC score == the driver-side LUT-gather reference for every row."""
+    from fhirflat_spark.operators.similarity import (
+        pq_encode,
+        pq_score,
+        train_pq,
+    )
+
+    cb = train_pq(emb, m=8, codes=64)
+    CB = np.asarray(cb)
+    q = np.asarray(
+        [float(x) for x in emb.first()["embedding"]], dtype=np.float64
+    )
+    lut = np.einsum("mcd,md->mc", CB, q.reshape(8, 8))
+    scored = pq_score(
+        pq_encode(emb.select("vec_id", "embedding"), cb), q, cb
+    ).collect()
+    for r in scored[:50]:
+        ref = sum(lut[m, c] for m, c in enumerate(r["pq_code"]))
+        assert abs(r["adc"] - ref) < 1e-9
+
+
+def test_pq_plan_independent_of_codebook_size(spark, emb):
+    """Neither encode nor ADC scoring may inline the codebooks/LUT as
+    plan literals (the when-chain mistake, and a 2048-literal LUT would
+    repeat it): plan text is invariant from 16 to 256 codes."""
+    from fhirflat_spark.operators.similarity import (
+        pq_encode,
+        pq_score,
+        train_pq,
+    )
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    small = train_pq(emb, m=8, codes=16)
+    big = train_pq(emb, m=8, codes=256, sample_rows=4096) if emb.count() >= 256 else None
+    p_small = _plan_text(pq_score(pq_encode(emb, small), q, small))
+    if big is not None:
+        p_big = _plan_text(pq_score(pq_encode(emb, big), q, big))
+        assert abs(len(p_big) - len(p_small)) < 200
+    assert "CASE WHEN" not in p_small
+
+
+def test_ann_ivf_pq_recall_after_rerank(spark):
+    """PQ shortlist + exact rerank must recover most of the brute-force
+    top-k (quantization misses are the PQ tradeoff; the 4x shortlist
+    rerank recovers the bulk)."""
+    from fhirflat_spark.operators.similarity import (
+        q_ann_ivf_pq,
+        q_cosine_topk,
+    )
+
+    exact = [r["vec_id"] for r in q_cosine_topk(spark, SF_DIR).collect()]
+    approx = {r["vec_id"] for r in q_ann_ivf_pq(spark, SF_DIR).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.6, f"PQ rerank recall {recall}"
