@@ -62,6 +62,12 @@ def main() -> None:
     dec.add_argument("--columns", help="comma-separated subset (IO-pruned selective decode)")
     dec.add_argument("--snapshot", type=int, help="time-travel to this snapshot version")
 
+    mnt = sub.add_parser("maintain", help="policy compaction + snapshot expiry + vacuum")
+    mnt.add_argument("--out", required=True)
+    mnt.add_argument("--rows-per-bucket", type=int, default=250_000)
+    mnt.add_argument("--keep-snapshots", type=int, default=3)
+    mnt.add_argument("--dry-run", action="store_true")
+
     snp = sub.add_parser("snapshots", help="list/rollback/expire/vacuum snapshot history")
     snp.add_argument("--out", required=True)
     snp.add_argument("--rollback", type=int, metavar="V",
@@ -138,6 +144,13 @@ def main() -> None:
         df = decode_table(spark, args.out, columns=cols, snapshot=args.snapshot)
         print(json.dumps({"rows": df.count()}))
         df.show(args.show, truncate=60)
+    elif args.cmd == "maintain":
+        from fhirflat_spark.maintenance import maintain_table
+
+        print(json.dumps(maintain_table(
+            spark, args.out, rows_per_bucket=args.rows_per_bucket,
+            keep_snapshots=args.keep_snapshots, dry_run=args.dry_run,
+        )))
     elif args.cmd == "snapshots":
         from fhirflat_spark import manifest as M
 

@@ -1,0 +1,121 @@
+"""Table maintenance — the Iceberg maintenance-procedure analog
+(`rewrite_data_files` + `expire_snapshots` + orphan cleanup) for the
+chunk store.
+
+A streaming or daily-append ingest fragments the table: every commit
+mints new (often under-filled) partitions and a new snapshot. Left
+alone, at 100 TB that means millions of small partition directories
+(listing + task-overhead poison) and an unbounded snapshot log.
+``maintain_table`` applies the standard countermeasures on a policy:
+compact when fragmentation crosses a threshold, expire old snapshots,
+vacuum unreferenced chunk partitions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from fhirflat_spark import fsio
+
+
+def table_health(spark: SparkSession, out_dir: str,
+                 rows_per_bucket: int = 250_000) -> dict:
+    """Fragmentation/retention report from metadata only (manifest +
+    snapshot listing — never the data)."""
+    from fhirflat_spark.manifest import _snapshot_versions, read_summary
+
+    t = fsio.read_parquet(f"{out_dir}/manifest", columns=["rows", "status"])
+    part_rows = [
+        int(r) for r, s in zip(t["rows"].to_pylist(), t["status"].to_pylist())
+        if s == "ok"
+    ]
+    rows = sum(part_rows)
+    n_parts = len(part_rows)
+    underfilled = sum(1 for r in part_rows if r < rows_per_bucket / 2)
+    ideal = max(1, math.ceil(rows / rows_per_bucket))
+    summary = read_summary(spark, out_dir)
+    return {
+        "rows": rows,
+        "n_partitions": n_parts,
+        "ideal_partitions": ideal,
+        "underfilled_partitions": underfilled,
+        "fragmentation": round(underfilled / n_parts, 4) if n_parts else 0.0,
+        "n_snapshots": len(_snapshot_versions(out_dir)),
+        "encoded_bytes": summary.get("encoded_bytes"),
+    }
+
+
+def maintain_table(spark: SparkSession, out_dir: str,
+                   rows_per_bucket: int = 250_000,
+                   keep_snapshots: int = 3,
+                   compact_fragmentation: float = 0.5,
+                   profile: str = "balanced",
+                   dry_run: bool = False) -> dict:
+    """One-call maintenance pass. Policy:
+
+    - **compact** when over ``compact_fragmentation`` of partitions are
+      under half-filled AND the table has at least twice its ideal
+      partition count: full clustered rewrite (``compact_table``) into a
+      sibling build directory, verified by row count, then swapped in
+      (rename old aside → rename new into place → delete old — the
+      build dir is complete-or-discardable and the source is untouched
+      until the swap, so a crash loses no data; local filesystems only,
+      an object-store deployment flips its table-location pointer
+      instead, which is exactly Iceberg's commit). Compaction resets the
+      snapshot log — history is traded for layout, the same trade
+      Iceberg's `rewrite_data_files` + `expire_snapshots` makes.
+    - **expire** all but the newest ``keep_snapshots`` snapshots.
+    - **vacuum** chunk partitions no retained snapshot references.
+
+    ``dry_run=True`` reports what would happen without touching bytes.
+    Returns the health report plus the actions taken."""
+    import os
+    import shutil
+
+    from fhirflat_spark.decode import compact_table
+    from fhirflat_spark.manifest import expire_snapshots, vacuum
+
+    health = table_health(spark, out_dir, rows_per_bucket=rows_per_bucket)
+    # convergence guards: (a) encode cannot produce fewer partitions
+    # than the cluster parallelism; (b) only APPEND-accreted tables
+    # (snapshot log > 1) are candidates — a fresh salted encode's
+    # per-key partitions are already the layout a rewrite would
+    # reproduce, and compaction resets the log to 1, so a compacted
+    # table cannot be re-flagged until new appends land
+    floor = spark.sparkContext.defaultParallelism
+    needs_compact = (
+        health["n_snapshots"] > 1
+        and health["n_partitions"] >= 2 * health["ideal_partitions"]
+        and health["n_partitions"] > floor
+        and health["fragmentation"] > compact_fragmentation
+    )
+    report = {"health": health, "compacted": False,
+              "expired_snapshots": [], "vacuumed_part_ids": [],
+              "would_compact": needs_compact}
+    if dry_run:
+        return report
+    if needs_compact:
+        if not fsio.is_local(out_dir):
+            raise ValueError(
+                "in-place compaction swaps directories — on an object "
+                "store, compact_table to a new location and flip the "
+                "table pointer instead"
+            )
+        build = f"{out_dir}.compacting.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        compact_table(spark, out_dir, build,
+                      rows_per_bucket=rows_per_bucket, profile=profile)
+        old = f"{out_dir}.pre_compact.{os.getpid()}"
+        os.rename(out_dir, old)
+        os.rename(build, out_dir)
+        shutil.rmtree(old)
+        report["compacted"] = True
+        health = table_health(spark, out_dir, rows_per_bucket=rows_per_bucket)
+        report["health_after"] = health
+    report["expired_snapshots"] = expire_snapshots(
+        out_dir, keep_last=keep_snapshots
+    )
+    report["vacuumed_part_ids"] = vacuum(spark, out_dir)
+    return report

@@ -50,7 +50,8 @@ def encode_stream_incremental(stream_df: DataFrame, out_dir: str,
                               checkpoint_dir: str,
                               rows_per_bucket: int = 250_000,
                               trigger_once: bool = True,
-                              parts_per_batch: int = PARTS_PER_BATCH):
+                              parts_per_batch: int = PARTS_PER_BATCH,
+                              snapshot_keep_last: int | None = None):
     """Continuous encode into ONE queryable dataset (vs ``encode_stream``'s
     per-batch bundle dirs): every micro-batch appends its rows as new
     partitions inside its own part-id namespace
@@ -61,6 +62,12 @@ def encode_stream_incremental(stream_df: DataFrame, out_dir: str,
     partition overwrite, so a replayed batch id rewrites exactly its own
     partition directories (and its manifest fragments, same filenames) —
     idempotent by construction, like a checkpointed batch re-run.
+
+    Every micro-batch is a snapshot commit, so an always-on stream grows
+    the snapshot log one file per trigger; ``snapshot_keep_last=N``
+    bounds it by expiring older snapshots after each batch (metadata
+    only — chunk reclamation stays a `maintain_table`/`vacuum` decision,
+    never raced against a possible batch replay).
     """
     from fhirflat_spark.encode import encode_table
 
@@ -72,6 +79,10 @@ def encode_stream_incremental(stream_df: DataFrame, out_dir: str,
             append=True, part_offset=int(batch_id) * parts_per_batch,
             overwrite_partitions=True, max_new_partitions=parts_per_batch,
         )
+        if snapshot_keep_last is not None:
+            from fhirflat_spark.manifest import expire_snapshots
+
+            expire_snapshots(out_dir, keep_last=snapshot_keep_last)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
