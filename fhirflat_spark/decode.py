@@ -153,14 +153,16 @@ def _arrow_types(spark: SparkSession, schema: T.StructType) -> list:
 
 
 def _live_part_ids(out_dir: str) -> list[int] | None:
-    """ok part ids from the current manifest; None when the manifest is
-    missing/unreadable (read everything — the pre-manifest behavior)."""
+    """ok part ids from the current manifest; None ONLY when no manifest
+    exists (read everything — the pre-manifest behavior). Any other
+    read error propagates: falling back on e.g. a throttled object
+    store would silently include rolled-back/uncommitted partitions."""
     from fhirflat_spark import fsio
 
     try:
         t = fsio.read_parquet(f"{out_dir}/manifest",
                               columns=["part_id", "status"])
-    except Exception:
+    except FileNotFoundError:
         return None
     return [
         int(p) for p, s in zip(t["part_id"].to_pylist(), t["status"].to_pylist())
@@ -573,17 +575,23 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                     ),
                 )
         if frag:
-            _os.makedirs(frag_dir, exist_ok=True)
-            tmp = f"{frag_dir}/.{tid:06d}.json.tmp.{_os.getpid()}"
-            with open(tmp, "w") as f:
-                _json.dump(frag, f)
-            _os.replace(tmp, f"{frag_dir}/{tid:06d}.json")
+            from fhirflat_spark import fsio as _tfsio
+
+            _tfsio.write_bytes_atomic(f"{frag_dir}/{tid:06d}.json",
+                                      _json.dumps(frag).encode(),
+                                      token=str(_os.getpid()))
 
     src = spark.read.schema(schema).parquet(f"{src_dir}/chunks").select(
         "part_id", "chunk_seq", "n_rows", "raw_bytes", "content_sha",
         "repo_min", "repo_max", "stats",
         *[F.col(f"payload.__c{i}").alias(f"payload_{i}") for i in range(len(columns))],
     )
+    # the table IS what the manifest says — without this, chunk dirs a
+    # rollback orphaned (or a crashed run half-wrote) would be
+    # resurrected into the destination
+    live = _live_part_ids(src_dir)
+    if live is not None:
+        src = src.where(_part_range_predicate(live))
     (
         src.mapInArrow(kernel, schema=schema)
         .write.mode("overwrite")
@@ -691,6 +699,9 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
     res = encode_table(
         df, dst_dir, columns=summary["columns"],
         rows_per_bucket=rows_per_bucket, profile=profile, shuffle=shuffle,
+        # a maintenance rewrite must not silently drop the dataset's
+        # point-lookup capability
+        bloom_columns=summary.get("bloom_columns"),
     )
     if res.rows != summary["rows"]:
         raise RuntimeError(

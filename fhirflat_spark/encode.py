@@ -943,7 +943,23 @@ def encode_table(
     columns = columns or df.columns
     # bloom_columns: per-chunk Bloom filters for point-lookup pruning
     # (decode_table(point_filter=...)); string columns only — the probe
-    # hashes utf-8 bytes
+    # hashes utf-8 bytes. An append inherits the dataset's bloom
+    # columns when the caller names none — otherwise any direct append
+    # (e.g. the streaming sink) would write unbloomed chunks AND
+    # rewrite the summary without the key, silently killing the
+    # point-lookup capability
+    if append and bloom_columns is None:
+        from fhirflat_spark.manifest import read_summary as _read_summary
+
+        try:
+            bloom_columns = [
+                c for c in _read_summary(spark, out_dir).get(
+                    "bloom_columns", ()
+                )
+                if c in columns
+            ]
+        except FileNotFoundError:
+            bloom_columns = None
     bloom_set = frozenset(bloom_columns or ())
     for c in bloom_set:
         if c not in columns:

@@ -120,7 +120,7 @@ def list_files(dir_path: str, suffix: str = "") -> list[str]:
     fs, inner = resolve(dir_path)
     try:
         infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return []
     return sorted(
         info.base_name
@@ -135,7 +135,7 @@ def list_dirs(dir_path: str) -> list[str]:
     fs, inner = resolve(dir_path)
     try:
         infos = fs.get_file_info(pafs.FileSelector(inner, recursive=False))
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         return []
     return sorted(
         info.base_name for info in infos
@@ -144,10 +144,12 @@ def list_dirs(dir_path: str) -> list[str]:
 
 
 def delete_file(path: str, missing_ok: bool = True) -> None:
+    # catch ONLY not-found: swallowing e.g. EACCES would let callers
+    # (vacuum) report data as removed that is still on disk
     fs, inner = resolve(path)
     try:
         fs.delete_file(inner)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         if not missing_ok:
             raise
 
@@ -156,7 +158,7 @@ def delete_dir(path: str, missing_ok: bool = True) -> None:
     fs, inner = resolve(path)
     try:
         fs.delete_dir(inner)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         if not missing_ok:
             raise
 

@@ -103,13 +103,16 @@ def maintain_table(spark: SparkSession, out_dir: str,
                 "store, compact_table to a new location and flip the "
                 "table pointer instead"
             )
-        build = f"{out_dir}.compacting.{os.getpid()}"
+        from fhirflat_spark.manifest import _local
+
+        local_out = _local(out_dir)  # os-level swap needs the bare path
+        build = f"{local_out}.compacting.{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
         compact_table(spark, out_dir, build,
                       rows_per_bucket=rows_per_bucket, profile=profile)
-        old = f"{out_dir}.pre_compact.{os.getpid()}"
-        os.rename(out_dir, old)
-        os.rename(build, out_dir)
+        old = f"{local_out}.pre_compact.{os.getpid()}"
+        os.rename(local_out, old)
+        os.rename(build, local_out)
         shutil.rmtree(old)
         report["compacted"] = True
         health = table_health(spark, out_dir, rows_per_bucket=rows_per_bucket)

@@ -198,7 +198,7 @@ def current_snapshot(out_dir: str) -> int | None:
     hint = f"{_snap_dir(out_dir)}/version-hint.txt"
     try:
         v = int(fsio.read_bytes(hint).decode().strip())
-    except (FileNotFoundError, OSError, ValueError):
+    except (FileNotFoundError, ValueError):  # missing or torn hint only
         v = None
     versions = _snapshot_versions(out_dir)
     if versions and (v is None or v < versions[-1]):
@@ -222,6 +222,16 @@ def snapshot_part_ids(out_dir: str, version: int) -> list[int]:
     ]
 
 
+def _sha_of_partition_shas(part_ids, shas) -> str:
+    """Dataset checksum-of-checksums: sha256 over partition shas in
+    part_id order — ONE definition shared by the summary
+    (write_manifest), the snapshot log, and rollback."""
+    h = hashlib.sha256()
+    for _, sha in sorted(zip(part_ids, shas)):
+        h.update(sha.encode())
+    return h.hexdigest()
+
+
 def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     """Snapshot log as a queryable DataFrame: per version, partition
     count, row/byte totals and the dataset checksum-of-checksums —
@@ -231,15 +241,13 @@ def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     rows = []
     for v in _snapshot_versions(out_dir):
         t = read_snapshot_manifest(out_dir, v)
-        h = hashlib.sha256()
-        for _, sha in sorted(
-            zip(t["part_id"].to_pylist(), t["partition_sha"].to_pylist())
-        ):
-            h.update(sha.encode())
+        sha = _sha_of_partition_shas(
+            t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
+        )
         rows.append((v, t.num_rows, sum(t["rows"].to_pylist()),
                      sum(t["raw_bytes"].to_pylist()),
                      sum(t["encoded_bytes"].to_pylist()),
-                     h.hexdigest(), v == cur))
+                     sha, v == cur))
     return spark.createDataFrame(
         rows,
         "version INT, n_partitions BIGINT, rows BIGINT, raw_bytes BIGINT, "
@@ -264,6 +272,14 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     for name in fsio.list_files(frag_dir, suffix=".json"):
         if int(name[:-len(".json")]) not in restored_ids:
             fsio.delete_file(f"{frag_dir}/{name}")
+    # key-count stats fragments are labeled by part offset; fragments
+    # from dropped appends would feed phantom keys into the next
+    # append's merged statistics
+    max_restored = max(restored_ids, default=-1)
+    stats_dir = _stats_dir(out_dir)
+    for name in fsio.list_files(stats_dir, suffix=".parquet"):
+        if int(name[:-len(".parquet")]) > max_restored:
+            fsio.delete_file(f"{stats_dir}/{name}")
     new_version = (current_snapshot(out_dir) or 0) + 1
     token = str(os.getpid())
     fsio.write_parquet_atomic(t, snapshot_manifest_path(out_dir, new_version),
@@ -273,17 +289,15 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
                             str(new_version).encode(), token=token)
     summary = read_summary(spark, out_dir)
-    h = hashlib.sha256()
-    for _, sha in sorted(
-        zip(t["part_id"].to_pylist(), t["partition_sha"].to_pylist())
-    ):
-        h.update(sha.encode())
+    sha = _sha_of_partition_shas(
+        t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
+    )
     raw = sum(t["raw_bytes"].to_pylist())
     enc = sum(t["encoded_bytes"].to_pylist())
     summary.update(
         rows=sum(t["rows"].to_pylist()), raw_bytes=raw, encoded_bytes=enc,
         compression_ratio=round(enc / raw, 6) if raw else 0.0,
-        num_partitions=t.num_rows, dataset_sha256=h.hexdigest(),
+        num_partitions=t.num_rows, dataset_sha256=sha,
     )
     fsio.write_bytes_atomic(f"{out_dir}/_SUMMARY.json",
                             json.dumps(summary, indent=2).encode(), token=token)

@@ -494,7 +494,14 @@ def pq_encode(df, codebooks, vec_col: str = "embedding",
                     2.0 * (V[:, j, :] @ B[j].T) - cc[j], axis=1
                 )
             arrs = [b.column(i) for i in range(b.num_columns)]
-            arrs.append(pa.array(list(out), type=pa.list_(pa.int32())))
+            # zero-copy list build (no per-row python): flat codes +
+            # an arithmetic offsets vector
+            offsets = pa.array(
+                np.arange(0, (len(out) + 1) * m, m, dtype=np.int32)
+            )
+            arrs.append(
+                pa.ListArray.from_arrays(offsets, pa.array(out.ravel()))
+            )
             yield pa.RecordBatch.from_arrays(
                 arrs, names=[*b.schema.names, code_col]
             )

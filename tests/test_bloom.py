@@ -128,6 +128,47 @@ def test_append_and_transcode_preserve_blooms(spark, bloomed, tmp_path):
     assert h2.where(F.col("commit") == probe).count() == truth
 
 
+def test_direct_append_inherits_blooms(spark, bloomed):
+    """The streaming sink appends via encode_table directly with no
+    bloom_columns — the dataset's bloom columns must be inherited, not
+    silently dropped from the new chunks and the rewritten summary."""
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import read_summary
+
+    out, df = bloomed
+    delta = gen_spark(spark, 3000, seed=57)
+    encode_table(delta, out, rows_per_bucket=2000, append=True,
+                 part_offset=10_000, overwrite_partitions=True)
+    assert read_summary(spark, out)["bloom_columns"] == ["commit"]
+    probe = delta.select("commit").limit(1).collect()[0][0]
+    truth = (
+        df.where(F.col("commit") == probe).count()
+        + delta.where(F.col("commit") == probe).count()
+    )
+    hit = decode_table(spark, out, point_filter=("commit", probe))
+    assert hit.where(F.col("commit") == probe).count() == truth
+
+
+def test_compaction_preserves_blooms(spark, bloomed, tmp_path):
+    """A maintenance rewrite must not delete the point-lookup
+    capability."""
+    from fhirflat_spark.decode import compact_table, decode_table
+    from fhirflat_spark.manifest import read_summary
+
+    out, df = bloomed
+    dst = str(tmp_path / "compacted")
+    compact_table(spark, out, dst, rows_per_bucket=4000)
+    assert read_summary(spark, dst)["bloom_columns"] == ["commit"]
+    probe = df.select("commit").limit(1).collect()[0][0]
+    hit = decode_table(spark, dst, point_filter=("commit", probe))
+    assert (
+        hit.where(F.col("commit") == probe).count()
+        == df.where(F.col("commit") == probe).count()
+    )
+
+
 def test_bloom_predicate_agrees_with_python_oracle(spark, bloomed):
     """The Catalyst substring predicate and might_contain must agree
     chunk-by-chunk for present and absent probes."""

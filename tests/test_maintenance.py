@@ -73,6 +73,20 @@ def test_maintain_compacts_expires_and_preserves_content(spark, fragmented):
     assert rep2["compacted"] is False and rep2["would_compact"] is False
 
 
+def test_maintain_accepts_file_prefixed_path(spark, fragmented):
+    """The directory swap must handle the `file:` URI form Spark paths
+    often carry (os.rename needs the bare path)."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.maintenance import maintain_table
+
+    out, src = fragmented
+    rep = maintain_table(spark, f"file:{out}", rows_per_bucket=5000,
+                         keep_snapshots=2)
+    assert rep["compacted"] is True
+    dec = decode_table(spark, out)
+    assert dec.count() == src.count()
+
+
 def test_maintain_healthy_table_only_expires(spark, tmp_path):
     from fhirflat_spark.encode import append_table, encode_table
     from fhirflat_spark.maintenance import maintain_table

@@ -156,6 +156,38 @@ def test_uncommitted_chunk_dir_is_invisible(spark, ds):
     shutil.rmtree(f"{out}/chunks/part_id=9000")
 
 
+def test_transcode_after_rollback_excludes_orphans(spark, ds, tmp_path):
+    """transcode must honor the manifest like decode does: chunk dirs a
+    rollback orphaned (still on disk pre-vacuum) must not resurrect
+    into the destination table."""
+    from fhirflat_spark.decode import decode_table, transcode_table
+    from fhirflat_spark.manifest import read_summary, rollback
+
+    out, base, delta = ds
+    rollback(spark, out, 1)
+    dst = str(tmp_path / "ds9")
+    transcode_table(spark, out, dst, profile="archive")
+    assert _same_rows(decode_table(spark, dst), base)
+    assert read_summary(spark, dst)["rows"] == base.count()
+
+
+def test_rollback_drops_stale_key_count_stats(spark, tmp_path):
+    """The dropped append's key-count stats fragment must go with it —
+    otherwise the next append plans buckets against phantom keys."""
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.encode import append_table, encode_table
+    from fhirflat_spark.manifest import load_key_counts, rollback
+
+    out = str(tmp_path / "ds")
+    df1 = gen_spark(spark, 2000, seed=71)
+    df2 = gen_spark(spark, 1000, seed=72)
+    encode_table(df1, out, rows_per_bucket=500)
+    append_table(df2, out, rows_per_bucket=500)
+    assert sum(c for _, c in load_key_counts(out)) == 3000
+    rollback(spark, out, 1)
+    assert sum(c for _, c in load_key_counts(out)) == 2000
+
+
 def test_fresh_encode_resets_snapshot_history(spark, docs, tmp_path):
     from fhirflat_spark.encode import encode_table
     from fhirflat_spark.manifest import current_snapshot, list_snapshots
