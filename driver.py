@@ -62,6 +62,12 @@ def main() -> None:
     dec.add_argument("--columns", help="comma-separated subset (IO-pruned selective decode)")
     dec.add_argument("--snapshot", type=int, help="time-travel to this snapshot version")
 
+    dlt = sub.add_parser("delete", help="row-level delete by key equality (no chunk rewrite)")
+    dlt.add_argument("--out", required=True)
+    dlt.add_argument("--column", required=True)
+    dlt.add_argument("--values", required=True,
+                     help="comma-separated key values to delete")
+
     mnt = sub.add_parser("maintain", help="policy compaction + snapshot expiry + vacuum")
     mnt.add_argument("--out", required=True)
     mnt.add_argument("--rows-per-bucket", type=int, default=250_000)
@@ -144,6 +150,11 @@ def main() -> None:
         df = decode_table(spark, args.out, columns=cols, snapshot=args.snapshot)
         print(json.dumps({"rows": df.count()}))
         df.show(args.show, truncate=60)
+    elif args.cmd == "delete":
+        from fhirflat_spark.manifest import delete_rows
+
+        vals = [v.strip() for v in args.values.split(",") if v.strip()]
+        print(json.dumps(delete_rows(spark, args.out, args.column, vals)))
     elif args.cmd == "maintain":
         from fhirflat_spark.maintenance import maintain_table
 

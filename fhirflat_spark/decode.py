@@ -303,6 +303,23 @@ def decode_table(spark: SparkSession, out_dir: str,
         schema = T.StructType([by_name[c] for c in columns])
     else:
         schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+    # row-level deletes: the anti-join needs its key columns decoded —
+    # widen a selective decode to include them, drop them again after
+    from fhirflat_spark.manifest import active_delete_files, apply_deletes
+
+    snap_for_deletes = snapshot  # None = current
+    delete_cols = {
+        e["column"] for e in active_delete_files(out_dir, snap_for_deletes)
+    }
+    requested = list(columns)
+    for c in sorted(delete_cols - set(columns)):
+        columns = [*columns, c]
+        fields = [*fields, field_of[c]]
+        schema = schema.add(
+            T.StructType.fromJson(json.loads(summary["spark_schema"]))[c]
+            if summary.get("spark_schema")
+            else T.StructField(c, T.StringType(), True)
+        )
     # select only the requested payload fields plus the per-chunk row
     # count (int64/chunk — needed to size typed null fills for columns
     # added after a chunk was written): nested-schema pruning still
@@ -310,10 +327,15 @@ def decode_table(spark: SparkSession, out_dir: str,
     pruned = chunks.select(
         "n_rows", *[F.col(f"payload.{f}").alias(f) for f in fields]
     )
-    return pruned.mapInArrow(
+    decoded = pruned.mapInArrow(
         decode_kernel_factory(columns, fields, _arrow_types(spark, schema)),
         schema=schema,
     )
+    if delete_cols:
+        decoded = apply_deletes(spark, out_dir, decoded, snap_for_deletes)
+    if requested != columns:
+        decoded = decoded.select(*requested)
+    return decoded
 
 
 def verify_kernel_factory(columns: list[str], field_names: list[str]):
@@ -694,8 +716,16 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
 
     if _os.path.realpath(_local(src_dir)) == _os.path.realpath(_local(dst_dir)):
         raise ValueError("compact_table cannot write in place — use a new dst_dir")
+    from fhirflat_spark.manifest import active_delete_files
+
     summary = read_summary(spark, src_dir)
     df = decode_table(spark, src_dir)
+    # summary rows are PHYSICAL; with active row-level deletes the
+    # rewrite legitimately holds fewer (compaction materializes the
+    # deletes) — validate against the logical row count instead
+    expected = (
+        df.count() if active_delete_files(src_dir) else summary["rows"]
+    )
     res = encode_table(
         df, dst_dir, columns=summary["columns"],
         rows_per_bucket=rows_per_bucket, profile=profile, shuffle=shuffle,
@@ -703,9 +733,9 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
         # point-lookup capability
         bloom_columns=summary.get("bloom_columns"),
     )
-    if res.rows != summary["rows"]:
+    if res.rows != expected:
         raise RuntimeError(
-            f"compaction row mismatch: {res.rows} != {summary['rows']}"
+            f"compaction row mismatch: {res.rows} != {expected}"
         )
     return res
 

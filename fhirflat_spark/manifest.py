@@ -126,10 +126,18 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list) -> dict:
     )
     import os
 
-    version = (current_snapshot(out_dir) or 0) + 1
+    prev = current_snapshot(out_dir)
+    version = (prev or 0) + 1
     token = str(os.getpid())
     fsio.write_parquet_atomic(table, snapshot_manifest_path(out_dir, version),
                               token=token)
+    # a data commit carries the active row-level delete set forward
+    # unchanged (deletes are snapshot state, like Iceberg's delete
+    # files riding along in every new snapshot)
+    _write_snapshot_deletes(
+        out_dir, version,
+        active_delete_files(out_dir, prev) if prev else [], token,
+    )
     fsio.write_parquet_atomic(table, f"{out_dir}/manifest/manifest.parquet",
                               token=token)
     fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
@@ -255,6 +263,107 @@ def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+# --- row-level deletes (Iceberg v2 equality-delete analog): a delete
+# commits a small keys file + a new snapshot whose manifest is the
+# UNCHANGED partition set — no chunk bytes move at any table size.
+# Readers anti-join the active delete files after decode; compaction
+# (which decodes, and so applies deletes) materializes them physically
+# and starts the rewritten table with an empty delete set.
+
+def _deletes_dir(out_dir: str) -> str:
+    return f"{out_dir}/deletes"
+
+
+def _snapshot_deletes_path(out_dir: str, version: int) -> str:
+    return f"{_snap_dir(out_dir)}/v{version:010d}.deletes.json"
+
+
+def _write_snapshot_deletes(out_dir: str, version: int,
+                            files: list[dict], token: str) -> None:
+    fsio.write_bytes_atomic(_snapshot_deletes_path(out_dir, version),
+                            json.dumps(files).encode(), token=token)
+
+
+def active_delete_files(out_dir: str, version: int | None = None) -> list[dict]:
+    """The equality-delete files a snapshot applies, newest-commit order:
+    ``[{"file": name, "column": key_col}, ...]``. Snapshots predating
+    the delete feature have no sidecar → empty set."""
+    if version is None:
+        version = current_snapshot(out_dir)
+    if version is None:
+        return []
+    try:
+        return json.loads(
+            fsio.read_bytes(_snapshot_deletes_path(out_dir, version))
+        )
+    except FileNotFoundError:
+        return []
+
+
+def delete_rows(spark: SparkSession, out_dir: str, column: str,
+                values: list) -> dict:
+    """Row-level DELETE by key equality, committed as a new snapshot
+    WITHOUT touching any chunk file: writes ``deletes/d{N}.parquet``
+    holding the keys, recommits the current manifest, and records the
+    enlarged active-delete set in the snapshot sidecar. Cost is the key
+    list, independent of table size. Readers (decode_table) anti-join
+    the active set; time travel to an earlier snapshot sees the rows
+    again; ``compact_table`` materializes deletes physically."""
+    import os
+
+    from pyspark.sql import types as T
+
+    summary = read_summary(spark, out_dir)
+    cols = summary["columns"]
+    if column not in cols:
+        raise ValueError(f"delete column {column!r} not in {cols}")
+    if not values:
+        raise ValueError("delete_rows requires a non-empty value list")
+    prev = current_snapshot(out_dir)
+    if prev is None:
+        raise ValueError(f"{out_dir} has no committed snapshot")
+    version = prev + 1
+    token = str(os.getpid())
+    # key type from the recorded spark schema so the anti-join compares
+    # like with like
+    full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+    key_field = T.StructType([full[column]])
+    dt = full[column].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        values = [int(v) for v in values]
+    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+        values = [float(v) for v in values]
+    dfile = f"d{version:010d}.parquet"
+    keys_df = spark.createDataFrame([(v,) for v in values], key_field)
+    kt = keys_df.toArrow()
+    fsio.write_parquet_atomic(kt, f"{_deletes_dir(out_dir)}/{dfile}",
+                              token=token)
+    t = read_snapshot_manifest(out_dir, prev)
+    fsio.write_parquet_atomic(t, snapshot_manifest_path(out_dir, version),
+                              token=token)
+    active = active_delete_files(out_dir, prev) + [
+        {"file": dfile, "column": column}
+    ]
+    _write_snapshot_deletes(out_dir, version, active, token)
+    fsio.write_parquet_atomic(t, f"{out_dir}/manifest/manifest.parquet",
+                              token=token)
+    fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
+                            str(version).encode(), token=token)
+    return {"snapshot": version, "delete_file": dfile,
+            "n_keys": len(values), "active_delete_files": len(active)}
+
+
+def apply_deletes(spark: SparkSession, out_dir: str, df: DataFrame,
+                  version: int | None = None) -> DataFrame:
+    """Anti-join ``df`` against the snapshot's active delete files.
+    Delete files are read through the Spark reader (scales to large key
+    sets; AQE broadcasts the small ones)."""
+    for entry in active_delete_files(out_dir, version):
+        keys = spark.read.parquet(f"{_deletes_dir(out_dir)}/{entry['file']}")
+        df = df.join(keys, on=entry["column"], how="left_anti")
+    return df
+
+
 def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     """Roll the table back to ``version`` by recommitting that snapshot's
     manifest as a NEW snapshot (the Iceberg rollback semantics: history
@@ -284,6 +393,10 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     token = str(os.getpid())
     fsio.write_parquet_atomic(t, snapshot_manifest_path(out_dir, new_version),
                               token=token)
+    # the restored state includes its row-level delete set (a rollback
+    # across a delete un-deletes; onto a deleted epoch re-deletes)
+    _write_snapshot_deletes(out_dir, new_version,
+                            active_delete_files(out_dir, version), token)
     fsio.write_parquet_atomic(t, f"{out_dir}/manifest/manifest.parquet",
                               token=token)
     fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
@@ -316,6 +429,7 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
     expired = [v for v in versions[:-keep_last] if v != cur]
     for v in expired:
         fsio.delete_file(snapshot_manifest_path(out_dir, v))
+        fsio.delete_file(_snapshot_deletes_path(out_dir, v))
     return expired
 
 
@@ -346,6 +460,15 @@ def vacuum(spark: SparkSession, out_dir: str) -> list[int]:
         if pid not in live:
             fsio.delete_dir(f"{out_dir}/chunks/{name}")
             removed.append(pid)
+    # delete files no retained snapshot references go the same way
+    live_deletes = {
+        e["file"]
+        for v in _snapshot_versions(out_dir)
+        for e in active_delete_files(out_dir, v)
+    }
+    for name in fsio.list_files(_deletes_dir(out_dir), suffix=".parquet"):
+        if name not in live_deletes:
+            fsio.delete_file(f"{_deletes_dir(out_dir)}/{name}")
     return sorted(removed)
 
 

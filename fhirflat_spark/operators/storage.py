@@ -275,6 +275,56 @@ def _encoded_documents_bloomed(spark, sf_dir: str) -> str:
     return _cached_dataset(spark, sf_dir, "bloomq", build)
 
 
+def _encoded_documents_deleted(spark, sf_dir: str) -> str:
+    """Row-level-delete fixture: documents encoded, then every doc_id
+    divisible by 7 deleted by key equality — no chunk rewritten."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import delete_rows
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs, path, rows_per_bucket=2000)
+        victims = [
+            r["doc_id"]
+            for r in docs.where(F.col("doc_id") % 7 == 0)
+            .select("doc_id").collect()
+        ]
+        delete_rows(spark, path, "doc_id", victims)
+
+    return _cached_dataset(spark, sf_dir, "delq", build)
+
+
+def q_row_level_delete(spark, sf_dir):
+    """Equality-delete read path (Iceberg v2 analog): the decode must
+    anti-join the active delete files — the oracle states the same
+    table as a plain WHERE over the raw rows. A delete that leaks rows
+    (or over-deletes) shifts every aggregate and fails the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_deleted(spark, sf_dir)
+    return (
+        decode_table(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_ROW_LEVEL_DELETE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+WHERE doc_id % 7 <> 0
+GROUP BY lang ORDER BY lang
+"""
+
+
 PROBE_DOC_ID = 42  # deterministic at every sf (doc_ids are dense from 0)
 
 
@@ -360,4 +410,5 @@ QUERIES = {
     "time_travel_snapshot": (q_time_travel, SQL_TIME_TRAVEL),
     "schema_evolution_decode": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "point_lookup_bloom": (q_point_lookup, SQL_POINT_LOOKUP),
+    "row_level_delete": (q_row_level_delete, SQL_ROW_LEVEL_DELETE),
 }
