@@ -65,7 +65,8 @@ def _blob_view(col: pa.Array, i: int) -> memoryview:
 
 
 def decode_kernel_factory(columns: list[str], field_names: list[str],
-                          arrow_types: list | None = None):
+                          arrow_types: list | None = None,
+                          emit_part: bool = False):
     """``field_names[j]`` is the chunk-struct field holding ``columns[j]``
     — the kernel only ever sees the SELECTED fields (parquet nested
     pruning keeps unselected columns' bytes unread).
@@ -73,11 +74,15 @@ def decode_kernel_factory(columns: list[str], field_names: list[str],
     A NULL payload cell means the chunk predates the column (schema
     evolution: appends may add columns; old partitions are never
     rewritten) — the kernel emits a typed all-null array of the chunk's
-    length, which is why the batch carries ``n_rows``."""
+    length, which is why the batch carries ``n_rows``. ``emit_part``
+    additionally surfaces each row's partition id as ``__part_id`` (the
+    sequence scope for row-level deletes)."""
+    import numpy as np
 
     def kernel(batches):
         for batch in batches:
             nrs = batch.column("n_rows")
+            pids = batch.column("part_id") if emit_part else None
             cols = [batch.column(f) for f in field_names]
             for i in range(batch.num_rows):  # iterates CHUNKS (≈16k rows each), not rows
                 arrays = {}
@@ -87,6 +92,11 @@ def decode_kernel_factory(columns: list[str], field_names: list[str],
                         arrays[name] = pa.nulls(nrs[i].as_py(), type=at)
                     else:
                         arrays[name] = decode_array(_blob_view(col, i))
+                if emit_part:
+                    arrays["__part_id"] = pa.array(
+                        np.full(nrs[i].as_py(), pids[i].as_py(),
+                                dtype=np.int32)
+                    )
                 yield pa.RecordBatch.from_pydict(arrays)
 
     return kernel
@@ -304,13 +314,15 @@ def decode_table(spark: SparkSession, out_dir: str,
     else:
         schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
     # row-level deletes: the anti-join needs its key columns decoded —
-    # widen a selective decode to include them, drop them again after
+    # widen a selective decode to include them, drop them again after.
+    # Scoped entries (below_part, the sequence-number analog) also need
+    # each row's partition id carried through the kernel.
     from fhirflat_spark.manifest import active_delete_files, apply_deletes
 
     snap_for_deletes = snapshot  # None = current
-    delete_cols = {
-        e["column"] for e in active_delete_files(out_dir, snap_for_deletes)
-    }
+    delete_entries = active_delete_files(out_dir, snap_for_deletes)
+    delete_cols = {e["column"] for e in delete_entries}
+    need_part = any("below_part" in e for e in delete_entries)
     requested = list(columns)
     for c in sorted(delete_cols - set(columns)):
         columns = [*columns, c]
@@ -320,19 +332,29 @@ def decode_table(spark: SparkSession, out_dir: str,
             if summary.get("spark_schema")
             else T.StructField(c, T.StringType(), True)
         )
+    arrow_types = _arrow_types(spark, schema)
+    if need_part:
+        schema = schema.add(T.StructField("__part_id", T.IntegerType(), False))
     # select only the requested payload fields plus the per-chunk row
     # count (int64/chunk — needed to size typed null fills for columns
     # added after a chunk was written): nested-schema pruning still
     # reaches the parquet scan, so unselected columns cost zero IO
     pruned = chunks.select(
-        "n_rows", *[F.col(f"payload.{f}").alias(f) for f in fields]
+        "n_rows", *(["part_id"] if need_part else []),
+        *[F.col(f"payload.{f}").alias(f) for f in fields],
     )
     decoded = pruned.mapInArrow(
-        decode_kernel_factory(columns, fields, _arrow_types(spark, schema)),
+        decode_kernel_factory(columns, fields, arrow_types,
+                              emit_part=need_part),
         schema=schema,
     )
-    if delete_cols:
-        decoded = apply_deletes(spark, out_dir, decoded, snap_for_deletes)
+    if delete_entries:
+        decoded = apply_deletes(
+            spark, out_dir, decoded, snap_for_deletes,
+            part_col="__part_id" if need_part else None,
+        )
+    if need_part:
+        decoded = decoded.drop("__part_id")
     if requested != columns:
         decoded = decoded.select(*requested)
     return decoded

@@ -899,6 +899,7 @@ def encode_table(
     overwrite_partitions: bool = False,
     max_new_partitions: int | None = None,
     bloom_columns: list[str] | None = None,
+    delete_keys: tuple | None = None,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -1091,7 +1092,25 @@ def encode_table(
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.partitionBy("part_id").parquet(f"{out_dir}/chunks")
     meta_rows = load_fragments(frag_dir)
-    manifest_stats = write_manifest(spark, out_dir, meta_rows)
+    new_deletes = None
+    if delete_keys is not None:
+        # upsert: shadow-delete matching keys in PRE-EXISTING partitions
+        # (below_part = this append's offset — the sequence scope), in
+        # the SAME snapshot commit as the appended data. File name keyed
+        # by offset: a retried append overwrites its own keys file.
+        if not append:
+            raise ValueError("delete_keys (upsert) requires append=True")
+        from fhirflat_spark.manifest import write_delete_keys
+
+        dcol, dvals = delete_keys
+        dname, _ = write_delete_keys(
+            spark, out_dir, dcol, dvals, f"u{part_offset:010d}.parquet"
+        )
+        new_deletes = [
+            {"file": dname, "column": dcol, "below_part": part_offset}
+        ]
+    manifest_stats = write_manifest(spark, out_dir, meta_rows,
+                                    new_deletes=new_deletes)
     if plan_stats.get("key_counts") and not plan_stats.get("caller_counts"):
         # persist SCAN-DERIVED counts only (caller-provided stats are the
         # caller's to maintain). Fragment keyed by part_offset: a full
@@ -1129,6 +1148,7 @@ def append_table(
     key_counts: list[tuple] | None = None,
     shuffle: bool | str = True,
     profile: str = "balanced",
+    delete_keys: tuple | None = None,
 ) -> EncodeResult:
     """Incrementally append ``df`` to an EXISTING encoded dataset — the
     daily-ingest pattern at 100 TB: new rows become NEW partitions
@@ -1230,6 +1250,7 @@ def append_table(
         # (added columns can opt in only via a fresh encode)
         bloom_columns=[c for c in summary.get("bloom_columns", ())
                        if c in df.columns],
+        delete_keys=delete_keys,
         # a RETRIED append reuses the same offset (the manifest was not
         # merged before the crash); dynamic partition overwrite makes the
         # retry replace exactly its own partition dirs instead of
@@ -1243,3 +1264,27 @@ def append_table(
             label=f"{offset:012d}",
         )
     return res
+
+
+def upsert_rows(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    rows_per_bucket: int = 250_000,
+    shuffle: bool | str = True,
+    profile: str = "balanced",
+) -> EncodeResult:
+    """MERGE/upsert by key — ONE atomic snapshot commit that appends
+    ``df``'s rows as new partitions and shadow-deletes every
+    pre-existing row whose ``key_col`` matches (a scoped equality-delete
+    entry committed in the same sidecar as the data, so readers never
+    see the intermediate delete-without-insert or insert-with-duplicate
+    states). Existing chunk files are untouched; the rewrite happens at
+    the next compaction, the Iceberg merge-on-read trade. Keys present
+    only in ``df`` are plain inserts; matched keys read as ``df``'s
+    version afterwards."""
+    return append_table(
+        df, out_dir, rows_per_bucket=rows_per_bucket, shuffle=shuffle,
+        profile=profile,
+        delete_keys=(key_col, df.select(key_col).distinct()),
+    )

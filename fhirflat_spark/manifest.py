@@ -70,7 +70,8 @@ def load_fragments(frag_dir: str) -> list[dict]:
     return rows
 
 
-def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list) -> dict:
+def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
+                   new_deletes: list[dict] | None = None) -> dict:
     """Aggregate collected chunk-meta rows → manifest parquet + stats,
     committed as a new SNAPSHOT (Iceberg-style versioned metadata).
 
@@ -132,11 +133,14 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list) -> dict:
     fsio.write_parquet_atomic(table, snapshot_manifest_path(out_dir, version),
                               token=token)
     # a data commit carries the active row-level delete set forward
-    # unchanged (deletes are snapshot state, like Iceberg's delete
-    # files riding along in every new snapshot)
+    # (deletes are snapshot state, like Iceberg's delete files riding
+    # along in every new snapshot); an upsert commit additionally adds
+    # its own scoped delete entries ATOMICALLY with the data
     _write_snapshot_deletes(
         out_dir, version,
-        active_delete_files(out_dir, prev) if prev else [], token,
+        (active_delete_files(out_dir, prev) if prev else [])
+        + list(new_deletes or []),
+        token,
     )
     fsio.write_parquet_atomic(table, f"{out_dir}/manifest/manifest.parquet",
                               token=token)
@@ -300,30 +304,32 @@ def active_delete_files(out_dir: str, version: int | None = None) -> list[dict]:
         return []
 
 
-def delete_rows(spark: SparkSession, out_dir: str, column: str,
-                values: list) -> dict:
-    """Row-level DELETE by key equality, committed as a new snapshot
-    WITHOUT touching any chunk file: writes ``deletes/d{N}.parquet``
-    holding the keys, recommits the current manifest, and records the
-    enlarged active-delete set in the snapshot sidecar. Cost is the key
-    list, independent of table size. Readers (decode_table) anti-join
-    the active set; time travel to an earlier snapshot sees the rows
-    again; ``compact_table`` materializes deletes physically."""
+def write_delete_keys(spark: SparkSession, out_dir: str, column: str,
+                      values, name: str) -> tuple[str, int]:
+    """Write a delete-keys file/dir under ``deletes/``: a python value
+    list goes through one atomic arrow write; a DataFrame (arbitrarily
+    large key sets — a takedown list) through the distributed Spark
+    writer into a directory (the reader handles both). Returns
+    (name, n_keys)."""
     import os
 
+    from pyspark.sql import DataFrame as _DF
     from pyspark.sql import types as T
 
     summary = read_summary(spark, out_dir)
-    cols = summary["columns"]
-    if column not in cols:
-        raise ValueError(f"delete column {column!r} not in {cols}")
+    if column not in summary["columns"]:
+        raise ValueError(f"delete column {column!r} not in {summary['columns']}")
+    if isinstance(values, _DF):
+        keys_df = values.select(column).distinct()
+        n = keys_df.count()
+        if n == 0:
+            raise ValueError("delete requires a non-empty key set")
+        keys_df.write.mode("overwrite").parquet(
+            f"{_deletes_dir(out_dir)}/{name}"
+        )
+        return name, n
     if not values:
-        raise ValueError("delete_rows requires a non-empty value list")
-    prev = current_snapshot(out_dir)
-    if prev is None:
-        raise ValueError(f"{out_dir} has no committed snapshot")
-    version = prev + 1
-    token = str(os.getpid())
+        raise ValueError("delete requires a non-empty key set")
     # key type from the recorded spark schema so the anti-join compares
     # like with like
     full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
@@ -333,16 +339,42 @@ def delete_rows(spark: SparkSession, out_dir: str, column: str,
         values = [int(v) for v in values]
     elif isinstance(dt, (T.FloatType, T.DoubleType)):
         values = [float(v) for v in values]
-    dfile = f"d{version:010d}.parquet"
-    keys_df = spark.createDataFrame([(v,) for v in values], key_field)
-    kt = keys_df.toArrow()
-    fsio.write_parquet_atomic(kt, f"{_deletes_dir(out_dir)}/{dfile}",
-                              token=token)
+    kt = spark.createDataFrame([(v,) for v in values], key_field).toArrow()
+    fsio.write_parquet_atomic(kt, f"{_deletes_dir(out_dir)}/{name}",
+                              token=str(os.getpid()))
+    return name, len(values)
+
+
+def delete_rows(spark: SparkSession, out_dir: str, column: str,
+                values) -> dict:
+    """Row-level DELETE by key equality, committed as a new snapshot
+    WITHOUT touching any chunk file: writes the keys (list or DataFrame)
+    under ``deletes/``, recommits the current manifest, and records the
+    enlarged active-delete set in the snapshot sidecar. Cost is the key
+    set, independent of table size. Readers (decode_table) anti-join
+    the active set; time travel to an earlier snapshot sees the rows
+    again; ``compact_table`` materializes deletes physically.
+
+    The delete is SCOPED to the partitions existing at delete time
+    (``below_part`` — the Iceberg sequence-number analog): a LATER
+    append that re-inserts a deleted key is visible, not silently
+    swallowed by an old delete."""
+    import os
+
+    prev = current_snapshot(out_dir)
+    if prev is None:
+        raise ValueError(f"{out_dir} has no committed snapshot")
+    version = prev + 1
+    token = str(os.getpid())
     t = read_snapshot_manifest(out_dir, prev)
+    below = max((int(p) for p in t["part_id"].to_pylist()), default=-1) + 1
+    dfile, n_keys = write_delete_keys(
+        spark, out_dir, column, values, f"d{version:010d}.parquet"
+    )
     fsio.write_parquet_atomic(t, snapshot_manifest_path(out_dir, version),
                               token=token)
     active = active_delete_files(out_dir, prev) + [
-        {"file": dfile, "column": column}
+        {"file": dfile, "column": column, "below_part": below}
     ]
     _write_snapshot_deletes(out_dir, version, active, token)
     fsio.write_parquet_atomic(t, f"{out_dir}/manifest/manifest.parquet",
@@ -350,17 +382,33 @@ def delete_rows(spark: SparkSession, out_dir: str, column: str,
     fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
                             str(version).encode(), token=token)
     return {"snapshot": version, "delete_file": dfile,
-            "n_keys": len(values), "active_delete_files": len(active)}
+            "n_keys": n_keys, "below_part": below,
+            "active_delete_files": len(active)}
 
 
 def apply_deletes(spark: SparkSession, out_dir: str, df: DataFrame,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  part_col: str | None = None) -> DataFrame:
     """Anti-join ``df`` against the snapshot's active delete files.
     Delete files are read through the Spark reader (scales to large key
-    sets; AQE broadcasts the small ones)."""
+    sets; AQE broadcasts the small ones). A scoped entry (``below_part``)
+    removes only rows from partitions that existed at delete time —
+    ``part_col`` names the row-level partition-id column the caller
+    carries (required when any entry is scoped); unscoped legacy entries
+    apply to every row."""
     for entry in active_delete_files(out_dir, version):
         keys = spark.read.parquet(f"{_deletes_dir(out_dir)}/{entry['file']}")
-        df = df.join(keys, on=entry["column"], how="left_anti")
+        below = entry.get("below_part")
+        col = entry["column"]
+        if below is None:
+            df = df.join(keys, on=col, how="left_anti")
+            continue
+        if part_col is None:
+            raise ValueError(
+                "scoped delete entries need the partition-id column"
+            )
+        cond = (df[col] == keys[col]) & (df[part_col] < F.lit(int(below)))
+        df = df.join(keys, on=cond, how="left_anti")
     return df
 
 

@@ -325,6 +325,62 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _encoded_documents_upserted(spark, sf_dir: str) -> str:
+    """MERGE fixture: doc_id < 250 encoded, then one upsert commit with
+    doc_id 150..349 carrying n_chars+1000 — 150..249 are updates,
+    250..349 inserts."""
+    from fhirflat_spark.encode import encode_table, upsert_rows
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs.where(F.col("doc_id") < 250), path,
+                     rows_per_bucket=2000)
+        delta = (
+            docs.where(F.col("doc_id").between(150, 349))
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+        )
+        upsert_rows(delta, path, "doc_id", rows_per_bucket=2000)
+
+    return _cached_dataset(spark, sf_dir, "upsq", build)
+
+
+def q_upsert_merge(spark, sf_dir):
+    """MERGE/upsert read path: one snapshot commit appended the delta
+    and shadow-deleted the matched keys (scoped equality delete) — the
+    oracle reconstructs the merged table as plain SQL (CASE over the
+    update range). A duplicate (delete missed), a lost update, or an
+    over-delete all shift the aggregates and fail the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_upserted(spark, sf_dir)
+    return (
+        decode_table(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_UPSERT_MERGE = """
+WITH merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id BETWEEN 150 AND 349
+              THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id < 350
+)
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       max(doc_id) AS max_doc
+FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
 PROBE_DOC_ID = 42  # deterministic at every sf (doc_ids are dense from 0)
 
 
@@ -411,4 +467,5 @@ QUERIES = {
     "schema_evolution_decode": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "point_lookup_bloom": (q_point_lookup, SQL_POINT_LOOKUP),
     "row_level_delete": (q_row_level_delete, SQL_ROW_LEVEL_DELETE),
+    "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
 }

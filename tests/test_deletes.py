@@ -132,3 +132,91 @@ def test_delete_validation(spark, deleted):
         delete_rows(spark, out, "nope", [1])
     with pytest.raises(ValueError, match="non-empty"):
         delete_rows(spark, out, "doc_id", [])
+
+
+def test_scoped_delete_allows_reinsert(spark, deleted):
+    """A delete is scoped to the partitions existing at delete time (the
+    sequence-number analog): appending a previously-deleted key makes it
+    visible again instead of being swallowed by the old delete file."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import append_table
+
+    out, docs, victims = deleted
+    reinsert = docs.where(F.col("doc_id").isin(victims[:5]))
+    append_table(reinsert, out, rows_per_bucket=500)
+    dec = decode_table(spark, out)
+    assert dec.count() == docs.count() - len(victims) + 5
+    assert dec.where(F.col("doc_id").isin(victims[:5])).count() == 5
+
+
+def test_upsert_single_commit_merge(spark, tmp_path):
+    """upsert_rows = ONE snapshot commit appending the delta and
+    shadow-deleting matched keys in pre-existing partitions: no
+    duplicates, updates visible, inserts present, untouched rows
+    untouched, and time travel shows the pre-merge table."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table, upsert_rows
+    from fhirflat_spark.manifest import current_snapshot
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ds")
+    encode_table(docs.where(F.col("doc_id") < 400), out, rows_per_bucket=500)
+    delta = (
+        docs.where(F.col("doc_id").between(200, 499))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    upsert_rows(delta, out, "doc_id", rows_per_bucket=500)
+    assert current_snapshot(out) == 2  # one atomic commit
+    dec = decode_table(spark, out)
+    assert dec.count() == docs.count()  # 0..499 exactly once
+    assert (
+        dec.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    )
+    assert (
+        dec.where(F.col("doc_id") >= 200)
+        .where(F.col("n_chars") < 1000).count() == 0
+    )  # every matched/inserted row is the delta's version
+    assert (
+        dec.where(F.col("doc_id") < 200)
+        .where(F.col("n_chars") >= 1000).count() == 0
+    )  # untouched rows untouched
+    assert decode_table(spark, out, snapshot=1).count() == 400
+
+
+def test_upsert_then_compact_materializes(spark, tmp_path):
+    from fhirflat_spark.decode import compact_table, decode_table
+    from fhirflat_spark.encode import encode_table, upsert_rows
+    from fhirflat_spark.manifest import active_delete_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ds")
+    encode_table(docs.where(F.col("doc_id") < 300), out, rows_per_bucket=500)
+    delta = docs.where(F.col("doc_id") < 100).withColumn(
+        "lang", F.lit("xx")
+    )
+    upsert_rows(delta, out, "doc_id", rows_per_bucket=500)
+    dst = str(tmp_path / "ds9")
+    compact_table(spark, out, dst, rows_per_bucket=2000)
+    assert active_delete_files(dst) == []
+    dec = decode_table(spark, dst)
+    assert dec.count() == 300
+    assert dec.where(F.col("lang") == "xx").count() == 100
+
+
+def test_delete_keys_as_dataframe(spark, tmp_path):
+    """Large key sets go through the distributed writer (directory-form
+    delete file), read back identically by the anti-join."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import delete_rows
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ds")
+    encode_table(docs, out, rows_per_bucket=500)
+    keys_df = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    n_victims = keys_df.count()
+    info = delete_rows(spark, out, "doc_id", keys_df)
+    assert info["n_keys"] == n_victims
+    dec = decode_table(spark, out)
+    assert dec.count() == docs.count() - n_victims
+    assert dec.where(F.col("doc_id") % 3 == 0).count() == 0
