@@ -999,11 +999,12 @@ def encode_table(
         # no salt column) and corrupt load_key_counts totals; stale
         # snapshots would time-travel into a different table's history
         from fhirflat_spark import fsio
-        from fhirflat_spark.manifest import _snap_dir, _stats_dir
+        from fhirflat_spark.manifest import _deletes_dir, _snap_dir, _stats_dir
 
         fsio.delete_dir(frag_dir)
         fsio.delete_dir(_stats_dir(out_dir))
         fsio.delete_dir(_snap_dir(out_dir))
+        fsio.delete_dir(_deletes_dir(out_dir))
     # pyspark's mapInArrow resolves plain column names, which breaks on
     # dotted flat names (period.start) — feed it positional safe names and
     # keep the original names inside the kernel for payload/stats keys

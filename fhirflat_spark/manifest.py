@@ -135,11 +135,14 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
     # a data commit carries the active row-level delete set forward
     # (deletes are snapshot state, like Iceberg's delete files riding
     # along in every new snapshot); an upsert commit additionally adds
-    # its own scoped delete entries ATOMICALLY with the data
+    # its own scoped delete entries ATOMICALLY with the data. Dedup by
+    # file name: a re-committed append (replayed batch) must not stack
+    # a second copy of its own delete entry
+    carried = active_delete_files(out_dir, prev) if prev else []
+    seen = {e["file"] for e in carried}
     _write_snapshot_deletes(
         out_dir, version,
-        (active_delete_files(out_dir, prev) if prev else [])
-        + list(new_deletes or []),
+        carried + [e for e in (new_deletes or []) if e["file"] not in seen],
         token,
     )
     fsio.write_parquet_atomic(table, f"{out_dir}/manifest/manifest.parquet",

@@ -220,3 +220,18 @@ def test_delete_keys_as_dataframe(spark, tmp_path):
     dec = decode_table(spark, out)
     assert dec.count() == docs.count() - n_victims
     assert dec.where(F.col("doc_id") % 3 == 0).count() == 0
+
+
+def test_fresh_encode_clears_previous_delete_files(spark, deleted):
+    """Overwriting a dataset must not leave the previous table's delete
+    files behind (a fresh table owns the whole directory)."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import active_delete_files
+
+    out, docs, _ = deleted
+    encode_table(docs.limit(100), out, rows_per_bucket=500)
+    assert active_delete_files(out) == []
+    assert not os.path.isdir(f"{out}/deletes") or \
+        os.listdir(f"{out}/deletes") == []
+    assert decode_table(spark, out).count() == 100
