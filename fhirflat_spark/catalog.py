@@ -17,7 +17,9 @@ own lineage, reference analog: the fhirflat bundle's ``fhirflat.toml`` +
 - ``{name}_snapshots`` — the snapshot log (version, totals, dataset
                          checksum, is_current — Iceberg's
                          `db.table.snapshots` analog; pair with
-                         ``decode_table(snapshot=N)`` for time travel).
+                         ``decode_table(snapshot=N)`` for time travel);
+- ``{name}_deletes``   — the active row-level delete entries (file,
+                         key column, partition scope — empty when none).
 
 Views are session-scoped temp views: no Hive metastore or external
 catalog is assumed (none exists in this sandbox); on a deployment with a
@@ -32,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 def register_dataset(spark: SparkSession, out_dir: str, name: str) -> dict[str, DataFrame]:
     from fhirflat_spark.decode import decode_table
     from fhirflat_spark.manifest import (
+        active_delete_files,
         list_snapshots,
         read_chunk_stats,
         read_manifest,
@@ -46,6 +49,13 @@ def register_dataset(spark: SparkSession, out_dir: str, name: str) -> dict[str, 
         f"{name}_chunks": read_chunk_stats(spark, out_dir),
         f"{name}_summary": spark.createDataFrame([read_summary(spark, out_dir)]),
         f"{name}_snapshots": list_snapshots(spark, out_dir),
+        f"{name}_deletes": spark.createDataFrame(
+            [
+                (e["file"], e["column"], e.get("below_part"))
+                for e in active_delete_files(out_dir)
+            ],
+            "file STRING, column STRING, below_part INT",
+        ),
     }
     for vname, df in views.items():
         df.createOrReplaceTempView(vname)

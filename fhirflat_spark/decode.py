@@ -356,7 +356,8 @@ def decode_table(spark: SparkSession, out_dir: str,
     if need_part:
         decoded = decoded.drop("__part_id")
     if requested != columns:
-        decoded = decoded.select(*requested)
+        # backticked: flat datasets carry dotted column names
+        decoded = decoded.select(*[F.col(f"`{c}`") for c in requested])
     return decoded
 
 
@@ -544,8 +545,15 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
     schema = chunk_schema(len(columns))
     frag_dir = f"{dst_dir}/manifest_parts"
     from fhirflat_spark import fsio as _fsio
+    from fhirflat_spark.manifest import _deletes_dir, _snap_dir, _stats_dir
 
+    # the transcode owns the whole destination: stale snapshots/stats/
+    # delete files from a previous table at dst would otherwise leak
+    # into the new table's first commit (carry-forward reads them)
     _fsio.delete_dir(frag_dir)
+    _fsio.delete_dir(_snap_dir(dst_dir))
+    _fsio.delete_dir(_stats_dir(dst_dir))
+    _fsio.delete_dir(_deletes_dir(dst_dir))
 
     def kernel(batches):
         import json as _json
@@ -644,7 +652,16 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
         .parquet(f"{dst_dir}/chunks")
     )
     meta_rows = load_fragments(frag_dir)
-    manifest_stats = write_manifest(spark, dst_dir, meta_rows)
+    # chunks were copied VERBATIM (same part ids), so the source's
+    # active row-level deletes stay exactly valid — copy the key files
+    # and commit the same entries, else deleted rows resurrect at dst
+    from fhirflat_spark.manifest import active_delete_files, copy_delete_file
+
+    src_deletes = active_delete_files(src_dir)
+    for entry in src_deletes:
+        copy_delete_file(src_dir, dst_dir, entry["file"])
+    manifest_stats = write_manifest(spark, dst_dir, meta_rows,
+                                    new_deletes=src_deletes)
     from fhirflat_spark.encode import EncodeResult
 
     result = EncodeResult(
@@ -744,9 +761,14 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
     df = decode_table(spark, src_dir)
     # summary rows are PHYSICAL; with active row-level deletes the
     # rewrite legitimately holds fewer (compaction materializes the
-    # deletes) — validate against the logical row count instead
+    # deletes) — validate against the logical row count, computed via a
+    # SINGLE-column selective decode (reads ~1/n of the bytes and a
+    # different column path than the rewrite, so the cross-check still
+    # catches decode loss without a second full decode)
     expected = (
-        df.count() if active_delete_files(src_dir) else summary["rows"]
+        decode_table(spark, src_dir, columns=[summary["columns"][0]]).count()
+        if active_delete_files(src_dir)
+        else summary["rows"]
     )
     res = encode_table(
         df, dst_dir, columns=summary["columns"],

@@ -114,6 +114,11 @@ def exists(path: str) -> bool:
     return fs.get_file_info(inner).type != pafs.FileType.NotFound
 
 
+def is_dir(path: str) -> bool:
+    fs, inner = resolve(path)
+    return fs.get_file_info(inner).type == pafs.FileType.Directory
+
+
 def list_files(dir_path: str, suffix: str = "") -> list[str]:
     """Names (not full paths) of the regular files directly under
     ``dir_path`` ending in ``suffix``, sorted. Missing dir → []."""

@@ -75,7 +75,16 @@ def maintain_table(spark: SparkSession, out_dir: str,
     import shutil
 
     from fhirflat_spark.decode import compact_table
-    from fhirflat_spark.manifest import expire_snapshots, vacuum
+    from fhirflat_spark.manifest import _local, expire_snapshots, vacuum
+
+    # crash recovery: a previous maintenance that died between the two
+    # swap renames leaves the table parked at .pre_compact — restore it
+    # before reading any metadata
+    local_out = _local(out_dir)
+    parked = f"{local_out}.pre_compact"
+    if fsio.is_local(out_dir) and not os.path.exists(local_out) \
+            and os.path.exists(parked):
+        os.rename(parked, local_out)
 
     health = table_health(spark, out_dir, rows_per_bucket=rows_per_bucket)
     # convergence guards: (a) encode cannot produce fewer partitions
@@ -103,17 +112,18 @@ def maintain_table(spark: SparkSession, out_dir: str,
                 "store, compact_table to a new location and flip the "
                 "table pointer instead"
             )
-        from fhirflat_spark.manifest import _local
-
-        local_out = _local(out_dir)  # os-level swap needs the bare path
-        build = f"{local_out}.compacting.{os.getpid()}"
+        # FIXED sibling names (not pid-suffixed): a rerun after a crash
+        # cleans the predecessor's debris instead of orphaning a full
+        # table copy per attempt, and the recovery path above knows
+        # where a parked table lives
+        build = f"{local_out}.compacting"
         shutil.rmtree(build, ignore_errors=True)
+        shutil.rmtree(parked, ignore_errors=True)
         compact_table(spark, out_dir, build,
                       rows_per_bucket=rows_per_bucket, profile=profile)
-        old = f"{local_out}.pre_compact.{os.getpid()}"
-        os.rename(local_out, old)
+        os.rename(local_out, parked)
         os.rename(build, local_out)
-        shutil.rmtree(old)
+        shutil.rmtree(parked)
         report["compacted"] = True
         health = table_health(spark, out_dir, rows_per_bucket=rows_per_bucket)
         report["health_after"] = health

@@ -389,6 +389,18 @@ def delete_rows(spark: SparkSession, out_dir: str, column: str,
             "active_delete_files": len(active)}
 
 
+def copy_delete_file(src_dir: str, dst_dir: str, name: str) -> None:
+    """Copy one delete-keys file (single-file or Spark-written
+    directory form) between datasets — the transcode carry path."""
+    src = f"{_deletes_dir(src_dir)}/{name}"
+    dst = f"{_deletes_dir(dst_dir)}/{name}"
+    if fsio.is_dir(src):  # Spark-written directory form
+        for m in fsio.list_files(src):
+            fsio.write_bytes_atomic(f"{dst}/{m}", fsio.read_bytes(f"{src}/{m}"))
+    else:
+        fsio.write_bytes_atomic(dst, fsio.read_bytes(src))
+
+
 def apply_deletes(spark: SparkSession, out_dir: str, df: DataFrame,
                   version: int | None = None,
                   part_col: str | None = None) -> DataFrame:
@@ -398,20 +410,23 @@ def apply_deletes(spark: SparkSession, out_dir: str, df: DataFrame,
     removes only rows from partitions that existed at delete time —
     ``part_col`` names the row-level partition-id column the caller
     carries (required when any entry is scoped); unscoped legacy entries
-    apply to every row."""
-    for entry in active_delete_files(out_dir, version):
+    apply to every row. Column references are alias-qualified and
+    backticked: flattened datasets have DOTTED column names
+    (period.start) that bare resolution would read as struct paths."""
+    for i, entry in enumerate(active_delete_files(out_dir, version)):
         keys = spark.read.parquet(f"{_deletes_dir(out_dir)}/{entry['file']}")
         below = entry.get("below_part")
         col = entry["column"]
-        if below is None:
-            df = df.join(keys, on=col, how="left_anti")
-            continue
-        if part_col is None:
-            raise ValueError(
-                "scoped delete entries need the partition-id column"
-            )
-        cond = (df[col] == keys[col]) & (df[part_col] < F.lit(int(below)))
-        df = df.join(keys, on=cond, how="left_anti")
+        dal, kal = f"__dd{i}", f"__dk{i}"
+        d, k = df.alias(dal), keys.alias(kal)
+        cond = F.col(f"{dal}.`{col}`") == F.col(f"{kal}.`{col}`")
+        if below is not None:
+            if part_col is None:
+                raise ValueError(
+                    "scoped delete entries need the partition-id column"
+                )
+            cond = cond & (F.col(f"{dal}.`{part_col}`") < F.lit(int(below)))
+        df = d.join(k, on=cond, how="left_anti")
     return df
 
 
@@ -511,15 +526,21 @@ def vacuum(spark: SparkSession, out_dir: str) -> list[int]:
         if pid not in live:
             fsio.delete_dir(f"{out_dir}/chunks/{name}")
             removed.append(pid)
-    # delete files no retained snapshot references go the same way
+    # delete files no retained snapshot references go the same way —
+    # both forms: single files (list-valued deletes) and Spark-written
+    # DIRECTORIES (DataFrame key sets, every upsert)
     live_deletes = {
         e["file"]
         for v in _snapshot_versions(out_dir)
         for e in active_delete_files(out_dir, v)
     }
-    for name in fsio.list_files(_deletes_dir(out_dir), suffix=".parquet"):
+    ddir = _deletes_dir(out_dir)
+    for name in fsio.list_files(ddir, suffix=".parquet"):
         if name not in live_deletes:
-            fsio.delete_file(f"{_deletes_dir(out_dir)}/{name}")
+            fsio.delete_file(f"{ddir}/{name}")
+    for name in fsio.list_dirs(ddir):
+        if name not in live_deletes:
+            fsio.delete_dir(f"{ddir}/{name}")
     return sorted(removed)
 
 

@@ -235,3 +235,85 @@ def test_fresh_encode_clears_previous_delete_files(spark, deleted):
     assert not os.path.isdir(f"{out}/deletes") or \
         os.listdir(f"{out}/deletes") == []
     assert decode_table(spark, out).count() == 100
+
+
+def test_transcode_carries_active_deletes(spark, deleted, tmp_path):
+    """transcode copies chunks verbatim (same part ids) — the source's
+    active deletes must carry over, or deleted rows resurrect."""
+    from fhirflat_spark.decode import decode_table, transcode_table
+    from fhirflat_spark.manifest import active_delete_files
+
+    out, docs, victims = deleted
+    dst = str(tmp_path / "ds9")
+    transcode_table(spark, out, dst, profile="archive")
+    assert len(active_delete_files(dst)) == 1
+    dec = decode_table(spark, dst)
+    assert dec.count() == docs.count() - len(victims)
+    assert dec.where(F.col("doc_id") % 7 == 0).count() == 0
+
+
+def test_transcode_into_reused_dst_owns_the_directory(spark, deleted, tmp_path):
+    """Re-running transcode into a dst that previously held a DELETED
+    table must not leak the old table's snapshot/delete state into the
+    new one."""
+    from fhirflat_spark.decode import decode_table, transcode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import current_snapshot
+
+    out, docs, victims = deleted
+    dst = str(tmp_path / "ds9")
+    transcode_table(spark, out, dst, profile="archive")  # dst now has deletes
+    # a different source, same dst
+    src2 = str(tmp_path / "plain")
+    encode_table(docs.limit(100), src2, rows_per_bucket=500)
+    transcode_table(spark, src2, dst, profile="archive")
+    assert current_snapshot(dst) == 1  # fresh history
+    assert decode_table(spark, dst).count() == 100  # no stale anti-join
+
+
+def test_delete_on_dotted_column_name(spark, tmp_path):
+    """Flat datasets carry dotted column names (period.start): the
+    delete anti-join must not resolve them as struct paths."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import delete_rows
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+        .withColumnRenamed("source", "meta.source")
+    )
+    out = str(tmp_path / "ds")
+    encode_table(docs, out, rows_per_bucket=500)
+    victim = docs.select("`meta.source`").first()[0]
+    delete_rows(spark, out, "meta.source", [victim])
+    dec = decode_table(spark, out)
+    assert dec.where(F.col("`meta.source`") == victim).count() == 0
+    assert dec.count() == docs.where(F.col("`meta.source`") != victim).count()
+    # selective decode (widened key column) under a dotted name
+    sel = decode_table(spark, out, columns=["doc_id"])
+    assert sel.columns == ["doc_id"]
+    assert sel.count() == dec.count()
+
+
+def test_vacuum_reclaims_directory_form_delete_files(spark, tmp_path):
+    """upsert writes its keys as a Spark directory — vacuum must reclaim
+    those too once unreferenced."""
+    from fhirflat_spark.encode import encode_table, upsert_rows
+    from fhirflat_spark.manifest import (
+        expire_snapshots,
+        rollback,
+        vacuum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ds")
+    encode_table(docs.where(F.col("doc_id") < 300), out, rows_per_bucket=500)
+    upsert_rows(docs.where(F.col("doc_id") < 100), out, "doc_id",
+                rows_per_bucket=500)
+    assert any(os.path.isdir(f"{out}/deletes/{n}")
+               for n in os.listdir(f"{out}/deletes"))
+    rollback(spark, out, 1)
+    expire_snapshots(out, keep_last=1)
+    vacuum(spark, out)
+    assert os.listdir(f"{out}/deletes") == []

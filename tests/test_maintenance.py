@@ -123,3 +123,20 @@ def test_streaming_snapshot_retention(spark, tmp_path):
     # several micro-batch commits happened, only the last 2 retained
     assert current_snapshot(out) >= 3
     assert len(_snapshot_versions(out)) <= 2
+
+
+def test_maintain_recovers_parked_table_after_crashed_swap(spark, fragmented):
+    """A crash between the two swap renames leaves the table parked at
+    .pre_compact — the next maintenance call must restore it before
+    doing anything else."""
+    import os
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.maintenance import maintain_table
+
+    out, src = fragmented
+    os.rename(out, f"{out}.pre_compact")  # simulate the crash window
+    rep = maintain_table(spark, out, rows_per_bucket=5000, keep_snapshots=2)
+    assert os.path.isdir(out)
+    assert not os.path.exists(f"{out}.pre_compact")
+    assert decode_table(spark, out).count() == src.count()

@@ -720,6 +720,7 @@ def test_register_dataset_catalog_views(spark, tmp_path):
     assert [(r["version"], r["rows"], r["is_current"]) for r in snap] == [
         (1, 3000, True)
     ]
+    assert spark.sql("SELECT * FROM cds_deletes").count() == 0
     with pytest.raises(ValueError, match="view name"):
         register_dataset(spark, out, "bad-name")
 
