@@ -1,0 +1,461 @@
+"""``spark.read.format("fhirflat")`` — the chunk store as a first-class
+Spark data source (PySpark 4 Python DataSource API).
+
+The engine's decode surfaces (``decode_table`` & friends) are library
+calls; this module registers the same chunk-store layout as a *named
+source*, so plain Spark SQL / DataFrame users — and Spark's own planner —
+can read an encoded dataset with zero engine imports:
+
+    spark.dataSource.register(FhirflatDataSource)
+    df = (spark.read.format("fhirflat")
+          .option("path", out_dir)
+          .option("columns", "doc_id,lang")      # payload IO pruning
+          .option("snapshot", "1")               # time travel
+          .load())
+    stream = (spark.readStream.format("fhirflat")
+              .option("path", out_dir).load())   # snapshot-log CDC tail
+
+Design (scale-first):
+
+- **Planning is metadata-only.** The reader plans one ``InputPartition``
+  per manifest-committed part-id (orphaned / uncommitted / rolled-back
+  chunk directories are invisible — the table IS what the manifest says,
+  same contract as ``decode_table``). Driver cost is O(partitions) over
+  the manifest parquet, payload bytes untouched.
+- **Reads are embarrassingly parallel and Spark-free.** Each task opens
+  its partition's chunk parquet directly with pyarrow (nested projection:
+  unselected payload fields cost zero IO) and decodes with the same numpy
+  kernels as ``decode_table`` — no JVM row materialization on the input
+  side at all; batches flow back over one Arrow channel.
+- **Filter pushdown prunes chunks, Spark keeps the exact residual.**
+  ``pushFilters`` accepts =, <, <=, >, >=, IN on stats'd columns and
+  turns them into zone-map intersection tests (plus Bloom probes on
+  bloom-encoded columns) evaluated per chunk BEFORE any payload decode.
+  Every filter is returned to Spark unchanged: zones and Blooms
+  overapproximate, so pruning is always conservative and the residual
+  makes the answer exact.
+- **Merge-on-read deletes.** Active equality-delete files (incl.
+  partition-scoped entries, the sequence-number analog) are applied
+  in-task with vectorized ``is_in`` masks. Delete-key files are
+  metadata-sized and read once per task; takedown-list-scale key sets
+  should read through ``decode_table`` whose anti-join distributes.
+- **Streaming offsets are snapshot versions.** The stream reader tails
+  the snapshot log: micro-batch (a, b] covers exactly the part-ids
+  committed between snapshot a and snapshot b, so restarts resume
+  exactly-once from the checkpointed version. Delete-only commits move
+  the offset without emitting rows (the tail is an insert CDC feed;
+  net diffs live in ``fhirflat_spark.changes.table_changes``).
+
+Reference parity: the reference exposes its store only through library
+entry points (reference fhirflat/ingest.py:381-432 writes, base.py:152
+reads); a named Spark source is the cluster-native equivalent surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+try:  # PySpark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark 3.x fallback
+    HAVE_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options):
+            self.options = options
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+class ChunkPartition(InputPartition):
+    """One committed part-id = one Spark input partition (chunk files are
+    written per part-id, so this is also the IO locality unit)."""
+
+    def __init__(self, part_id: int):
+        self.part_id = int(part_id)
+
+
+def _plan(options) -> dict:
+    """Driver-side plan state, picklable: schema + column mapping + the
+    committed part-id universe + active delete entries."""
+    from pyspark.sql import types as T
+
+    from fhirflat_spark import fsio
+    from fhirflat_spark.manifest import (
+        MANIFEST_VERSION,
+        active_delete_files,
+        snapshot_part_ids,
+    )
+
+    path = options.get("path")
+    if not path:
+        raise ValueError('the fhirflat source needs .option("path", <dataset dir>)')
+    summary = json.loads(fsio.read_bytes(f"{path}/_SUMMARY.json"))
+    if summary.get("manifest_version") != MANIFEST_VERSION:
+        raise ValueError(
+            f"dataset manifest format v{summary.get('manifest_version')} != "
+            f"engine v{MANIFEST_VERSION} — transcode with a matching engine"
+        )
+    all_cols = list(summary["columns"])
+    cols_opt = options.get("columns")
+    columns = (
+        [c.strip() for c in cols_opt.split(",") if c.strip()]
+        if cols_opt
+        else list(all_cols)
+    )
+    unknown = [c for c in columns if c not in all_cols]
+    if unknown:
+        raise ValueError(f"columns {unknown} not in dataset columns {all_cols}")
+    if summary.get("spark_schema"):
+        full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+        by_name = {f.name: f for f in full.fields}
+        schema = T.StructType([by_name[c] for c in columns])
+        type_of = {f.name: f.dataType for f in full.fields}
+    else:
+        schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in columns]
+        )
+        type_of = {c: T.StringType() for c in all_cols}
+
+    snapshot = options.get("snapshot")
+    snapshot = int(snapshot) if snapshot is not None else None
+    if snapshot is not None:
+        part_ids = snapshot_part_ids(path, snapshot)
+    else:
+        t = fsio.read_parquet(f"{path}/manifest", columns=["part_id", "status"])
+        part_ids = [
+            int(p)
+            for p, s in zip(t["part_id"].to_pylist(), t["status"].to_pylist())
+            if s == "ok"
+        ]
+    deletes = []
+    for entry in active_delete_files(path, snapshot):
+        deletes.append(
+            {
+                "file": entry["file"],
+                "column": entry["column"],
+                "below_part": entry.get("below_part"),
+            }
+        )
+    return {
+        "path": path,
+        "summary_rows": int(summary.get("rows") or 0),
+        "all_cols": all_cols,
+        "columns": columns,
+        "schema": schema,
+        "type_of": type_of,
+        "bloomed": set(summary.get("bloom_columns") or ()),
+        "part_ids": sorted(part_ids),
+        "deletes": deletes,
+    }
+
+
+def _arrow_schema(spark_schema) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.schema(
+        [(f.name, to_arrow_type(f.dataType)) for f in spark_schema.fields]
+    )
+
+
+def _coerce_bound(dt, value):
+    """Coerce a pushed-filter constant to the zone-bound comparison family
+    (stats JSON renders numbers as strings). None = not comparable →
+    caller must keep the chunk (conservative)."""
+    from pyspark.sql import types as T
+
+    try:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(value)
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return float(value)
+        if isinstance(dt, T.StringType):
+            return str(value)
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def _zone_keeps(stats: dict, col: str, dt, lo, hi) -> bool:
+    """True when the chunk's [zmin, zmax] for ``col`` may intersect
+    [lo, hi] (either bound None = one-sided). Missing bounds keep the
+    chunk — pruning must never drop a matching row."""
+    s = stats.get(col)
+    if not isinstance(s, dict):
+        return True
+    zmin, zmax = s.get("zmin"), s.get("zmax")
+    if zmin is None or zmax is None:
+        return True
+    zmin = _coerce_bound(dt, zmin)
+    zmax = _coerce_bound(dt, zmax)
+    if zmin is None or zmax is None:
+        return True
+    if lo is not None and zmax < lo:
+        return False
+    if hi is not None and zmin > hi:
+        return False
+    return True
+
+
+def _bloom_keeps(stats: dict, col: str, values) -> bool:
+    """True when ANY of ``values`` might be in the chunk per its Bloom
+    filter; chunks without a (geometry-matching) bloom are kept."""
+    from fhirflat_spark import bloom as B
+
+    s = stats.get(col)
+    if not isinstance(s, dict):
+        return True
+    hexstr, bbits = s.get("bloom"), s.get("bbits")
+    if hexstr is None or str(bbits) != str(B.M_BITS):
+        return True
+    return any(B.might_contain(hexstr, str(v)) for v in values)
+
+
+class _ReadMixin:
+    """Shared per-partition read: pyarrow scan → chunk pruning → numpy
+    decode → delete masks → Arrow batches in the output schema."""
+
+    def _read_part(self, plan: dict, pid: int, zones: list, points: list):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        from fhirflat_spark import fsio
+        from fhirflat_spark.codecs import decode_array
+
+        path = plan["path"]
+        columns = list(plan["columns"])
+        field_of = {c: f"__c{i}" for i, c in enumerate(plan["all_cols"])}
+        # delete-key columns ride along for masking, then are dropped
+        deletes = [
+            d for d in plan["deletes"]
+            if d["below_part"] is None or pid < d["below_part"]
+        ]
+        extra = sorted({d["column"] for d in deletes} - set(columns))
+        read_cols = columns + extra
+        need_stats = bool(zones or points)
+
+        fs, inner = fsio.resolve(f"{path}/chunks/part_id={pid}")
+        dset = pads.dataset(inner, filesystem=fs, format="parquet")
+        proj = {"n_rows": pads.field("n_rows")}
+        if need_stats:
+            proj["stats"] = pads.field("stats")
+        for c in read_cols:
+            proj[field_of[c]] = pads.field("payload", field_of[c])
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        out_schema = _arrow_schema(plan["schema"])
+        arrow_of = dict(zip(out_schema.names, out_schema.types))
+        for c in extra:
+            arrow_of[c] = to_arrow_type(plan["type_of"][c])
+        key_sets = {
+            d["file"]: _delete_keys(path, d["file"]) for d in deletes
+        }
+
+        for batch in dset.to_batches(columns=proj):
+            nrs = batch.column("n_rows")
+            stats_col = batch.column("stats") if need_stats else None
+            for i in range(batch.num_rows):  # chunk granularity (~16k rows)
+                if need_stats:
+                    stats = json.loads(stats_col[i].as_py())
+                    if not all(
+                        _zone_keeps(stats, c, plan["type_of"].get(c), lo, hi)
+                        for c, lo, hi in zones
+                    ):
+                        continue
+                    if not all(
+                        _bloom_keeps(stats, c, vals) for c, vals in points
+                    ):
+                        continue
+                arrays = {}
+                for c in read_cols:
+                    cell = batch.column(field_of[c])[i]
+                    if not cell.is_valid:  # chunk predates the column
+                        arrays[c] = pa.nulls(nrs[i].as_py(), type=arrow_of[c])
+                    else:
+                        arr = decode_array(memoryview(cell.as_buffer()))
+                        if arr.type != arrow_of[c]:
+                            arr = arr.cast(arrow_of[c])
+                        arrays[c] = arr
+                mask = None
+                for d in deletes:
+                    hit = pc.is_in(
+                        arrays[d["column"]], value_set=key_sets[d["file"]]
+                    )
+                    keep = pc.invert(pc.fill_null(hit, False))
+                    mask = keep if mask is None else pc.and_(mask, keep)
+                out = pa.RecordBatch.from_arrays(
+                    [arrays[c] for c in columns], schema=out_schema
+                )
+                if mask is not None:
+                    out = out.filter(mask)
+                if out.num_rows:
+                    yield out
+
+
+def _delete_keys(path: str, name: str) -> pa.Array:
+    """Load one delete-keys file (single-file or Spark-written directory
+    form) as a flat arrow array."""
+    from fhirflat_spark import fsio
+
+    p = f"{path}/deletes/{name}"
+    if fsio.is_dir(p):
+        tables = [
+            fsio.read_parquet(f"{p}/{m}")
+            for m in fsio.list_files(p, suffix=".parquet")
+        ]
+        t = pa.concat_tables(tables)
+    else:
+        t = fsio.read_parquet(p)
+    return t.column(0).combine_chunks()
+
+
+class FhirflatBatchReader(DataSourceReader, _ReadMixin):
+    def __init__(self, options, schema):
+        self._plan_state = _plan(options)
+        # Spark may hand back our own schema() or a user override; the
+        # column set drives payload projection either way
+        if schema is not None and schema.names != self._plan_state["columns"]:
+            self._plan_state["columns"] = list(schema.names)
+            self._plan_state["schema"] = schema
+        self._zones: list[tuple] = []  # (col, lo, hi) — None = unbounded
+        self._points: list[tuple] = []  # (col, [values])
+
+    def pushFilters(self, filters):
+        """Record zone/Bloom pruning opportunities; return EVERY filter
+        (by reference, per contract) — pruning is partial, Spark owns the
+        exact residual."""
+        statable = set(self._plan_state["all_cols"])
+        bloomed = self._plan_state["bloomed"]
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1 or attr[0] not in statable:
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                self._zones.append((col, f.value, f.value))
+                if col in bloomed:
+                    self._points.append((col, [f.value]))
+            elif isinstance(f, GreaterThan) or isinstance(f, GreaterThanOrEqual):
+                # zone test is inclusive-overlap: > vs >= both prune only
+                # chunks wholly below the bound (conservative for >)
+                self._zones.append((col, f.value, None))
+            elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
+                self._zones.append((col, None, f.value))
+            elif isinstance(f, In):
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    self._zones.append((col, min(vals), max(vals)))
+                    if col in bloomed:
+                        self._points.append((col, vals))
+        return filters
+
+    def partitions(self):
+        return [ChunkPartition(p) for p in self._plan_state["part_ids"]]
+
+    def read(self, partition: ChunkPartition):
+        yield from self._read_part(
+            self._plan_state, partition.part_id, self._zones, self._points
+        )
+
+
+class FhirflatStreamReader(DataSourceStreamReader, _ReadMixin):
+    """Snapshot-log tail: offsets are snapshot versions; micro-batch
+    (a, b] reads exactly the part-ids snapshot b committed beyond a."""
+
+    def __init__(self, options, schema):
+        self._plan_state = _plan(options)
+        if schema is not None and schema.names != self._plan_state["columns"]:
+            self._plan_state["columns"] = list(schema.names)
+            self._plan_state["schema"] = schema
+        start = options.get("startingsnapshot", options.get("startingSnapshot"))
+        if start == "latest":
+            self._start = self._current()
+        else:
+            self._start = int(start) if start is not None else 0
+
+    def _current(self) -> int:
+        from fhirflat_spark.manifest import current_snapshot
+
+        return current_snapshot(self._plan_state["path"]) or 0
+
+    def initialOffset(self):
+        return {"snapshot": self._start}
+
+    def latestOffset(self):
+        return {"snapshot": self._current()}
+
+    def _ids_between(self, a: int, b: int) -> list[int]:
+        from fhirflat_spark.manifest import snapshot_part_ids
+
+        if b <= a:
+            return []
+        new = set(snapshot_part_ids(self._plan_state["path"], b))
+        if a > 0:
+            new -= set(snapshot_part_ids(self._plan_state["path"], a))
+        return sorted(new)
+
+    def partitions(self, start, end):
+        ids = self._ids_between(int(start["snapshot"]), int(end["snapshot"]))
+        # a delete-only / empty window still needs a valid (empty) batch
+        return [ChunkPartition(p) for p in ids] or [ChunkPartition(-1)]
+
+    def read(self, partition: ChunkPartition):
+        if partition.part_id < 0:  # sentinel for an empty window
+            return
+        # the tail is an insert feed: rows as their commit wrote them —
+        # later deletes do not rewrite history, so no delete masking here
+        plan = dict(self._plan_state, deletes=[])
+        yield from self._read_part(plan, partition.part_id, [], [])
+
+    def commit(self, end):
+        pass
+
+
+class FhirflatDataSource(DataSource):
+    """Register with ``spark.dataSource.register(FhirflatDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fhirflat"
+
+    def schema(self):
+        return _plan(self.options)["schema"]
+
+    def reader(self, schema):
+        return FhirflatBatchReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return FhirflatStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for this SparkSession."""
+    if not HAVE_DATASOURCE_API:  # pragma: no cover
+        raise RuntimeError("the fhirflat named source needs PySpark >= 4.0")
+    # the reader implements pushFilters(), which Spark rejects outright
+    # unless python-source pushdown is on (runtime-settable conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FhirflatDataSource)

@@ -1,0 +1,243 @@
+"""The named Spark source (``spark.read.format("fhirflat")``) and the
+snapshot changelog: batch parity with decode_table, pushdown pruning at
+the chunk level, snapshot time travel, the streaming snapshot tail with
+checkpoint restart, and table_changes on both plan paths."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhirflat_spark.changes import table_changes
+from fhirflat_spark.decode import decode_table
+from fhirflat_spark.encode import append_table, encode_table, upsert_rows
+from fhirflat_spark.manifest import delete_rows, rollback
+from fhirflat_spark.sources.datasource import (
+    FhirflatBatchReader,
+    FhirflatStreamReader,
+    register,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def ds_dir(spark, docs, tmp_path_factory):
+    """Dataset with history: snap1 = doc_id<250, snap2 = upsert 150..349
+    (+1000 n_chars), snap3 = delete {10, 11}. Bloom on text."""
+    out = str(tmp_path_factory.mktemp("dsrc") / "ds")
+    encode_table(docs.where(F.col("doc_id") < 250), out,
+                 rows_per_bucket=100, bloom_columns=["text"])
+    delta = (
+        docs.where(F.col("doc_id").between(150, 349))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    upsert_rows(delta, out, "doc_id", rows_per_bucket=100)
+    delete_rows(spark, out, "doc_id", [10, 11])
+    register(spark)
+    return out
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batch_read_matches_decode_table(spark, ds_dir):
+    via_source = spark.read.format("fhirflat").option("path", ds_dir).load()
+    via_decode = decode_table(spark, ds_dir)
+    assert via_source.schema == via_decode.schema
+    assert _rows(via_source) == _rows(via_decode)
+
+
+def test_column_pruning_option(spark, ds_dir):
+    df = (
+        spark.read.format("fhirflat").option("path", ds_dir)
+        .option("columns", "doc_id,lang").load()
+    )
+    assert df.columns == ["doc_id", "lang"]
+    assert df.count() == decode_table(spark, ds_dir).count()
+
+
+def test_snapshot_option_time_travels(spark, ds_dir, docs):
+    snap1 = (
+        spark.read.format("fhirflat").option("path", ds_dir)
+        .option("snapshot", "1").load()
+    )
+    assert snap1.count() == docs.where(F.col("doc_id") < 250).count()
+    # current view: upserted, two rows deleted
+    cur = spark.read.format("fhirflat").option("path", ds_dir).load()
+    assert cur.count() == 348
+
+
+def test_filter_pushdown_prunes_chunks(spark, ds_dir):
+    """Unit-level: a pushed doc_id range must skip chunks whose zone
+    cannot intersect — yielded batches (one per surviving chunk) shrink,
+    and the surviving rows still cover the exact answer."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThanOrEqual
+
+    opts = {"path": ds_dir}
+    full = FhirflatBatchReader(dict(opts), None)
+    n_all = sum(
+        b.num_rows for p in full.partitions() for b in full.read(p)
+    )
+    pruned = FhirflatBatchReader(dict(opts), None)
+    kept = pruned.pushFilters(
+        [GreaterThanOrEqual(("doc_id",), 0), LessThanOrEqual(("doc_id",), 49)]
+    )
+    assert len(list(kept)) == 2  # every filter returned for the residual
+    n_pruned = sum(
+        b.num_rows for p in pruned.partitions() for b in pruned.read(p)
+    )
+    assert n_pruned < n_all
+    # conservative: every matching row survives pruning
+    ids = [
+        v.as_py()
+        for p in pruned.partitions()
+        for b in pruned.read(p)
+        for v in b.column(0)
+    ]
+    assert set(range(0, 50)) - {10, 11} <= set(ids)
+
+
+def test_bloom_pushdown_prunes_chunks(spark, ds_dir, docs):
+    from pyspark.sql.datasource import EqualTo
+
+    probe = docs.where(F.col("doc_id") == 42).select("text").collect()[0][0]
+    rdr = FhirflatBatchReader({"path": ds_dir}, None)
+    rdr.pushFilters([EqualTo(("text",), probe)])
+    batches = [b for p in rdr.partitions() for b in rdr.read(p)]
+    full = FhirflatBatchReader({"path": ds_dir}, None)
+    n_chunks_all = sum(1 for p in full.partitions() for _ in full.read(p))
+    assert len(batches) < n_chunks_all
+    texts = [v.as_py() for b in batches for v in b.column(1)]
+    assert probe in texts  # never a false negative
+
+
+def test_end_to_end_filter_answer_exact(spark, ds_dir):
+    df = (
+        spark.read.format("fhirflat").option("path", ds_dir).load()
+        .where(F.col("doc_id").between(100, 180))
+        .groupBy("lang").agg(F.sum("n_chars").alias("s"))
+    )
+    exp = (
+        decode_table(spark, ds_dir)
+        .where(F.col("doc_id").between(100, 180))
+        .groupBy("lang").agg(F.sum("n_chars").alias("s"))
+    )
+    assert _rows(df) == _rows(exp)
+
+
+def test_unknown_column_option_raises(spark, ds_dir):
+    with pytest.raises(Exception, match="not in dataset columns"):
+        (
+            spark.read.format("fhirflat").option("path", ds_dir)
+            .option("columns", "doc_id,nope").load().collect()
+        )
+
+
+def test_stream_reader_offsets_and_empty_window(spark, ds_dir):
+    rdr = FhirflatStreamReader({"path": ds_dir}, None)
+    assert rdr.initialOffset() == {"snapshot": 0}
+    latest = rdr.latestOffset()
+    assert latest == {"snapshot": 3}
+    # delete-only window (2 -> 3): no new parts, sentinel partition,
+    # zero rows
+    parts = rdr.partitions({"snapshot": 2}, {"snapshot": 3})
+    assert len(parts) == 1 and parts[0].part_id == -1
+    assert list(rdr.read(parts[0])) == []
+    # append window (1 -> 2) carries exactly the upsert's rows
+    parts12 = rdr.partitions({"snapshot": 1}, {"snapshot": 2})
+    n = sum(b.num_rows for p in parts12 for b in rdr.read(p))
+    assert n == 200
+
+
+def test_streaming_tail_with_restart(spark, docs, tmp_path):
+    """End-to-end readStream: initial snapshot then an append land in
+    separate micro-batches; a restarted query resumes from the
+    checkpointed snapshot offset without re-emitting."""
+    out = str(tmp_path / "tail")
+    ckpt = str(tmp_path / "ckpt")
+    encode_table(docs.where(F.col("doc_id") < 100), out, rows_per_bucket=50)
+    register(spark)
+    seen: list[tuple[int, int]] = []
+
+    def run_until(target_total, timeout=60):
+        q = (
+            spark.readStream.format("fhirflat").option("path", out).load()
+            .writeStream.foreachBatch(
+                lambda df, epoch: seen.append((epoch, df.count()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if sum(n for _, n in seen) >= target_total:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+
+    run_until(100)
+    assert sum(n for _, n in seen) == 100
+    append_table(docs.where(F.col("doc_id").between(100, 159)), out,
+                 rows_per_bucket=50)
+    run_until(160)  # restart: only the 60 new rows arrive
+    assert sum(n for _, n in seen) == 160
+
+
+def test_table_changes_fast_path_upsert(spark, ds_dir, docs):
+    ch = table_changes(spark, ds_dir, 1, 2)
+    by_type = dict(
+        (r["_change_type"], r["n"])
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert by_type == {"insert": 200, "delete": 100}
+    # inserted rows carry the updated values
+    ins = ch.where(
+        (F.col("_change_type") == "insert") & F.col("doc_id").between(150, 249)
+    )
+    old = dict(
+        (r["doc_id"], r["n_chars"])
+        for r in docs.where(F.col("doc_id").between(150, 249)).collect()
+    )
+    for r in ins.collect():
+        assert r["n_chars"] == old[r["doc_id"]] + 1000
+
+
+def test_table_changes_delete_only_window(spark, ds_dir):
+    ch = table_changes(spark, ds_dir, 2, 3).collect()
+    assert sorted(r["doc_id"] for r in ch) == [10, 11]
+    assert {r["_change_type"] for r in ch} == {"delete"}
+
+
+def test_table_changes_general_path_rollback(spark, docs, tmp_path):
+    out = str(tmp_path / "rb")
+    encode_table(docs.where(F.col("doc_id") < 100), out, rows_per_bucket=50)
+    append_table(docs.where(F.col("doc_id").between(100, 149)), out,
+                 rows_per_bucket=50)
+    rollback(spark, out, 1)  # snapshot 3 = snapshot 1's content
+    ch = table_changes(spark, out, 2, 3)
+    by_type = dict(
+        (r["_change_type"], r["n"])
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert by_type == {"delete": 50}
+    # and applying the changelog reconciles the views exactly
+    assert table_changes(spark, out, 1, 3).count() == 0
+
+
+def test_table_changes_same_snapshot_empty(spark, ds_dir):
+    ch = table_changes(spark, ds_dir, 2, 2)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
