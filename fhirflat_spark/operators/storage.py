@@ -459,6 +459,86 @@ ORDER BY snapshot
 """
 
 
+def q_datasource_scan(spark, sf_dir):
+    """The named Spark source end-to-end: ``spark.read.format("fhirflat")``
+    over the row-level-delete fixture with column pruning (only 3 of 5
+    payload columns read) and a pushed range predicate (zone-map chunk
+    pruning inside the source; Spark applies the exact residual). The
+    oracle states the same scan as plain SQL over the raw rows — a
+    source that leaks deleted rows, prunes a matching chunk, or
+    mis-maps payload fields shifts the aggregates and fails the hash."""
+    from fhirflat_spark.sources.datasource import register
+
+    out = _encoded_documents_deleted(spark, sf_dir)
+    register(spark)
+    df = (
+        spark.read.format("fhirflat")
+        .option("path", out)
+        .option("columns", "doc_id,lang,n_chars")
+        .load()
+        .where(F.col("doc_id").between(ZONE_LO, ZONE_HI))
+    )
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DATASOURCE_SCAN = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+WHERE doc_id BETWEEN {ZONE_LO} AND {ZONE_HI} AND doc_id % 7 <> 0
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_snapshot_changelog(spark, sf_dir):
+    """Net changelog between two snapshots (the Iceberg/Delta CDF
+    analog) over the MERGE fixture: the upsert commit must surface as
+    100 deletes (the shadowed old rows, original values) plus 200
+    inserts (the delta rows, updated values). The oracle reconstructs
+    both sides from the raw table. A changelog that misses the delete
+    side, reports pre-image values on inserts, or leaks unchanged rows
+    fails the hash."""
+    from fhirflat_spark.changes import table_changes
+
+    out = _encoded_documents_upserted(spark, sf_dir)
+    ch = table_changes(spark, out, 1, 2)
+    return (
+        ch.groupBy("_change_type", "lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("_change_type", "lang")
+    )
+
+
+SQL_SNAPSHOT_CHANGELOG = """
+WITH ch AS (
+  SELECT 'insert' AS _change_type, lang, n_chars + 1000 AS n_chars, doc_id
+  FROM documents WHERE doc_id BETWEEN 150 AND 349
+  UNION ALL
+  SELECT 'delete', lang, n_chars, doc_id
+  FROM documents WHERE doc_id BETWEEN 150 AND 249
+)
+SELECT _change_type, lang, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM ch GROUP BY _change_type, lang ORDER BY _change_type, lang
+"""
+
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
@@ -468,4 +548,6 @@ QUERIES = {
     "point_lookup_bloom": (q_point_lookup, SQL_POINT_LOOKUP),
     "row_level_delete": (q_row_level_delete, SQL_ROW_LEVEL_DELETE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
+    "datasource_scan": (q_datasource_scan, SQL_DATASOURCE_SCAN),
+    "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
 }
