@@ -256,6 +256,41 @@ def decode_table(spark: SparkSession, out_dir: str,
         columns = all_cols
     field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
     fields = [field_of[c] for c in columns]
+    zfilters = None
+    if zone_filter is not None:
+        # one (col, lo, hi) triple or a list of them (conjunctive: a
+        # chunk survives only if EVERY predicate's zone intersects)
+        zfilters = (
+            [zone_filter] if isinstance(zone_filter, tuple) else list(zone_filter)
+        )
+        zschema = (
+            T.StructType.fromJson(json.loads(summary["spark_schema"]))
+            if summary.get("spark_schema")
+            else T.StructType([])
+        )
+        for zcol, _, _ in zfilters:
+            if zcol not in all_cols:
+                raise ValueError(
+                    f"zone_filter column {zcol!r} not in dataset columns {all_cols}"
+                )
+        # partition-level pruning from the manifest's per-partition
+        # column zones, BEFORE any chunk file is listed or scanned —
+        # metadata-only, so a selective read of a 10^5-partition table
+        # never touches the non-matching partitions' files at all.
+        # Conservative by construction (ids without zones are kept);
+        # the chunk-level zones + exact residual still apply below.
+        candidates = part_ids if part_ids is not None else live
+        if candidates is not None:
+            from fhirflat_spark.manifest import prune_part_ids_by_zones
+
+            type_of = {f.name: f.dataType for f in zschema.fields}
+            pruned = prune_part_ids_by_zones(
+                out_dir, candidates, zfilters, type_of
+            )
+            if part_ids is not None:
+                part_ids = pruned
+            else:
+                live = pruned
     # explicit schema: no footer sniffing, and empty datasets stay readable
     chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(f"{out_dir}/chunks")
     if part_ids is not None:
@@ -271,22 +306,8 @@ def decode_table(spark: SparkSession, out_dir: str,
             | F.col("repo_max").isNull()
             | ~((F.col("repo_max") < lo) | (F.col("repo_min") > hi))
         )
-    if zone_filter is not None:
-        # one (col, lo, hi) triple or a list of them (conjunctive: a
-        # chunk survives only if EVERY predicate's zone intersects)
-        filters = (
-            [zone_filter] if isinstance(zone_filter, tuple) else list(zone_filter)
-        )
-        zschema = (
-            T.StructType.fromJson(json.loads(summary["spark_schema"]))
-            if summary.get("spark_schema")
-            else T.StructType([])
-        )
-        for zcol, zlo, zhi in filters:
-            if zcol not in all_cols:
-                raise ValueError(
-                    f"zone_filter column {zcol!r} not in dataset columns {all_cols}"
-                )
+    if zfilters is not None:
+        for zcol, zlo, zhi in zfilters:
             chunks = chunks.where(_zone_predicate(zschema, zcol, zlo, zhi))
     if point_filter is not None:
         pfilters = (
@@ -594,6 +615,14 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                     "content_sha": batch.column("content_sha")[i].as_py(),
                     "repo_min": batch.column("repo_min")[i].as_py(),
                     "repo_max": batch.column("repo_max")[i].as_py(),
+                    # chunk zones ride through unchanged (transcode
+                    # never reorders rows), so the rewritten manifest
+                    # keeps its partition-level pruning power
+                    "zones": {
+                        name: [s["zmin"], s["zmax"]]
+                        for name, s in stats.items()
+                        if "zmin" in s
+                    },
                 }
                 frag.append(row)
                 yield pa.RecordBatch.from_pydict(

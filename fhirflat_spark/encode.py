@@ -233,6 +233,14 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
         "content_sha": sha_all.hexdigest(),
         "repo_min": rmin,
         "repo_max": rmax,
+        # per-column bounds for the manifest's partition-level zones
+        # (write_manifest merges; a column missing from ANY chunk stays
+        # unbounded at the partition level)
+        "zones": {
+            name: [stats[name]["zmin"], stats[name]["zmax"]]
+            for name in stats
+            if "zmin" in stats[name]
+        },
     }
     payload_type = pa.struct(
         [(f"__c{i}", pa.binary()) for i in range(len(columns))]

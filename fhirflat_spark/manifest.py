@@ -49,6 +49,11 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         ("repo_min", pa.string()),
         ("repo_max", pa.string()),
         ("status", pa.string()),
+        # per-partition column zones (JSON {col: [zmin, zmax]}), present
+        # only when EVERY chunk in the partition recorded bounds for the
+        # column — a chunk without bounds can hold anything, so a partial
+        # aggregate could not prune safely. NULL on pre-zone datasets.
+        ("col_zones", pa.string()),
     ]
 )
 
@@ -68,6 +73,94 @@ def load_fragments(frag_dir: str) -> list[dict]:
     for name in fsio.list_files(frag_dir, suffix=".json"):
         rows.extend(json.loads(fsio.read_bytes(f"{frag_dir}/{name}")))
     return rows
+
+
+def _merge_chunk_zones(chunks: list[dict]) -> dict | None:
+    """Per-partition [zmin, zmax] per column from the chunks' recorded
+    zones — a column survives only if EVERY chunk bounded it (a chunk
+    without bounds can hold anything, so a partial aggregate cannot
+    prune safely). Fragment rows written before zones existed contribute
+    nothing → the whole partition stays unbounded (conservative)."""
+    zones: dict | None = None
+    for i, c in enumerate(chunks):
+        cz = c.get("zones")
+        if not cz:
+            return None
+        if i == 0:
+            zones = {k: list(v) for k, v in cz.items()}
+            continue
+        for k in list(zones):
+            v = cz.get(k)
+            if v is None:
+                del zones[k]
+                continue
+            zones[k][0] = min(zones[k][0], v[0])
+            zones[k][1] = max(zones[k][1], v[1])
+    return zones or None
+
+
+def coerce_zone_bound(dt, value):
+    """Coerce a zone bound / filter constant into the comparison family
+    of a Spark type (zones round-trip through JSON). None = not
+    comparable → callers must keep the partition (conservative)."""
+    from pyspark.sql import types as T
+
+    try:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(value)
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return float(value)
+        if isinstance(dt, T.StringType):
+            return str(value)
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def prune_part_ids_by_zones(out_dir: str, candidates: list[int],
+                            filters: list[tuple], type_of: dict) -> list[int]:
+    """Driver-side partition pruning from the manifest's per-partition
+    column zones: drop candidate part-ids whose recorded [zmin, zmax]
+    cannot intersect EVERY ``(col, lo, hi)`` filter (lo/hi None =
+    one-sided). Metadata-only — one column-pruned read of the manifest
+    parquet, payload bytes untouched; at 10^5+ partitions this is what
+    keeps a selective scan from listing every chunk file. Ids absent
+    from the current manifest (e.g. a pinned snapshot's rolled-back
+    partitions) and partitions without zones are KEPT — pruning is
+    always conservative; chunk-level zones and the exact residual still
+    apply downstream."""
+    try:
+        t = fsio.read_parquet(f"{out_dir}/manifest",
+                              columns=["part_id", "col_zones"])
+    except (FileNotFoundError, pa.ArrowInvalid, KeyError):
+        return candidates  # pre-zone manifest or none at all
+    zones_of = dict(zip(t["part_id"].to_pylist(), t["col_zones"].to_pylist()))
+    keep = []
+    for pid in candidates:
+        z = zones_of.get(pid)
+        if z is None:
+            keep.append(pid)
+            continue
+        zones = json.loads(z)
+        ok = True
+        for col, lo, hi in filters:
+            v = zones.get(col)
+            if v is None:
+                continue  # column unbounded in this partition: keep
+            dt = type_of.get(col)
+            zmin, zmax = coerce_zone_bound(dt, v[0]), coerce_zone_bound(dt, v[1])
+            if zmin is None or zmax is None:
+                continue
+            clo = coerce_zone_bound(dt, lo) if lo is not None else None
+            chi = coerce_zone_bound(dt, hi) if hi is not None else None
+            if (clo is not None and zmax < clo) or (
+                chi is not None and zmin > chi
+            ):
+                ok = False
+                break
+        if ok:
+            keep.append(pid)
+    return keep
 
 
 def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
@@ -99,6 +192,7 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         h = hashlib.sha256()
         rows = raw = enc = 0
         rmin = rmax = None
+        zones = _merge_chunk_zones(chunks)
         for c in chunks:
             h.update(c["content_sha"].encode())
             rows += c["n_rows"]
@@ -119,6 +213,9 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         cols["repo_min"].append(rmin)
         cols["repo_max"].append(rmax)
         cols["status"].append("ok")
+        cols["col_zones"].append(
+            json.dumps(zones, separators=(",", ":")) if zones else None
+        )
         totals["rows"] += rows
         totals["raw_bytes"] += raw
         totals["encoded_bytes"] += enc
@@ -178,6 +275,9 @@ def build_manifest(chunk_df: DataFrame) -> DataFrame:
             F.min("repo_min").alias("repo_min"),
             F.max("repo_max").alias("repo_max"),
             F.lit("ok").alias("status"),
+            # distributed zone aggregation would parse the chunks' stats
+            # JSON here; the doc-path emits unbounded (conservative)
+            F.lit(None).cast("string").alias("col_zones"),
         )
     )
 

@@ -182,21 +182,9 @@ def _arrow_schema(spark_schema) -> pa.Schema:
 
 
 def _coerce_bound(dt, value):
-    """Coerce a pushed-filter constant to the zone-bound comparison family
-    (stats JSON renders numbers as strings). None = not comparable →
-    caller must keep the chunk (conservative)."""
-    from pyspark.sql import types as T
+    from fhirflat_spark.manifest import coerce_zone_bound
 
-    try:
-        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            return int(value)
-        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
-            return float(value)
-        if isinstance(dt, T.StringType):
-            return str(value)
-    except (TypeError, ValueError):
-        return None
-    return None
+    return coerce_zone_bound(dt, value)
 
 
 def _zone_keeps(stats: dict, col: str, dt, lo, hi) -> bool:
@@ -373,7 +361,17 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
         return filters
 
     def partitions(self):
-        return [ChunkPartition(p) for p in self._plan_state["part_ids"]]
+        ids = self._plan_state["part_ids"]
+        if self._zones:
+            # partition-level zone pruning from the manifest (metadata-
+            # only): non-matching partitions never become tasks at all
+            from fhirflat_spark.manifest import prune_part_ids_by_zones
+
+            ids = prune_part_ids_by_zones(
+                self._plan_state["path"], ids, self._zones,
+                self._plan_state["type_of"],
+            )
+        return [ChunkPartition(p) for p in ids]
 
     def read(self, partition: ChunkPartition):
         yield from self._read_part(
