@@ -92,10 +92,16 @@ except ImportError:  # pragma: no cover - pyspark 3.x fallback
 
 class ChunkPartition(InputPartition):
     """One committed part-id = one Spark input partition (chunk files are
-    written per part-id, so this is also the IO locality unit)."""
+    written per part-id, so this is also the IO locality unit). Wide
+    partitions are sub-split into [seq_lo, seq_hi) chunk-seq ranges so a
+    few-partition table still fans out across every core — the manifest's
+    per-partition chunk counts make the split metadata-only."""
 
-    def __init__(self, part_id: int):
+    def __init__(self, part_id: int, seq_lo: int | None = None,
+                 seq_hi: int | None = None):
         self.part_id = int(part_id)
+        self.seq_lo = seq_lo
+        self.seq_hi = seq_hi
 
 
 def _plan(options) -> dict:
@@ -142,15 +148,20 @@ def _plan(options) -> dict:
 
     snapshot = options.get("snapshot")
     snapshot = int(snapshot) if snapshot is not None else None
+    chunks_of: dict[int, int] = {}
     if snapshot is not None:
         part_ids = snapshot_part_ids(path, snapshot)
     else:
-        t = fsio.read_parquet(f"{path}/manifest", columns=["part_id", "status"])
+        t = fsio.read_parquet(f"{path}/manifest",
+                              columns=["part_id", "status", "n_chunks"])
         part_ids = [
             int(p)
             for p, s in zip(t["part_id"].to_pylist(), t["status"].to_pylist())
             if s == "ok"
         ]
+        chunks_of = dict(
+            zip(t["part_id"].to_pylist(), t["n_chunks"].to_pylist())
+        )
     deletes = []
     for entry in active_delete_files(path, snapshot):
         deletes.append(
@@ -169,6 +180,8 @@ def _plan(options) -> dict:
         "type_of": type_of,
         "bloomed": set(summary.get("bloom_columns") or ()),
         "part_ids": sorted(part_ids),
+        "chunks_of": chunks_of,
+        "split_chunks": int(options.get("split_chunks") or 16),
         "deletes": deletes,
     }
 
@@ -226,7 +239,8 @@ class _ReadMixin:
     """Shared per-partition read: pyarrow scan → chunk pruning → numpy
     decode → delete masks → Arrow batches in the output schema."""
 
-    def _read_part(self, plan: dict, pid: int, zones: list, points: list):
+    def _read_part(self, plan: dict, pid: int, zones: list, points: list,
+                   seq_range: tuple[int, int] | None = None):
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
@@ -247,6 +261,12 @@ class _ReadMixin:
 
         fs, inner = fsio.resolve(f"{path}/chunks/part_id={pid}")
         dset = pads.dataset(inner, filesystem=fs, format="parquet")
+        scan_filter = None
+        if seq_range is not None:
+            lo, hi = seq_range
+            scan_filter = (pads.field("chunk_seq") >= lo) & (
+                pads.field("chunk_seq") < hi
+            )
         proj = {"n_rows": pads.field("n_rows")}
         if need_stats:
             proj["stats"] = pads.field("stats")
@@ -262,7 +282,7 @@ class _ReadMixin:
             d["file"]: _delete_keys(path, d["file"]) for d in deletes
         }
 
-        for batch in dset.to_batches(columns=proj):
+        for batch in dset.to_batches(columns=proj, filter=scan_filter):
             nrs = batch.column("n_rows")
             stats_col = batch.column("stats") if need_stats else None
             for i in range(batch.num_rows):  # chunk granularity (~16k rows)
@@ -371,11 +391,29 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
                 self._plan_state["path"], ids, self._zones,
                 self._plan_state["type_of"],
             )
-        return [ChunkPartition(p) for p in ids]
+        split = self._plan_state["split_chunks"]
+        chunks_of = self._plan_state["chunks_of"]
+        parts = []
+        for p in ids:
+            n = chunks_of.get(p, 0)
+            if split and n > split:
+                parts.extend(
+                    ChunkPartition(p, lo, min(lo + split, n))
+                    for lo in range(0, n, split)
+                )
+            else:
+                parts.append(ChunkPartition(p))
+        return parts
 
     def read(self, partition: ChunkPartition):
+        rng = (
+            (partition.seq_lo, partition.seq_hi)
+            if partition.seq_lo is not None
+            else None
+        )
         yield from self._read_part(
-            self._plan_state, partition.part_id, self._zones, self._points
+            self._plan_state, partition.part_id, self._zones, self._points,
+            seq_range=rng,
         )
 
 
