@@ -459,6 +459,67 @@ ORDER BY snapshot
 """
 
 
+def _encoded_documents_zordered(spark, sf_dir: str) -> str:
+    """Z-order fixture: documents clustered along the Morton curve of
+    (doc_id, n_chars) then layout-preserving encoded — partition AND
+    chunk zones become selective on BOTH columns."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.zorder import cluster_by_zorder
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        clustered = cluster_by_zorder(docs, ["doc_id", "n_chars"],
+                                      num_partitions=16)
+        encode_table(clustered, path, rows_per_bucket=500, shuffle=False)
+
+    return _cached_dataset(spark, sf_dir, "zordq", build)
+
+
+NCHARS_LO, NCHARS_HI = 150, 350
+
+
+def q_zorder_scan(spark, sf_dir):
+    """Multi-dimension pruned scan over the z-ordered fixture: zone
+    filters on BOTH curve dimensions (each prunes partitions from the
+    manifest's col_zones before any chunk IO, then chunks from the
+    per-chunk zones) plus the exact residual. The oracle is the same
+    two-predicate scan on the raw rows — a clustering or pruning bug
+    that drops or duplicates rows fails the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_zordered(spark, sf_dir)
+    dec = decode_table(
+        spark, out,
+        zone_filter=[("doc_id", ZONE_LO, ZONE_HI),
+                     ("n_chars", NCHARS_LO, NCHARS_HI)],
+    )
+    return (
+        dec.where(
+            F.col("doc_id").between(ZONE_LO, ZONE_HI)
+            & F.col("n_chars").between(NCHARS_LO, NCHARS_HI)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_ZORDER_SCAN = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+WHERE doc_id BETWEEN {ZONE_LO} AND {ZONE_HI}
+  AND n_chars BETWEEN {NCHARS_LO} AND {NCHARS_HI}
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_datasource_scan(spark, sf_dir):
     """The named Spark source end-to-end: ``spark.read.format("fhirflat")``
     over the row-level-delete fixture with column pruning (only 3 of 5
@@ -549,5 +610,6 @@ QUERIES = {
     "row_level_delete": (q_row_level_delete, SQL_ROW_LEVEL_DELETE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "datasource_scan": (q_datasource_scan, SQL_DATASOURCE_SCAN),
+    "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
 }
