@@ -88,6 +88,12 @@ def main() -> None:
     trc.add_argument("--out", required=True)
     trc.add_argument("--profile", choices=["balanced", "archive"], default="archive")
 
+    chg = sub.add_parser("changes", help="net row-level changelog between two snapshots")
+    chg.add_argument("--out", required=True)
+    chg.add_argument("--from-snapshot", type=int, required=True, dest="from_v")
+    chg.add_argument("--to-snapshot", type=int, required=True, dest="to_v")
+    chg.add_argument("--show", type=int, default=10)
+
     args = p.parse_args()
 
     from fhirflat_spark.session import get_spark
@@ -176,6 +182,22 @@ def main() -> None:
             r.asDict() for r in M.list_snapshots(spark, args.out).collect()
         ]
         print(json.dumps(out))
+    elif args.cmd == "changes":
+        from pyspark.sql import functions as F
+
+        from fhirflat_spark.changes import table_changes
+
+        ch = table_changes(spark, args.out, args.from_v, args.to_v)
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({
+            "from": args.from_v, "to": args.to_v,
+            "inserts": counts.get("insert", 0),
+            "deletes": counts.get("delete", 0),
+        }))
+        ch.show(args.show, truncate=60)
     elif args.cmd == "transcode":
         from fhirflat_spark.decode import transcode_table
 

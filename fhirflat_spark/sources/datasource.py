@@ -116,9 +116,12 @@ def _plan(options) -> dict:
         snapshot_part_ids,
     )
 
-    path = options.get("path")
+    path = options.get("path") or options.get("location")
     if not path:
-        raise ValueError('the fhirflat source needs .option("path", <dataset dir>)')
+        raise ValueError(
+            'the fhirflat source needs .option("path", <dataset dir>) '
+            f"(got options: {sorted(options)})"
+        )
     summary = json.loads(fsio.read_bytes(f"{path}/_SUMMARY.json"))
     if summary.get("manifest_version") != MANIFEST_VERSION:
         raise ValueError(
@@ -150,7 +153,14 @@ def _plan(options) -> dict:
     snapshot = int(snapshot) if snapshot is not None else None
     chunks_of: dict[int, int] = {}
     if snapshot is not None:
+        from fhirflat_spark.manifest import read_snapshot_manifest
+
         part_ids = snapshot_part_ids(path, snapshot)
+        ts = read_snapshot_manifest(path, snapshot,
+                                    columns=["part_id", "n_chunks"])
+        chunks_of = dict(
+            zip(ts["part_id"].to_pylist(), ts["n_chunks"].to_pylist())
+        )
     else:
         t = fsio.read_parquet(f"{path}/manifest",
                               columns=["part_id", "status", "n_chunks"])
