@@ -59,8 +59,10 @@ def _level(col: Column, lo, hi, bits: int) -> Column:
         * F.lit(float(n_levels))
     )
     lev = F.floor(scaled).cast("long")
-    return F.coalesce(
-        F.greatest(F.lit(0), F.least(lev, F.lit(n_levels))), F.lit(0)
+    # explicit NULL branch: least/greatest IGNORE nulls, so clamping
+    # alone would send NULL keys to the TOP level instead of 0
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(
+        F.greatest(F.lit(0), F.least(lev, F.lit(n_levels)))
     )
 
 
