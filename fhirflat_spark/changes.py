@@ -88,8 +88,15 @@ def table_changes(spark: SparkSession, out_dir: str,
 
     deletes = None
     new_entries = b_del[len(a_del):]
-    for i, entry in enumerate(new_entries):
-        col, below = entry["column"], entry.get("below_part")
+    # group entries sharing (column, scope): one decode + one semi-join
+    # per group instead of per entry — a window holding K delete commits
+    # over the same partitions (a nightly takedown loop) costs one scan,
+    # not K
+    groups: dict[tuple, list] = {}
+    for entry in new_entries:
+        key = (entry["column"], entry.get("below_part"))
+        groups.setdefault(key, []).append(entry["file"])
+    for i, ((col, below), files) in enumerate(groups.items()):
         # only partitions visible at `a` AND below the delete's fence can
         # lose rows (rows in newer parts were never in the `a` view —
         # their net effect is just a smaller insert set, handled above)
@@ -98,7 +105,9 @@ def table_changes(spark: SparkSession, out_dir: str,
         )
         if not scoped:
             continue
-        keys = spark.read.parquet(f"{out_dir}/deletes/{entry['file']}")
+        keys = spark.read.parquet(
+            *[f"{out_dir}/deletes/{f}" for f in files]
+        ).distinct()
         # snapshot=a visibility: rows already deleted before the window
         # must not be re-reported as deleted by it
         view = decode_table(spark, out_dir, part_ids=scoped,

@@ -62,18 +62,29 @@ try:  # PySpark >= 4.0
         DataSource,
         DataSourceReader,
         DataSourceStreamReader,
-        EqualTo,
-        GreaterThan,
-        GreaterThanOrEqual,
-        In,
         InputPartition,
-        LessThan,
-        LessThanOrEqual,
     )
 
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - pyspark 3.x fallback
     HAVE_DATASOURCE_API = False
+
+try:  # filter-pushdown classes are 4.1+ — a 4.0 runtime keeps the
+    # source, just without pushdown (pushFilters returns everything)
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    HAVE_PUSHDOWN_API = True
+except ImportError:  # pragma: no cover - pyspark 4.0 fallback
+    HAVE_PUSHDOWN_API = False
+
+if not HAVE_DATASOURCE_API:  # pragma: no cover
 
     class DataSource:  # type: ignore[no-redef]
         def __init__(self, options):
@@ -351,8 +362,8 @@ def _delete_keys(path: str, name: str) -> pa.Array:
 
 
 class FhirflatBatchReader(DataSourceReader, _ReadMixin):
-    def __init__(self, options, schema):
-        self._plan_state = _plan(options)
+    def __init__(self, options, schema, plan: dict | None = None):
+        self._plan_state = dict(plan) if plan is not None else _plan(options)
         # Spark may hand back our own schema() or a user override; the
         # column set drives payload projection either way
         if schema is not None and schema.names != self._plan_state["columns"]:
@@ -365,6 +376,8 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
         """Record zone/Bloom pruning opportunities; return EVERY filter
         (by reference, per contract) — pruning is partial, Spark owns the
         exact residual."""
+        if not HAVE_PUSHDOWN_API:  # pragma: no cover - pyspark 4.0
+            return filters
         statable = set(self._plan_state["all_cols"])
         bloomed = self._plan_state["bloomed"]
         for f in filters:
@@ -416,6 +429,10 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
         return parts
 
     def read(self, partition: ChunkPartition):
+        if partition is None:
+            # Spark substitutes [None] when partitions() returns [] (an
+            # empty table, or every partition pruned): a valid 0-row read
+            return
         rng = (
             (partition.seq_lo, partition.seq_hi)
             if partition.seq_lo is not None
@@ -431,8 +448,8 @@ class FhirflatStreamReader(DataSourceStreamReader, _ReadMixin):
     """Snapshot-log tail: offsets are snapshot versions; micro-batch
     (a, b] reads exactly the part-ids snapshot b committed beyond a."""
 
-    def __init__(self, options, schema):
-        self._plan_state = _plan(options)
+    def __init__(self, options, schema, plan: dict | None = None):
+        self._plan_state = dict(plan) if plan is not None else _plan(options)
         if schema is not None and schema.names != self._plan_state["columns"]:
             self._plan_state["columns"] = list(schema.names)
             self._plan_state["schema"] = schema
@@ -458,9 +475,22 @@ class FhirflatStreamReader(DataSourceStreamReader, _ReadMixin):
 
         if b <= a:
             return []
-        new = set(snapshot_part_ids(self._plan_state["path"], b))
-        if a > 0:
-            new -= set(snapshot_part_ids(self._plan_state["path"], a))
+        try:
+            new = set(snapshot_part_ids(self._plan_state["path"], b))
+            if a > 0:
+                new -= set(snapshot_part_ids(self._plan_state["path"], a))
+        except FileNotFoundError as e:
+            # the checkpointed offset's snapshot manifest was expired
+            # while the query was down — surface the retention/offset
+            # conflict instead of an opaque missing-file error on every
+            # micro-batch (recovery: keep more snapshots, or restart
+            # with a fresh checkpoint accepting re-emission)
+            raise RuntimeError(
+                f"stream offset window ({a}, {b}] references an expired "
+                f"snapshot manifest ({e}); expire_snapshots retention "
+                "must outlive every active stream checkpoint — retain "
+                "more snapshots or discard this checkpoint"
+            ) from e
         return sorted(new)
 
     def partitions(self, start, end):
@@ -469,8 +499,8 @@ class FhirflatStreamReader(DataSourceStreamReader, _ReadMixin):
         return [ChunkPartition(p) for p in ids] or [ChunkPartition(-1)]
 
     def read(self, partition: ChunkPartition):
-        if partition.part_id < 0:  # sentinel for an empty window
-            return
+        if partition is None or partition.part_id < 0:
+            return  # sentinel / substituted-None: an empty window
         # the tail is an insert feed: rows as their commit wrote them —
         # later deletes do not rewrite history, so no delete masking here
         plan = dict(self._plan_state, deletes=[])
@@ -487,14 +517,23 @@ class FhirflatDataSource(DataSource):
     def name(cls) -> str:
         return "fhirflat"
 
+    def _plan_once(self) -> dict:
+        # schema() and reader() both need the plan; one load() calls
+        # both on the same instance, so memoize to avoid re-reading the
+        # summary/manifest/delete sidecar (two metadata round-trips per
+        # query on an object store otherwise)
+        if not hasattr(self, "_plan_cache"):
+            self._plan_cache = _plan(self.options)
+        return self._plan_cache
+
     def schema(self):
-        return _plan(self.options)["schema"]
+        return self._plan_once()["schema"]
 
     def reader(self, schema):
-        return FhirflatBatchReader(self.options, schema)
+        return FhirflatBatchReader(self.options, schema, self._plan_once())
 
     def streamReader(self, schema):
-        return FhirflatStreamReader(self.options, schema)
+        return FhirflatStreamReader(self.options, schema, self._plan_once())
 
 
 def register(spark) -> None:

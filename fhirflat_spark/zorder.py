@@ -88,6 +88,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12,
         dt = df.schema[c].dataType
         col = F.col(f"`{c}`")
         if isinstance(dt, T.StringType):
+            if lo is not None and hi is not None and c not in need:
+                # caller-supplied bounds are the documented way to skip
+                # extra passes — honor them with the byte-rank path
+                # instead of probing distinct values
+                col = _str_to_long(col)
+                lo, hi = _py_str_rank(lo), _py_str_rank(hi)
+                levels.append(_level(col, lo, hi, bits))
+                continue
             # equi-width over byte ranks wastes the level space when the
             # distinct values cluster lexicographically ('de','en','fr'
             # share a leading byte, squeezing into a sliver of levels so
@@ -118,14 +126,16 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12,
             col = _str_to_long(col)
             lo, hi = _py_str_rank(lo), _py_str_rank(hi)
         elif isinstance(dt, (T.TimestampType, T.DateType)):
-            col = col.cast("long")
             import datetime as _dt
 
-            conv = (
-                (lambda v: int(v.timestamp()))
-                if isinstance(dt, T.TimestampType)
-                else (lambda v: (v - _dt.date(1970, 1, 1)).days)
-            )
+            if isinstance(dt, T.TimestampType):
+                col = col.cast("long")  # epoch seconds
+                conv = lambda v: int(v.timestamp())  # noqa: E731
+            else:
+                # DATE cannot cast to BIGINT (ANSI) — unix_date is the
+                # sanctioned epoch-days conversion
+                col = F.unix_date(col)
+                conv = lambda v: (v - _dt.date(1970, 1, 1)).days  # noqa: E731
             lo, hi = conv(lo), conv(hi)
         levels.append(_level(col, lo, hi, bits))
     # interleave: bit j of column c lands at position j*n + c

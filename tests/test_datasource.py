@@ -241,3 +241,26 @@ def test_table_changes_same_snapshot_empty(spark, ds_dir):
     ch = table_changes(spark, ds_dir, 2, 2)
     assert ch.count() == 0
     assert "_change_type" in ch.columns
+
+
+def test_empty_result_read_returns_zero_rows(spark, ds_dir):
+    """Every partition pruned (or an empty table): Spark substitutes a
+    None partition for the empty list — must read as 0 rows, not crash."""
+    n = (
+        spark.read.format("fhirflat").option("path", ds_dir).load()
+        .where(F.col("doc_id") > 10**9)
+        .count()
+    )
+    assert n == 0
+
+
+def test_table_changes_groups_same_scope_deletes(spark, docs, tmp_path):
+    """Two delete commits in one window, same scope: reported once each,
+    net and exact (the grouped fast path)."""
+    out = str(tmp_path / "2del")
+    encode_table(docs.where(F.col("doc_id") < 100), out, rows_per_bucket=50)
+    delete_rows(spark, out, "doc_id", [1, 2])      # snap 2
+    delete_rows(spark, out, "doc_id", [2, 3, 4])   # snap 3 (2 again!)
+    ch = table_changes(spark, out, 1, 3).collect()
+    assert sorted(r["doc_id"] for r in ch) == [1, 2, 3, 4]
+    assert {r["_change_type"] for r in ch} == {"delete"}

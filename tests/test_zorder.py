@@ -119,3 +119,38 @@ def test_rows_survive_clustering_exactly(spark, zordered):
     out, docs = zordered
     dec = decode_table(spark, out)
     assert sorted(map(tuple, dec.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_date_and_timestamp_columns(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), i) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, ["d", "x"])
+    z = df.withColumn("z", zorder_key(df, ["d", "x"], bits=4)).collect()
+    # monotone along the diagonal: both dims grow together, so z grows
+    ordered = sorted(z, key=lambda r: r["d"])
+    zs = [r["z"] for r in ordered]
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)
+
+
+def test_string_caller_bounds_skip_dictionary(spark, monkeypatch):
+    """Caller-supplied string bounds must take the byte-rank path — no
+    distinct() probe over the column."""
+    df = spark.createDataFrame(
+        [(c, i) for i, c in enumerate("abcdefgh")], ["s", "x"]
+    )
+    import pyspark.sql.classic.dataframe as cdf
+
+    calls = []
+    orig = cdf.DataFrame.distinct
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cdf.DataFrame, "distinct", spy)
+    zorder_key(df, ["s", "x"], bits=4,
+               bounds={"s": ("a", "h"), "x": (0, 7)})
+    assert calls == []
