@@ -168,6 +168,17 @@ def delete_dir(path: str, missing_ok: bool = True) -> None:
             raise
 
 
+def move(src: str, dst: str) -> None:
+    """Move/rename ``src`` to ``dst`` (same filesystem — dataset-internal
+    promotion, e.g. staged chunk file → its committed ``part_id=`` dir).
+    Local: directory-entry rename; object stores: pyarrow's move
+    (copy+delete where the store has no rename)."""
+    fs, inner_src = resolve(src)
+    _, inner_dst = resolve(dst)
+    _ensure_parent(fs, inner_dst)
+    fs.move(inner_src, inner_dst)
+
+
 def makedirs(path: str) -> None:
     fs, inner = resolve(path)
     fs.create_dir(inner, recursive=True)

@@ -164,7 +164,8 @@ def prune_part_ids_by_zones(out_dir: str, candidates: list[int],
 
 
 def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
-                   new_deletes: list[dict] | None = None) -> dict:
+                   new_deletes: list[dict] | None = None,
+                   carry_deletes: bool = True) -> dict:
     """Aggregate collected chunk-meta rows → manifest parquet + stats,
     committed as a new SNAPSHOT (Iceberg-style versioned metadata).
 
@@ -234,8 +235,14 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
     # along in every new snapshot); an upsert commit additionally adds
     # its own scoped delete entries ATOMICALLY with the data. Dedup by
     # file name: a re-committed append (replayed batch) must not stack
-    # a second copy of its own delete entry
-    carried = active_delete_files(out_dir, prev) if prev else []
+    # a second copy of its own delete entry. ``carry_deletes=False`` is
+    # the REPLACE commit (named-sink overwrite): the table's contents
+    # are wholly this commit's meta_rows, so prior delete entries —
+    # including unscoped ones that would shadow the NEW rows — must not
+    # ride along.
+    carried = (
+        active_delete_files(out_dir, prev) if (prev and carry_deletes) else []
+    )
     seen = {e["file"] for e in carried}
     _write_snapshot_deletes(
         out_dir, version,

@@ -561,6 +561,63 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _sink_written_documents(spark, sf_dir: str) -> str:
+    """Dataset built ENTIRELY through the named Spark sink
+    (``df.write.format("fhirflat")``): even doc_ids as the create
+    commit, odd doc_ids appended WITH schema evolution (``source``
+    omitted → null-filled; ``origin`` added → old partitions read
+    typed nulls)."""
+    from fhirflat_spark.sources.datasource import register
+
+    register(spark)
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        even = docs.where(F.col("doc_id") % 2 == 0)
+        odd = (
+            docs.where(F.col("doc_id") % 2 == 1)
+            .drop("source")
+            .withColumn("origin", F.lit("odd"))
+        )
+        even.repartition(4).write.format("fhirflat").mode("append").save(path)
+        odd.repartition(2).write.format("fhirflat").mode("append").save(path)
+
+    return _cached_dataset(spark, sf_dir, "sinkw", build)
+
+
+def q_datasource_write(spark, sf_dir):
+    """The named Spark sink end-to-end: the table is WRITTEN through
+    ``df.write.format("fhirflat")`` (create + evolving append — added
+    column trails, omitted column null-fills) and read back through the
+    named source; the oracle restates the expected contents as SQL over
+    the raw rows. A sink that drops rows, duplicates a task's output,
+    mis-orders the positional payload mapping, or mis-fills the evolved
+    columns shifts the per-language aggregates and fails the hash."""
+    out = _sink_written_documents(spark, sf_dir)
+    df = spark.read.format("fhirflat").option("path", out).load()
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.count("origin").alias("n_odd"),
+            F.sum(
+                F.when(F.col("source").isNull(), 1).otherwise(0)
+            ).alias("n_src_null"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DATASOURCE_WRITE = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_odd,
+       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+           AS n_src_null
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_snapshot_changelog(spark, sf_dir):
     """Net changelog between two snapshots (the Iceberg/Delta CDF
     analog) over the MERGE fixture: the upsert commit must surface as
@@ -610,6 +667,7 @@ QUERIES = {
     "row_level_delete": (q_row_level_delete, SQL_ROW_LEVEL_DELETE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "datasource_scan": (q_datasource_scan, SQL_DATASOURCE_SCAN),
+    "datasource_write_roundtrip": (q_datasource_write, SQL_DATASOURCE_WRITE),
     "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
 }

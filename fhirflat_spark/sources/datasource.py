@@ -15,6 +15,18 @@ can read an encoded dataset with zero engine imports:
     stream = (spark.readStream.format("fhirflat")
               .option("path", out_dir).load())   # snapshot-log CDC tail
 
+written back the same way (the writer half lives in ``writer.py``):
+
+    df.write.format("fhirflat").mode("append").save(out_dir)
+    df.writeStream.format("fhirflat").option(
+        "checkpointLocation", cp).start(out_dir)
+
+and introspected through Iceberg-style metadata tables:
+
+    spark.read.format("fhirflat").option("path", out_dir)
+         .option("metadata", "snapshots").load()   # | partitions
+                                                   # | chunks | deletes
+
 Design (scale-first):
 
 - **Planning is metadata-only.** The reader plans one ``InputPartition``
@@ -151,7 +163,14 @@ def _plan(options) -> dict:
         raise ValueError(f"columns {unknown} not in dataset columns {all_cols}")
     if summary.get("spark_schema"):
         full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
-        by_name = {f.name: f for f in full.fields}
+        # declare every column nullable: schema evolution null-fills
+        # partitions that predate a column, so a stored non-nullable
+        # field (possible in library-written datasets) must not make
+        # Spark's row conversion NPE on those typed nulls
+        by_name = {
+            f.name: T.StructField(f.name, f.dataType, True)
+            for f in full.fields
+        }
         schema = T.StructType([by_name[c] for c in columns])
         type_of = {f.name: f.dataType for f in full.fields}
     else:
@@ -291,8 +310,16 @@ class _ReadMixin:
         proj = {"n_rows": pads.field("n_rows")}
         if need_stats:
             proj["stats"] = pads.field("stats")
+        # schema evolution: a partition written before a column was added
+        # has no payload.__c{i} field for it at all (vs a NULL cell when
+        # only some chunks predate it) — project only the fields this
+        # partition's files carry and typed-null-fill the rest
+        pf = dset.schema.field("payload").type
+        present = {pf.field(i).name for i in range(pf.num_fields)}
+        absent = {c for c in read_cols if field_of[c] not in present}
         for c in read_cols:
-            proj[field_of[c]] = pads.field("payload", field_of[c])
+            if c not in absent:
+                proj[field_of[c]] = pads.field("payload", field_of[c])
         from pyspark.sql.pandas.types import to_arrow_type
 
         out_schema = _arrow_schema(plan["schema"])
@@ -320,6 +347,9 @@ class _ReadMixin:
                         continue
                 arrays = {}
                 for c in read_cols:
+                    if c in absent:  # partition predates the column
+                        arrays[c] = pa.nulls(nrs[i].as_py(), type=arrow_of[c])
+                        continue
                     cell = batch.column(field_of[c])[i]
                     if not cell.is_valid:  # chunk predates the column
                         arrays[c] = pa.nulls(nrs[i].as_py(), type=arrow_of[c])
@@ -359,6 +389,183 @@ def _delete_keys(path: str, name: str) -> pa.Array:
     else:
         t = fsio.read_parquet(p)
     return t.column(0).combine_chunks()
+
+
+# --- Iceberg-style metadata inspection tables: the table's own metadata
+# as queryable relations, no engine imports needed —
+#   spark.read.format("fhirflat").option("path", out)
+#        .option("metadata", "snapshots" | "partitions" | "chunks"
+#                            | "deletes").load()
+# snapshots/partitions/deletes are driver-metadata-sized (one input
+# partition); chunks fans out one task per part-id and reads ONLY the
+# chunk files' metadata columns (payload blobs pruned by the nested
+# projection), so cost is #chunks, not data bytes.
+
+METADATA_DDL = {
+    "snapshots": (
+        "version INT, n_partitions BIGINT, rows BIGINT, raw_bytes BIGINT, "
+        "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN"
+    ),
+    "partitions": (
+        "part_id INT, n_chunks INT, rows BIGINT, raw_bytes BIGINT, "
+        "encoded_bytes BIGINT, partition_sha STRING, repo_min STRING, "
+        "repo_max STRING, status STRING, col_zones STRING"
+    ),
+    "chunks": (
+        "part_id INT, chunk_seq INT, n_rows BIGINT, column STRING, "
+        "codec STRING, raw_bytes BIGINT, encoded_bytes BIGINT, sha STRING, "
+        "zmin STRING, zmax STRING"
+    ),
+    "deletes": "file STRING, column STRING, below_part INT, n_keys BIGINT",
+}
+
+
+class FhirflatMetadataReader(DataSourceReader):
+    def __init__(self, options, table: str):
+        from fhirflat_spark import fsio
+
+        self._table = table
+        self._path = options.get("path") or options.get("location")
+        if table == "chunks":
+            t = fsio.read_parquet(f"{self._path}/manifest",
+                                  columns=["part_id", "status"])
+            self._part_ids = [
+                int(p) for p, s in zip(t["part_id"].to_pylist(),
+                                       t["status"].to_pylist()) if s == "ok"
+            ]
+
+    def partitions(self):
+        if self._table == "chunks":
+            return [ChunkPartition(p) for p in self._part_ids] or [
+                ChunkPartition(-1)
+            ]
+        return [ChunkPartition(-1)]
+
+    # arrow twins of METADATA_DDL (executors have no SparkContext to
+    # parse DDL with; the two must stay in sync)
+    _ARROW = {
+        "snapshots": pa.schema(
+            [("version", pa.int32()), ("n_partitions", pa.int64()),
+             ("rows", pa.int64()), ("raw_bytes", pa.int64()),
+             ("encoded_bytes", pa.int64()),
+             ("dataset_sha256", pa.string()), ("is_current", pa.bool_())]
+        ),
+        "partitions": pa.schema(
+            [("part_id", pa.int32()), ("n_chunks", pa.int32()),
+             ("rows", pa.int64()), ("raw_bytes", pa.int64()),
+             ("encoded_bytes", pa.int64()), ("partition_sha", pa.string()),
+             ("repo_min", pa.string()), ("repo_max", pa.string()),
+             ("status", pa.string()), ("col_zones", pa.string())]
+        ),
+        "chunks": pa.schema(
+            [("part_id", pa.int32()), ("chunk_seq", pa.int32()),
+             ("n_rows", pa.int64()), ("column", pa.string()),
+             ("codec", pa.string()), ("raw_bytes", pa.int64()),
+             ("encoded_bytes", pa.int64()), ("sha", pa.string()),
+             ("zmin", pa.string()), ("zmax", pa.string())]
+        ),
+        "deletes": pa.schema(
+            [("file", pa.string()), ("column", pa.string()),
+             ("below_part", pa.int32()), ("n_keys", pa.int64())]
+        ),
+    }
+
+    def _arrow(self):
+        return self._ARROW[self._table]
+
+    def read(self, partition):
+        import pyarrow.dataset as pads
+
+        from fhirflat_spark import fsio
+        from fhirflat_spark.manifest import (
+            _sha_of_partition_shas,
+            _snapshot_versions,
+            active_delete_files,
+            current_snapshot,
+            read_snapshot_manifest,
+        )
+
+        path = self._path
+        schema = self._arrow()
+        if self._table == "snapshots":
+            cur = current_snapshot(path)
+            rows = []
+            for v in _snapshot_versions(path):
+                t = read_snapshot_manifest(
+                    path, v,
+                    columns=["part_id", "partition_sha", "rows",
+                             "raw_bytes", "encoded_bytes"],
+                )
+                sha = _sha_of_partition_shas(
+                    t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
+                )
+                rows.append(
+                    (v, t.num_rows, sum(t["rows"].to_pylist()),
+                     sum(t["raw_bytes"].to_pylist()),
+                     sum(t["encoded_bytes"].to_pylist()), sha, v == cur)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(c), type=f.type)
+                 for c, f in zip(zip(*rows), schema)]
+                if rows else [pa.array([], type=f.type) for f in schema],
+                schema=schema,
+            )
+        elif self._table == "partitions":
+            t = fsio.read_parquet(f"{path}/manifest")
+            yield from t.select(schema.names).cast(schema).to_batches()
+        elif self._table == "deletes":
+            rows = []
+            for e in active_delete_files(path):
+                keys = _delete_keys(path, e["file"])
+                rows.append((e["file"], e["column"], e.get("below_part"),
+                             len(keys)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(c), type=f.type)
+                 for c, f in zip(zip(*rows), schema)]
+                if rows else [pa.array([], type=f.type) for f in schema],
+                schema=schema,
+            )
+        else:  # chunks: per-(chunk, column) lineage from the stats JSON
+            if partition is None or partition.part_id < 0:
+                return
+            pid = partition.part_id
+            fs, inner = fsio.resolve(f"{path}/chunks/part_id={pid}")
+            dset = pads.dataset(inner, filesystem=fs, format="parquet")
+            cols = {n: [] for n in schema.names}
+            for batch in dset.to_batches(
+                columns={
+                    "chunk_seq": pads.field("chunk_seq"),
+                    "n_rows": pads.field("n_rows"),
+                    "stats": pads.field("stats"),
+                }
+            ):
+                seqs = batch.column("chunk_seq").to_pylist()
+                nrs = batch.column("n_rows").to_pylist()
+                for seq, n, stats_json in zip(
+                    seqs, nrs, batch.column("stats").to_pylist()
+                ):
+                    for col, st in json.loads(stats_json).items():
+                        cols["part_id"].append(pid)
+                        cols["chunk_seq"].append(seq)
+                        cols["n_rows"].append(n)
+                        cols["column"].append(col)
+                        cols["codec"].append(st.get("codec"))
+                        cols["raw_bytes"].append(st.get("raw"))
+                        cols["encoded_bytes"].append(st.get("enc"))
+                        cols["sha"].append(st.get("sha"))
+                        zmin = st.get("zmin")
+                        zmax = st.get("zmax")
+                        cols["zmin"].append(
+                            None if zmin is None else str(zmin)
+                        )
+                        cols["zmax"].append(
+                            None if zmax is None else str(zmax)
+                        )
+            if cols["part_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[f.name], type=f.type) for f in schema],
+                    schema=schema,
+                )
 
 
 class FhirflatBatchReader(DataSourceReader, _ReadMixin):
@@ -526,14 +733,39 @@ class FhirflatDataSource(DataSource):
             self._plan_cache = _plan(self.options)
         return self._plan_cache
 
+    def _metadata_table(self) -> str | None:
+        meta = self.options.get("metadata")
+        if meta and meta not in METADATA_DDL:
+            raise ValueError(
+                f"unknown metadata table {meta!r} — one of "
+                f"{sorted(METADATA_DDL)}"
+            )
+        return meta
+
     def schema(self):
+        meta = self._metadata_table()
+        if meta:
+            return METADATA_DDL[meta]
         return self._plan_once()["schema"]
 
     def reader(self, schema):
+        meta = self._metadata_table()
+        if meta:
+            return FhirflatMetadataReader(self.options, meta)
         return FhirflatBatchReader(self.options, schema, self._plan_once())
 
     def streamReader(self, schema):
         return FhirflatStreamReader(self.options, schema, self._plan_once())
+
+    def writer(self, schema, overwrite: bool):
+        from fhirflat_spark.sources.writer import FhirflatBatchWriter
+
+        return FhirflatBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        from fhirflat_spark.sources.writer import FhirflatStreamWriter
+
+        return FhirflatStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

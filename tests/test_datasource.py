@@ -264,3 +264,53 @@ def test_table_changes_groups_same_scope_deletes(spark, docs, tmp_path):
     ch = table_changes(spark, out, 1, 3).collect()
     assert sorted(r["doc_id"] for r in ch) == [1, 2, 3, 4]
     assert {r["_change_type"] for r in ch} == {"delete"}
+
+
+def _md(spark, path, name):
+    return (
+        spark.read.format("fhirflat").option("path", path)
+        .option("metadata", name).load()
+    )
+
+
+def test_metadata_snapshots_table(spark, ds_dir):
+    snaps = _md(spark, ds_dir, "snapshots").collect()
+    assert [r["version"] for r in snaps] == [1, 2, 3]
+    assert sum(r["is_current"] for r in snaps) == 1
+    assert snaps[-1]["is_current"]
+    # the upsert (v2) appended rows; the delete (v3) moved no data
+    assert snaps[1]["rows"] > snaps[0]["rows"]
+    assert snaps[2]["rows"] == snaps[1]["rows"]
+    assert snaps[2]["dataset_sha256"] == snaps[1]["dataset_sha256"]
+
+
+def test_metadata_partitions_and_chunks_tables(spark, ds_dir):
+    parts = _md(spark, ds_dir, "partitions")
+    rows = parts.collect()
+    assert all(r["status"] == "ok" for r in rows)
+    chunks = _md(spark, ds_dir, "chunks")
+    per_col = {
+        r["column"]: r["n"]
+        for r in chunks.groupBy("column").agg(
+            F.sum("n_rows").alias("n")).collect()
+    }
+    total = sum(r["rows"] for r in rows)
+    # every column spans every physical row (deletes are merge-on-read)
+    assert set(per_col) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert all(v == total for v in per_col.values())
+    # lineage: encoded_bytes per column sums to the partition totals
+    enc_chunks = chunks.groupBy().sum("encoded_bytes").first()[0]
+    assert enc_chunks == sum(r["encoded_bytes"] for r in rows)
+
+
+def test_metadata_deletes_table(spark, ds_dir):
+    dels = {r["file"]: r for r in _md(spark, ds_dir, "deletes").collect()}
+    assert len(dels) == 2  # the upsert's scoped entry + the delete commit
+    assert all(r["column"] == "doc_id" for r in dels.values())
+    assert {r["n_keys"] for r in dels.values()} == {200, 2}
+    assert all(r["below_part"] is not None for r in dels.values())
+
+
+def test_metadata_unknown_table_rejected(spark, ds_dir):
+    with pytest.raises(Exception, match="metadata"):
+        _md(spark, ds_dir, "nope").collect()
