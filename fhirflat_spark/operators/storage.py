@@ -618,6 +618,69 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def _sink_upsert_documents(spark, sf_dir: str) -> str:
+    """Dataset merged ENTIRELY through the named sink: create commit =
+    all docs; upsert commit (``.option("upsert_key","doc_id")``) =
+    every ``doc_id % 5 == 0`` row re-written with ``n_chars + 1000``
+    plus 20 fresh inserts (``doc_id + 1_000_000``) — latest-wins per
+    key via the scoped equality-delete published atomically with the
+    appended data."""
+    from fhirflat_spark.sources.datasource import register
+
+    register(spark)
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.repartition(3).write.format("fhirflat").mode("append").save(path)
+        upd = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        )
+        ins = docs.where(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+        (upd.unionByName(ins).repartition(2)
+         .write.format("fhirflat").mode("append")
+         .option("upsert_key", "doc_id").save(path))
+
+    return _cached_dataset(spark, sf_dir, "sinku", build)
+
+
+def q_datasource_upsert(spark, sf_dir):
+    """MERGE through the DataFrame write surface: the sink's
+    ``upsert_key`` option appends the delta and shadow-deletes matched
+    pre-existing keys in one snapshot; the read is merge-on-read through
+    the named source. The oracle restates latest-wins over the raw rows
+    — a sink that leaks the pre-update version, drops an insert, or
+    mis-scopes the delete (eating the NEW version too) shifts the
+    per-language totals and fails the hash."""
+    out = _sink_upsert_documents(spark, sf_dir)
+    df = spark.read.format("fhirflat").option("path", out).load()
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DATASOURCE_UPSERT = """
+WITH merged AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+             AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id < 20
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       max(doc_id) AS max_id
+FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
 def q_snapshot_changelog(spark, sf_dir):
     """Net changelog between two snapshots (the Iceberg/Delta CDF
     analog) over the MERGE fixture: the upsert commit must surface as
@@ -668,6 +731,7 @@ QUERIES = {
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "datasource_scan": (q_datasource_scan, SQL_DATASOURCE_SCAN),
     "datasource_write_roundtrip": (q_datasource_write, SQL_DATASOURCE_WRITE),
+    "datasource_write_upsert": (q_datasource_upsert, SQL_DATASOURCE_UPSERT),
     "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
 }

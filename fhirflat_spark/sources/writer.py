@@ -43,6 +43,15 @@ Commit protocol (the DSv2 contract mapped onto the engine's manifest):
   partitionId`` — the ``encode_stream_incremental`` namespace);
   a replayed batch re-commits exactly its own partition dirs, with
   stale attempt files dropped at commit.
+- **MERGE/upsert via ``.option("upsert_key", col)``.** Each commit
+  appends its rows and shadow-deletes every pre-existing row with a
+  matching key in the SAME snapshot (``encode.upsert_rows`` semantics:
+  scoped equality-delete entry, merge-on-read, materialized at the next
+  compaction). Tasks collect their partition's distinct keys while
+  encoding — no second pass, no driver-side key set — and commit
+  publishes them as one Spark-readable keys directory. On a streaming
+  query every micro-batch upserts against all earlier batches plus the
+  pre-existing table (CDC-apply: latest batch wins per key).
 
 Reference parity: the reference writes its store only through library
 entry points (reference fhirflat/ingest.py:381-432); a named Spark sink
@@ -93,6 +102,7 @@ class ChunkWriteMessage(WriterCommitMessage):
     part_rel: int  # partition index within the job (0-based)
     file: str | None  # file name written, None for an empty partition
     meta: list = field(default_factory=list)  # chunk meta dicts
+    keys_file: str | None = None  # upsert: this task's distinct-keys file
 
 
 def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
@@ -189,6 +199,30 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
     if streaming and mode == "replace":
         raise ValueError("the streaming sink only appends")
 
+    # MERGE/upsert by key through the sink surface: each commit appends
+    # its rows AND shadow-deletes every PRE-EXISTING row with a matching
+    # key, atomically (the encode.upsert_rows semantics — scoped
+    # equality-delete entry in the same snapshot sidecar as the data).
+    # Tasks collect their partition's distinct keys while encoding (no
+    # extra pass, no driver-side key set — scale-safe for data-sized
+    # key columns); commit publishes them as a Spark-readable keys DIR.
+    upsert = options.get("upsert_key") or None
+    if upsert:
+        if upsert not in in_cols:
+            raise ValueError(
+                f"upsert_key {upsert!r} not in the written columns {in_cols}"
+            )
+        if mode == "replace":
+            raise ValueError(
+                "upsert_key with mode overwrite is meaningless — overwrite "
+                "already replaces every row"
+            )
+        if mode == "create" and not streaming:
+            # no pre-existing rows to shadow: upsert into a fresh table
+            # is a plain insert (a streaming query keeps the key — its
+            # LATER micro-batches upsert against the earlier ones)
+            upsert = None
+
     # mint past every id any retained snapshot references (history
     # immutability — encode.append_table); crashed-attempt ids live in
     # no snapshot and stay reusable
@@ -227,6 +261,7 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
         },
         "schema_json": schema_json,
         "bloom": bloom,
+        "upsert_key": upsert,
         "codec_opts": {"archive": True} if profile == "archive" else {},
         "part_offset": base,
         "parts_per_batch": ppb,
@@ -263,11 +298,14 @@ def _chunk_file_schema(n_cols: int) -> pa.Schema:
     )
 
 
-def _encode_partition(plan: dict, part_id: int, batches, out_path: str):
+def _encode_partition(plan: dict, part_id: int, batches, out_path: str,
+                      keys_path: str | None = None):
     """Task-side encode: rebatch → kernel-encode each chunk → stream the
     chunk rows into ONE parquet file at ``out_path``. Returns the chunk
     meta list (the manifest fragment content). No file is created for an
-    empty partition."""
+    empty partition. ``keys_path`` (upsert): also write this partition's
+    distinct upsert-key values there — collected from the already-cast
+    arrays while encoding, so the key pass is free."""
     from fhirflat_spark import fsio
     from fhirflat_spark.encode import _encode_one_batch, _rebatch
     from fhirflat_spark.session import ARROW_BATCH_ROWS
@@ -278,6 +316,9 @@ def _encode_partition(plan: dict, part_id: int, batches, out_path: str):
     name_map = dict(zip(safe, columns))
     bloom = frozenset(plan["bloom"])
     file_schema = _chunk_file_schema(len(columns))
+    key_col = plan["upsert_key"] if keys_path else None
+    key_idx = columns.index(key_col) if key_col else None
+    key_chunks: list[pa.Array] = []
 
     metas: list[dict] = []
     writer = None
@@ -299,6 +340,8 @@ def _encode_partition(plan: dict, part_id: int, batches, out_path: str):
                     arrays.append(pa.nulls(batch.num_rows, type=arrow_of[c]))
                     continue
                 arrays.append(arr)
+            if key_idx is not None:
+                key_chunks.append(arrays[key_idx])
             safe_batch = pa.RecordBatch.from_arrays(arrays, names=safe)
             meta, out = _encode_one_batch(
                 safe_batch, part_id, seq, safe, name_map, {},
@@ -324,6 +367,13 @@ def _encode_partition(plan: dict, part_id: int, batches, out_path: str):
     finally:
         if writer is not None:
             writer.close()
+    if key_idx is not None and key_chunks:
+        import pyarrow.compute as pc
+
+        uniq = pc.unique(pa.chunked_array(key_chunks))
+        kfs, kinner = fsio.resolve(keys_path)
+        fsio.makedirs(keys_path.rsplit("/", 1)[0])
+        pq.write_table(pa.table({key_col: uniq}), kinner, filesystem=kfs)
     return metas
 
 
@@ -337,9 +387,12 @@ def _keep_only(part_dir: str, keep: str) -> None:
             fsio.delete_file(f"{part_dir}/{name}")
 
 
-def _commit_snapshot(plan: dict, by_part: dict[int, list]) -> None:
+def _commit_snapshot(plan: dict, by_part: dict[int, list],
+                     new_deletes: list[dict] | None = None) -> None:
     """Driver-side snapshot commit: publish fragments, merge, manifest,
-    summary. ``by_part``: part_id → its chunk meta rows (this job's)."""
+    summary. ``by_part``: part_id → its chunk meta rows (this job's);
+    ``new_deletes``: upsert's scoped delete entries, committed in the
+    SAME snapshot as the data."""
     from fhirflat_spark.encode import EncodeResult, _write_fragment
     from fhirflat_spark.manifest import (
         load_fragments,
@@ -373,6 +426,7 @@ def _commit_snapshot(plan: dict, by_part: dict[int, list]) -> None:
         _write_fragment(frag_dir, pid, by_part[pid])
     meta_rows = load_fragments(frag_dir)
     stats = write_manifest(None, path, meta_rows,
+                           new_deletes=new_deletes,
                            carry_deletes=not replace)
     result = EncodeResult(
         out_dir=path,
@@ -398,6 +452,13 @@ class FhirflatBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         self._plan = _write_plan(options, schema, overwrite, streaming=False)
 
+    def _keys_dir(self) -> str:
+        # keyed by offset AND the job token: concurrent with the library
+        # convention (u{offset}.parquet) but never colliding with it
+        p = self._plan
+        return (f"{p['path']}/deletes/"
+                f"u{p['part_offset']:010d}-{p['stage_token']}")
+
     def write(self, iterator):
         from pyspark import TaskContext
 
@@ -407,24 +468,46 @@ class FhirflatBatchWriter(DataSourceArrowWriter):
         plan = self._plan
         pid = plan["part_offset"] + rel
         fname = f"data-{plan['stage_token']}-a{attempt}.parquet"
+        kname = f"k{rel:06d}-a{attempt}.parquet" if plan["upsert_key"] else None
         metas = _encode_partition(
             plan, pid, iterator,
             f"{plan['path']}/chunks/part_id={pid}/{fname}",
+            keys_path=f"{self._keys_dir()}/{kname}" if kname else None,
         )
         return ChunkWriteMessage(
-            part_rel=rel, file=fname if metas else None, meta=metas
+            part_rel=rel, file=fname if metas else None, meta=metas,
+            keys_file=kname if metas else None,
         )
 
     def commit(self, messages):
+        from fhirflat_spark import fsio
+
         plan = self._plan
         by_part: dict[int, list] = {}
+        key_files: set[str] = set()
         for m in messages:
             if m is None or m.file is None:
                 continue
             pid = plan["part_offset"] + m.part_rel
             _keep_only(f"{plan['path']}/chunks/part_id={pid}", m.file)
             by_part[pid] = m.meta
-        _commit_snapshot(plan, by_part)
+            if m.keys_file:
+                key_files.add(m.keys_file)
+        new_deletes = None
+        if key_files:
+            # drop losing attempts' key files, publish the dir as ONE
+            # scoped delete entry (below the job's first fresh part id =
+            # exactly the pre-existing rows)
+            kd = self._keys_dir()
+            for name in fsio.list_files(kd, suffix=".parquet"):
+                if name not in key_files:
+                    fsio.delete_file(f"{kd}/{name}")
+            new_deletes = [{
+                "file": kd.rsplit("/", 1)[1],
+                "column": plan["upsert_key"],
+                "below_part": plan["part_offset"],
+            }]
+        _commit_snapshot(plan, by_part, new_deletes=new_deletes)
 
     def abort(self, messages):
         # data landed only in part-id dirs no manifest references —
@@ -437,6 +520,8 @@ class FhirflatBatchWriter(DataSourceArrowWriter):
                 continue
             pid = plan["part_offset"] + m.part_rel
             fsio.delete_dir(f"{plan['path']}/chunks/part_id={pid}")
+        if plan["upsert_key"]:
+            fsio.delete_dir(self._keys_dir())
 
 
 class FhirflatStreamWriter(DataSourceStreamArrowWriter):
@@ -462,14 +547,17 @@ class FhirflatStreamWriter(DataSourceStreamArrowWriter):
                 f"micro-batch has ≥{ppb} partitions — raise parts_per_batch"
             )
         fname = f"t{rel:06d}-a{attempt}.parquet"
+        kname = f"k{rel:06d}-a{attempt}.parquet" if plan["upsert_key"] else None
         # the final part id needs the batchId (driver-side commit only);
         # stage under the query token, encode with a RELATIVE id and fix
         # it up at commit (part_id is not baked into chunk file content)
         metas = _encode_partition(
-            plan, rel, iterator, f"{self._stage_dir()}/{fname}"
+            plan, rel, iterator, f"{self._stage_dir()}/{fname}",
+            keys_path=f"{self._stage_dir()}/keys/{kname}" if kname else None,
         )
         return ChunkWriteMessage(
-            part_rel=rel, file=fname if metas else None, meta=metas
+            part_rel=rel, file=fname if metas else None, meta=metas,
+            keys_file=kname if metas else None,
         )
 
     def commit(self, messages, batchId: int):
@@ -478,7 +566,15 @@ class FhirflatStreamWriter(DataSourceStreamArrowWriter):
         plan = self._plan
         ppb = plan["parts_per_batch"]
         start = plan["part_offset"] + int(batchId) * ppb
+        # the batch's keys dir is a pure function of the batchId, so a
+        # REPLAYED batch re-publishes the same entry name (the manifest's
+        # by-file dedup keeps one copy) — clear it first so a prior
+        # attempt's key files don't linger beside the replay's
+        keys_dir = f"{plan['path']}/deletes/u{start:010d}"
+        if plan["upsert_key"]:
+            fsio.delete_dir(keys_dir)
         by_part: dict[int, list] = {}
+        new_deletes: list[dict] = []
         for m in messages:
             if m is None or m.file is None:
                 continue
@@ -489,9 +585,23 @@ class FhirflatStreamWriter(DataSourceStreamArrowWriter):
             _keep_only(target, m.file)
             fsio.move(f"{self._stage_dir()}/{m.file}", f"{target}/{m.file}")
             by_part[pid] = [dict(meta, part_id=pid) for meta in m.meta]
+            if m.keys_file:
+                fsio.move(f"{self._stage_dir()}/keys/{m.keys_file}",
+                          f"{keys_dir}/{m.keys_file}")
+        if (plan["upsert_key"] and start > 0
+                and any(m and m.keys_file for m in messages)):
+            # scope below this batch's first part id: earlier batches AND
+            # any pre-existing table rows — the streaming CDC-apply
+            # semantics (latest batch wins per key)
+            new_deletes.append({
+                "file": keys_dir.rsplit("/", 1)[1],
+                "column": plan["upsert_key"],
+                "below_part": start,
+            })
         fsio.delete_dir(self._stage_dir())
         if by_part:
-            _commit_snapshot(plan, by_part)
+            _commit_snapshot(plan, by_part,
+                             new_deletes=new_deletes or None)
 
     def abort(self, messages, batchId: int):
         from fhirflat_spark import fsio

@@ -167,6 +167,52 @@ def test_create_ignores_stale_crashed_state(spark, docs, tmp_path):
     assert current_snapshot(out) == 1
 
 
+def test_batch_upsert_merge(spark, docs, tmp_path):
+    out = str(tmp_path / "t")
+    docs.repartition(2).write.format("fhirflat").mode("append").save(out)
+    upd = docs.where("doc_id < 50").withColumn(
+        "text", F.concat(F.col("text"), F.lit("!"))
+    )
+    ins = docs.where("doc_id >= 50 AND doc_id < 60").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    delta = upd.unionByName(ins).cache()
+    (delta.repartition(2).write.format("fhirflat").mode("append")
+     .option("upsert_key", "doc_id").save(out))
+    # matched keys read the delta's version, unmatched inserted, rest kept
+    expected = docs.where("doc_id >= 50").unionByName(delta)
+    back = _read(spark, out)
+    assert _rows(back) == _rows(expected)
+    # the upsert is ONE commit, visible identically to the library reader
+    assert current_snapshot(out) == 2
+    assert _rows(decode_table(spark, out)) == _rows(expected)
+    # pre-upsert snapshot still reads the original values
+    old = _read(spark, out, snapshot="1")
+    assert _rows(old) == _rows(docs)
+
+
+def test_batch_upsert_into_fresh_table_is_insert(spark, docs, tmp_path):
+    out = str(tmp_path / "t")
+    (docs.repartition(2).write.format("fhirflat").mode("append")
+     .option("upsert_key", "doc_id").save(out))
+    assert _rows(_read(spark, out)) == _rows(docs)
+    # no delete entry was published for the create commit
+    from fhirflat_spark.manifest import active_delete_files
+
+    assert active_delete_files(out) == []
+
+
+def test_upsert_key_validation(spark, docs, tmp_path):
+    out = str(tmp_path / "t")
+    docs.repartition(1).write.format("fhirflat").mode("append").save(out)
+    with pytest.raises(Exception, match="upsert_key"):
+        (docs.limit(5).repartition(1).write.format("fhirflat")
+         .mode("append").option("upsert_key", "nope").save(out))
+    with pytest.raises(Exception, match="overwrite"):
+        (docs.limit(5).repartition(1).write.format("fhirflat")
+         .mode("overwrite").option("upsert_key", "doc_id").save(out))
+
+
 def _land(frame, src, tag, parts):
     tmp = f"{src}_tmp_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -227,4 +273,43 @@ def test_stream_sink_two_batches(spark, docs, tmp_path):
     assert (
         spark.sql("select count(*) c from wsink_tail").first()["c"]
         == docs.count()
+    )
+
+
+def test_stream_sink_upsert_latest_batch_wins(spark, docs, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    first = docs.where("doc_id < 200").cache()
+    upd = (
+        first.where("doc_id % 3 = 0")
+        .withColumn("text", F.concat(F.col("text"), F.lit("+v2")))
+        .cache()
+    )
+    os.makedirs(src, exist_ok=True)
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+
+    def run():
+        q = (
+            sdf.writeStream.format("fhirflat")
+            .option("checkpointLocation", cp)
+            .option("upsert_key", "doc_id")
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+
+    _land(first, src, "a", 2)
+    run()
+    _land(upd, src, "b", 2)
+    run()
+    # CDC-apply: the later micro-batch's version wins per key
+    expected = first.where("doc_id % 3 != 0").unionByName(upd)
+    back = _read(spark, out)
+    assert back.count() == first.count()
+    assert _rows(back) == _rows(expected)
+    assert (
+        back.where("text like '%+v2'").count()
+        == first.where("doc_id % 3 = 0").count()
     )
