@@ -167,6 +167,19 @@ def encode_run(cores: int, src: str, tag: str, key_counts,
                 t0 = time.time()
                 spark.read.format("fhirflat").option("path", out).load().count()
                 ds_walls.append(round(time.time() - t0, 2))
+            # the named SINK write path (tasks kernel-encode + write
+            # chunk parquet pyarrow-direct; no JVM chunk-row return):
+            # the layout-preserving write a partitioned upstream feeds
+            w_walls = []
+            for _ in range(3):
+                sink_out = f"{SHM}/enc_{tag}_sink"
+                shutil.rmtree(sink_out, ignore_errors=True)
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(3)
+                t0 = time.time()
+                df.write.format("fhirflat").mode("append").save(sink_out)
+                w_walls.append(round(time.time() - t0, 2))
+                shutil.rmtree(sink_out, ignore_errors=True)
             # incremental append of a 10% delta (the daily-ingest op):
             # delta-proportional cost, manifest re-merge included
             from fhirflat_spark.datagen import gen_spark
@@ -185,6 +198,10 @@ def encode_run(cores: int, src: str, tag: str, key_counts,
                 "datasource_decode_wall_sec": min(ds_walls),
                 "datasource_decode_gbps": round(
                     res.raw_bytes / 1e9 / min(ds_walls), 4
+                ),
+                "datasource_write_wall_sec": min(w_walls),
+                "datasource_write_gbps": round(
+                    res.raw_bytes / 1e9 / min(w_walls), 4
                 ),
                 "append_10pct_wall_sec": append_wall,
                 "append_rows_total": app.rows,
@@ -523,7 +540,12 @@ def _write_report(result: dict) -> None:
                 "payload bytes). Incremental append of a 10% delta: "
                 f"{enc[f'local[{CPUS}]'].get('append_10pct_wall_sec', '?')}s "
                 "(delta-proportional — new partitions + manifest re-merge, "
-                "no table rewrite).",
+                "no table rewrite). Named-sink write "
+                "(df.write.format('fhirflat'), layout-preserving, "
+                "pyarrow-direct chunk files): "
+                f"{enc[f'local[{CPUS}]'].get('datasource_write_wall_sec', '?')}s "
+                f"({enc[f'local[{CPUS}]'].get('datasource_write_gbps', '?')} "
+                "GB/s).",
             ]
             if "decode_one_col_wall_sec" in enc.get(f"local[{CPUS}]", {})
             else []

@@ -14,11 +14,13 @@ from fhirflat_spark.operators import (
     relational,
     similarity,
     storage,
+    temporal,
     textops,
 )
 
 REGISTRY: dict[str, tuple] = {}
-for mod in (relational, textops, dedup, similarity, multimodal, storage):
+for mod in (relational, textops, dedup, similarity, multimodal, storage,
+            temporal):
     REGISTRY.update(mod.QUERIES)
 
 
