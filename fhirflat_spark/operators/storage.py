@@ -681,6 +681,80 @@ FROM merged GROUP BY lang ORDER BY lang
 """
 
 
+def _rollup_events(spark, sf_dir: str) -> str:
+    """Chunk-store events table + hourly continuous rollup: create
+    commit = all events (integer-cents measure), rollup BUILT at
+    snapshot 1, then an upsert commit (every ``event_id % 7 == 0``
+    re-priced +500 cents, 100 fresh inserts) and an incremental
+    REFRESH from the changelog — the stored rollup the query reads was
+    never recomputed from the table after the build."""
+    from fhirflat_spark.rollup import build_rollup, refresh_rollup
+    from fhirflat_spark.sources.datasource import register
+
+    register(spark)
+
+    def build(path):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        ev.repartition(3).write.format("fhirflat").mode("append").save(path)
+        build_rollup(
+            spark, path, f"{path}/rollups/hourly", ts_col="ts",
+            bucket="hour", group_cols=("event_type",), sum_cols=("cents",),
+        )
+        upd = ev.where(F.col("event_id") % 7 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(500)
+        )
+        ins = ev.where(F.col("event_id") < 100).withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        (upd.unionByName(ins).repartition(2)
+         .write.format("fhirflat").mode("append")
+         .option("upsert_key", "event_id").save(path))
+        refresh_rollup(spark, path, f"{path}/rollups/hourly")
+
+    return _cached_dataset(spark, sf_dir, "rollup", build)
+
+
+def q_continuous_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the hourly rollup was
+    materialized at snapshot 1 and advanced to snapshot 2 purely from
+    the CDF's signed deltas (upsert = pre-image subtract + post-image
+    add; integer cents so refresh equals recompute bit-exactly). The
+    oracle recomputes the final state's aggregate from the raw rows —
+    a refresh that misses a delta bucket, applies a delete un-negated,
+    or double-applies a replayed window shifts counts/sums and fails
+    the hash."""
+    from fhirflat_spark.rollup import read_rollup
+
+    out = _rollup_events(spark, sf_dir)
+    return (
+        read_rollup(spark, f"{out}/rollups/hourly")
+        .select("bucket", "event_type", "n", "cents_sum")
+        .orderBy("bucket", "event_type")
+    )
+
+
+SQL_CONTINUOUS_ROLLUP = """
+WITH base AS (
+  SELECT event_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), merged AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN event_id % 7 = 0 THEN cents + 500 ELSE cents END AS cents
+  FROM base
+  UNION ALL
+  SELECT event_id + 10000000, ts, event_type, cents
+  FROM base WHERE event_id < 100
+)
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM merged GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
 def q_snapshot_changelog(spark, sf_dir):
     """Net changelog between two snapshots (the Iceberg/Delta CDF
     analog) over the MERGE fixture: the upsert commit must surface as
@@ -732,6 +806,7 @@ QUERIES = {
     "datasource_scan": (q_datasource_scan, SQL_DATASOURCE_SCAN),
     "datasource_write_roundtrip": (q_datasource_write, SQL_DATASOURCE_WRITE),
     "datasource_write_upsert": (q_datasource_upsert, SQL_DATASOURCE_UPSERT),
+    "continuous_rollup": (q_continuous_rollup, SQL_CONTINUOUS_ROLLUP),
     "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
 }
