@@ -12,6 +12,7 @@ from fhirflat_spark.operators import (
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     storage,
     temporal,
@@ -20,7 +21,7 @@ from fhirflat_spark.operators import (
 
 REGISTRY: dict[str, tuple] = {}
 for mod in (relational, textops, dedup, similarity, multimodal, storage,
-            temporal):
+            temporal, sampling):
     REGISTRY.update(mod.QUERIES)
 
 
