@@ -11,6 +11,7 @@ from __future__ import annotations
 from fhirflat_spark.operators import (
     dedup,
     multimodal,
+    packing,
     relational,
     sampling,
     similarity,
@@ -21,7 +22,7 @@ from fhirflat_spark.operators import (
 
 REGISTRY: dict[str, tuple] = {}
 for mod in (relational, textops, dedup, similarity, multimodal, storage,
-            temporal, sampling):
+            temporal, sampling, packing):
     REGISTRY.update(mod.QUERIES)
 
 

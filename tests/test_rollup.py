@@ -98,6 +98,20 @@ def test_chained_refreshes(spark, table):
     )
 
 
+def test_refresh_across_rollback_window(spark, table):
+    # rewritten history: append, then roll the table back — the refresh
+    # window (1 → post-rollback snapshot) takes the changelog's general
+    # exceptAll path and must still land on the recompute
+    from fhirflat_spark.manifest import rollback
+
+    append_table(_events(spark, range(200, 280)), table, rows_per_bucket=50)
+    rollback(spark, table, 1)
+    refresh_rollup(spark, table, f"{table}/r")
+    assert _rows(read_rollup(spark, f"{table}/r")) == _rows(
+        _recompute(spark, table)
+    )
+
+
 def test_old_state_kept_until_pointer_flip(spark, table, tmp_path):
     # keep_old preserves the previous version dir for time-travel reads
     append_table(_events(spark, range(200, 230)), table, rows_per_bucket=50)
