@@ -125,7 +125,8 @@ WITH c AS (
                             ROWS UNBOUNDED PRECEDING) AS cum
   FROM documents
 )
-SELECT (cum - n_chars) // {_BUDGET} AS bin_id, count(*) AS n_docs,
+SELECT CAST((cum - n_chars) // {_BUDGET} AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS chars_sum,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1 ORDER BY bin_id

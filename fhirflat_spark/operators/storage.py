@@ -714,7 +714,7 @@ def _rollup_events(spark, sf_dir: str) -> str:
          .option("upsert_key", "event_id").save(path))
         refresh_rollup(spark, path, f"{path}/rollups/hourly")
 
-    return _cached_dataset(spark, sf_dir, "rollup", build)
+    return _cached_dataset(spark, sf_dir, "rollup2", build)
 
 
 def q_continuous_rollup(spark, sf_dir):

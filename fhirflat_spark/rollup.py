@@ -47,9 +47,15 @@ def _agg(df: DataFrame, meta: dict, sign_col: str | None = None) -> DataFrame:
     aggs = [F.sum(sign).cast("long").alias("n")] + [
         F.sum(sign * F.col(c)).alias(f"{c}_sum") for c in meta["sum_cols"]
     ]
+    # date_trunc implicitly widens TIMESTAMP_NTZ to session-tz TIMESTAMP;
+    # cast back to the source column's flavor so the bucket type is the
+    # table's, not the session's (and a delta refresh built under a
+    # different session tz merges on equal keys)
+    bucket = F.date_trunc(meta["bucket"], F.col(meta["ts_col"])).cast(
+        df.schema[meta["ts_col"]].dataType
+    )
     return df.groupBy(
-        F.date_trunc(meta["bucket"], F.col(meta["ts_col"])).alias("bucket"),
-        *meta["group_cols"],
+        bucket.alias("bucket"), *meta["group_cols"]
     ).agg(*aggs)
 
 
