@@ -54,6 +54,71 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+try:  # real image decoding when the environment has it
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # this container: stand-in only
+    _PILImage = None
+    HAVE_PIL = False
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+    ]
+)
+
+
+def _decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decoder kernel (used when PIL is installed): same batch
+    shape, schema discipline, and failure contract as the stand-in —
+    undecodable payloads yield typed nulls instead of failing the task
+    (corrupt files are data, not errors, at corpus scale)."""
+    import io
+
+    def one(b):
+        try:
+            with _PILImage.open(io.BytesIO(b)) as im:
+                return im.width, im.height, im.mode
+        except Exception:
+            return None, None, None
+
+    for pdf in batches:
+        dims = [one(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                "mode": [d[2] for d in dims],
+            }
+        )
+
+
+def image_features(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """Decode image dimensions/mode from a binary column — the REAL
+    multimodal path, available whenever PIL is importable on the
+    executors. This container ships no image libs, so calling it here
+    raises; the plumbing (schema, Arrow batching, null contract) is the
+    tested stand-in's, and the kernel swaps in transparently when the
+    environment provides the decoder."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decoding needs PIL on the executors (not in this "
+            "container); the deterministic stand-in kernel "
+            "(_extract_features) covers the Spark-side plumbing"
+        )
+    sel = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+    return sel.mapInPandas(_decode_image_batch, schema=IMAGE_SCHEMA)
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     binary = docs.select(
