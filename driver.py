@@ -94,6 +94,19 @@ def main() -> None:
     chg.add_argument("--to-snapshot", type=int, required=True, dest="to_v")
     chg.add_argument("--show", type=int, default=10)
 
+    rlp = sub.add_parser(
+        "rollup", help="build/refresh a continuous time-bucket aggregate"
+    )
+    rlp.add_argument("--out", required=True, help="chunk-store table dir")
+    rlp.add_argument("--dest", required=True, help="rollup state dir")
+    rlp.add_argument("--ts-col", dest="ts_col", help="(build) time column")
+    rlp.add_argument("--bucket", default="hour")
+    rlp.add_argument("--group-cols", dest="group_cols", default="",
+                     help="(build) comma-separated dimension columns")
+    rlp.add_argument("--sum-cols", dest="sum_cols", default="",
+                     help="(build) comma-separated measure columns")
+    rlp.add_argument("--show", type=int, default=10)
+
     args = p.parse_args()
 
     from fhirflat_spark.session import get_spark
@@ -198,6 +211,33 @@ def main() -> None:
             "deletes": counts.get("delete", 0),
         }))
         ch.show(args.show, truncate=60)
+    elif args.cmd == "rollup":
+        from fhirflat_spark import fsio
+        from fhirflat_spark.rollup import (
+            build_rollup,
+            read_rollup,
+            refresh_rollup,
+        )
+
+        if fsio.exists(f"{args.dest}/rollup.json"):
+            meta = refresh_rollup(spark, args.out, args.dest)
+            action = "refresh"
+        else:
+            if not args.ts_col:
+                p.error("--ts-col is required to build a new rollup")
+            csv = lambda s: [c for c in s.split(",") if c]  # noqa: E731
+            meta = build_rollup(
+                spark, args.out, args.dest, ts_col=args.ts_col,
+                bucket=args.bucket, group_cols=csv(args.group_cols),
+                sum_cols=csv(args.sum_cols),
+            )
+            action = "build"
+        df = read_rollup(spark, args.dest)
+        print(json.dumps({
+            "action": action, "snapshot": meta["snapshot"],
+            "bucket": meta["bucket"], "buckets": df.count(),
+        }))
+        df.orderBy("bucket").show(args.show, truncate=40)
     elif args.cmd == "transcode":
         from fhirflat_spark.decode import transcode_table
 

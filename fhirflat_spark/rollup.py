@@ -76,6 +76,12 @@ def build_rollup(
     v = current_snapshot(table_dir)
     if v is None:
         raise ValueError(f"{table_dir} has no committed snapshot")
+    df = decode_table(spark, table_dir)
+    for c in (ts_col, *group_cols, *sum_cols):
+        if c not in df.columns:
+            raise ValueError(
+                f"rollup column {c!r} not in table columns {df.columns}"
+            )
     meta = {
         "snapshot": v,
         "ts_col": ts_col,
@@ -83,9 +89,7 @@ def build_rollup(
         "group_cols": list(group_cols),
         "sum_cols": list(sum_cols),
     }
-    _agg(decode_table(spark, table_dir), meta).write.mode(
-        "overwrite"
-    ).parquet(f"{rollup_dir}/v{v}")
+    _agg(df, meta).write.mode("overwrite").parquet(f"{rollup_dir}/v{v}")
     fsio.write_bytes_atomic(
         _meta_path(rollup_dir), json.dumps(meta).encode(),
         token=str(os.getpid()),
