@@ -9,6 +9,7 @@ carry ``None`` and get the driver's weaker rows-only check.
 from __future__ import annotations
 
 from fhirflat_spark.operators import (
+    decontam,
     dedup,
     multimodal,
     packing,
@@ -22,7 +23,7 @@ from fhirflat_spark.operators import (
 
 REGISTRY: dict[str, tuple] = {}
 for mod in (relational, textops, dedup, similarity, multimodal, storage,
-            temporal, sampling, packing):
+            temporal, sampling, packing, decontam):
     REGISTRY.update(mod.QUERIES)
 
 

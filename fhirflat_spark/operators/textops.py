@@ -325,8 +325,47 @@ FROM sig GROUP BY lang ORDER BY lang
 """
 
 
+# --- corpus vocabulary (tokenizer-training prep): term + document
+#     frequency per token, top-k by tf. Scale shape: explode is a per-row
+#     projection; the groupBy(token) is ONE shuffle with map-side partial
+#     agg (count + count_distinct partials); top-k is TakeOrderedAndProject
+#     (per-partition heaps, never a global sort materialization). At
+#     100 TB the token key space is Zipf-skewed but each group reduces to
+#     two counters — partial agg absorbs the skew, no salting needed.
+
+VOCAB_TOPK = 100
+
+
+def q_vocab_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).where(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_VOCAB_TOPK = rf"""
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+WHERE length(token) > 0
+GROUP BY token ORDER BY tf DESC, token LIMIT {VOCAB_TOPK}
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
