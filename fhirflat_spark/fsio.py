@@ -103,6 +103,45 @@ def write_bytes_atomic(path: str, data: bytes, token: str = "w") -> None:
             f.write(data)
 
 
+def write_bytes_exclusive(path: str, data: bytes, token: str = "w") -> None:
+    """Create-if-absent publish: commits ``data`` at ``path`` only when
+    nothing exists there, raising ``FileExistsError`` otherwise — the
+    compare-and-swap primitive optimistic snapshot commits are built on
+    (two writers racing to create ``v{N}`` get exactly one winner).
+
+    Local: tmp file + ``link(2)``, which fails EEXIST atomically at the
+    directory-entry level (rename would overwrite). Other stores:
+    existence check + atomic put — the conditional-put seam; real
+    object-store deployments slot S3 ``If-None-Match`` / GCS
+    ``if-generation-match=0`` here when pyarrow exposes them (the
+    check-then-put window is then zero instead of milliseconds)."""
+    import os
+
+    fs, inner = resolve(path)
+    _ensure_parent(fs, inner)
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = f"{posixpath.dirname(inner)}/.{posixpath.basename(inner)}.xtmp.{token}"
+        with fs.open_output_stream(tmp) as f:
+            f.write(data)
+        try:
+            os.link(tmp, inner)  # atomic fail-if-exists commit
+        finally:
+            os.unlink(tmp)
+    else:
+        if fs.get_file_info(inner).type != pafs.FileType.NotFound:
+            raise FileExistsError(path)
+        with fs.open_output_stream(inner) as f:
+            f.write(data)
+
+
+def write_parquet_exclusive(table: pa.Table, path: str, token: str = "w") -> None:
+    import io
+
+    sink = io.BytesIO()
+    pq.write_table(table, sink)
+    write_bytes_exclusive(path, sink.getvalue(), token=token)
+
+
 def read_bytes(path: str) -> bytes:
     fs, inner = resolve(path)
     with fs.open_input_stream(inner) as f:
@@ -199,6 +238,13 @@ def read_parquet(path: str, columns: list[str] | None = None) -> pa.Table:
             raise FileNotFoundError(f"no parquet files under {path}")
         return pa.concat_tables(tables)
     return pq.read_table(inner, columns=columns, filesystem=fs)
+
+
+def read_parquet_schema(path: str) -> pa.Schema:
+    """Schema (incl. key-value metadata) of one parquet file — a footer
+    read, no data pages."""
+    fs, inner = resolve(path)
+    return pq.read_schema(inner, filesystem=fs)
 
 
 def write_parquet_atomic(table: pa.Table, path: str, token: str = "w") -> None:

@@ -58,6 +58,15 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
 )
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed a snapshot between this commit's read of
+    the current version and its attempt to publish the next one. The
+    in-flight commit published NOTHING (the versioned manifest is
+    created exclusively); the winner's snapshot is intact. Metadata-only
+    commits (delete_rows, rollback) retry internally; data commits
+    surface this so the caller re-plans against the new table state."""
+
+
 def _local(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
 
@@ -228,8 +237,6 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
     prev = current_snapshot(out_dir)
     version = (prev or 0) + 1
     token = str(os.getpid())
-    fsio.write_parquet_atomic(table, snapshot_manifest_path(out_dir, version),
-                              token=token)
     # a data commit carries the active row-level delete set forward
     # (deletes are snapshot state, like Iceberg's delete files riding
     # along in every new snapshot); an upsert commit additionally adds
@@ -244,15 +251,30 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         active_delete_files(out_dir, prev) if (prev and carry_deletes) else []
     )
     seen = {e["file"] for e in carried}
-    _write_snapshot_deletes(
-        out_dir, version,
-        carried + [e for e in (new_deletes or []) if e["file"] not in seen],
-        token,
-    )
-    fsio.write_parquet_atomic(table, f"{out_dir}/manifest/manifest.parquet",
-                              token=token)
-    fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
-                            str(version).encode(), token=token)
+    active = carried + [
+        e for e in (new_deletes or []) if e["file"] not in seen
+    ]
+    table = _with_deletes_meta(table, active)
+    # optimistic concurrency: the versioned manifest is CREATED, never
+    # overwritten — two writers racing to v{N} get exactly one winner,
+    # the loser surfaces instead of silently erasing the winner's commit
+    # (the Iceberg commit CAS). The delete set rides inside the created
+    # file, so the commit is ONE atomic object. Data commits do NOT
+    # auto-retry: the loser's partition placement was planned against a
+    # stale snapshot, so the safe reapply is the caller's own documented
+    # retry (re-run the append — it re-reads table state and mints fresh
+    # part ids).
+    try:
+        fsio.write_parquet_exclusive(
+            table, snapshot_manifest_path(out_dir, version), token=token
+        )
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot v{version} of {out_dir} was committed concurrently; "
+            "re-run this write against the new table state"
+        ) from None
+    _write_snapshot_deletes(out_dir, version, active, token)
+    _advance_current(out_dir, version, table, token)
     return {**totals, "dataset_sha256": dataset_h.hexdigest(),
             "n_partitions": len(by_part), "snapshot": version}
 
@@ -392,6 +414,45 @@ def _snapshot_deletes_path(out_dir: str, version: int) -> str:
     return f"{_snap_dir(out_dir)}/v{version:010d}.deletes.json"
 
 
+def _advance_current(out_dir: str, version: int, table: pa.Table,
+                     token: str) -> None:
+    """Publish ``table`` as the convenience current-manifest copy and
+    move the version hint — then SELF-HEAL: if a higher snapshot
+    committed while our copy/hint writes were in flight, re-publish that
+    snapshot's manifest so this call never leaves the copy regressed.
+    The copy and hint are advisory; correctness anchors on the immutable
+    ``snapshots/v{N}`` files plus the listing fallback in
+    :func:`current_snapshot`. The only staleness a crash here can leave
+    is a consistent OLDER snapshot in the copy (snapshot-isolation read,
+    never a torn one), repaired by the next commit."""
+    fsio.write_parquet_atomic(table, f"{out_dir}/manifest/manifest.parquet",
+                              token=token)
+    fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
+                            str(version).encode(), token=token)
+    cur = current_snapshot(out_dir)
+    if cur is not None and cur > version:
+        t = read_snapshot_manifest(out_dir, cur)
+        fsio.write_parquet_atomic(t, f"{out_dir}/manifest/manifest.parquet",
+                                  token=token)
+        fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
+                                str(cur).encode(), token=token)
+
+
+_DELETES_META_KEY = b"fhirflat.active_deletes"
+
+
+def _with_deletes_meta(table: pa.Table, files: list[dict]) -> pa.Table:
+    """Embed the active-delete list in the manifest parquet's key-value
+    metadata, so the snapshot's EXCLUSIVE create commits data + deletes
+    as one object — a racing writer can never observe a won version
+    whose delete set is still in flight (the sidecar, written after the
+    create, has exactly that window). Other metadata keys preserved;
+    a recommitted older manifest gets ITS key replaced."""
+    meta = dict(table.schema.metadata or {})
+    meta[_DELETES_META_KEY] = json.dumps(files).encode()
+    return table.replace_schema_metadata(meta)
+
+
 def _write_snapshot_deletes(out_dir: str, version: int,
                             files: list[dict], token: str) -> None:
     fsio.write_bytes_atomic(_snapshot_deletes_path(out_dir, version),
@@ -400,12 +461,24 @@ def _write_snapshot_deletes(out_dir: str, version: int,
 
 def active_delete_files(out_dir: str, version: int | None = None) -> list[dict]:
     """The equality-delete files a snapshot applies, newest-commit order:
-    ``[{"file": name, "column": key_col}, ...]``. Snapshots predating
-    the delete feature have no sidecar → empty set."""
+    ``[{"file": name, "column": key_col}, ...]``. Authoritative source =
+    the list embedded in the snapshot manifest's parquet metadata
+    (atomic with the commit); the json sidecar remains as the
+    inspection-friendly copy and the fallback for snapshots written
+    before the embedded form. Snapshots predating the delete feature
+    have neither → empty set."""
     if version is None:
         version = current_snapshot(out_dir)
     if version is None:
         return []
+    try:
+        meta = fsio.read_parquet_schema(
+            snapshot_manifest_path(out_dir, version)
+        ).metadata
+    except FileNotFoundError:
+        meta = None
+    if meta and _DELETES_META_KEY in meta:
+        return json.loads(meta[_DELETES_META_KEY])
     try:
         return json.loads(
             fsio.read_bytes(_snapshot_deletes_path(out_dir, version))
@@ -474,26 +547,45 @@ def delete_rows(spark: SparkSession, out_dir: str, column: str,
     prev = current_snapshot(out_dir)
     if prev is None:
         raise ValueError(f"{out_dir} has no committed snapshot")
-    version = prev + 1
+    import uuid
+
     token = str(os.getpid())
-    t = read_snapshot_manifest(out_dir, prev)
-    below = max((int(p) for p in t["part_id"].to_pylist()), default=-1) + 1
+    # keys file written ONCE, name uuid-disambiguated so a racing
+    # writer's file can never be overwritten — same pid, same stale
+    # version included (concurrent threads share both). Names are
+    # opaque: the sidecar entry, not the name, is what a snapshot
+    # applies; the version in the name is the first-attempt one,
+    # cosmetic only.
     dfile, n_keys = write_delete_keys(
-        spark, out_dir, column, values, f"d{version:010d}.parquet"
+        spark, out_dir, column, values,
+        f"d{prev + 1:010d}-{uuid.uuid4().hex[:12]}.parquet",
     )
-    fsio.write_parquet_atomic(t, snapshot_manifest_path(out_dir, version),
-                              token=token)
-    active = active_delete_files(out_dir, prev) + [
-        {"file": dfile, "column": column, "below_part": below}
-    ]
-    _write_snapshot_deletes(out_dir, version, active, token)
-    fsio.write_parquet_atomic(t, f"{out_dir}/manifest/manifest.parquet",
-                              token=token)
-    fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
-                            str(version).encode(), token=token)
-    return {"snapshot": version, "delete_file": dfile,
-            "n_keys": n_keys, "below_part": below,
-            "active_delete_files": len(active)}
+    # metadata-only commit: safe to auto-retry on conflict (the delete
+    # applies to whatever the current state is — re-reading prev and
+    # re-deriving scope is the correct reapply)
+    for _ in range(10):
+        prev = current_snapshot(out_dir)
+        version = prev + 1
+        t = read_snapshot_manifest(out_dir, prev)
+        below = max((int(p) for p in t["part_id"].to_pylist()), default=-1) + 1
+        active = active_delete_files(out_dir, prev) + [
+            {"file": dfile, "column": column, "below_part": below}
+        ]
+        t = _with_deletes_meta(t, active)
+        try:
+            fsio.write_parquet_exclusive(
+                t, snapshot_manifest_path(out_dir, version), token=token
+            )
+        except FileExistsError:
+            continue
+        _write_snapshot_deletes(out_dir, version, active, token)
+        _advance_current(out_dir, version, t, token)
+        return {"snapshot": version, "delete_file": dfile,
+                "n_keys": n_keys, "below_part": below,
+                "active_delete_files": len(active)}
+    raise CommitConflictError(
+        f"delete on {out_dir} lost 10 straight commit races"
+    )
 
 
 def copy_delete_file(src_dir: str, dst_dir: str, name: str) -> None:
@@ -562,18 +654,28 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     for name in fsio.list_files(stats_dir, suffix=".parquet"):
         if int(name[:-len(".parquet")]) > max_restored:
             fsio.delete_file(f"{stats_dir}/{name}")
-    new_version = (current_snapshot(out_dir) or 0) + 1
     token = str(os.getpid())
-    fsio.write_parquet_atomic(t, snapshot_manifest_path(out_dir, new_version),
-                              token=token)
     # the restored state includes its row-level delete set (a rollback
     # across a delete un-deletes; onto a deleted epoch re-deletes)
-    _write_snapshot_deletes(out_dir, new_version,
-                            active_delete_files(out_dir, version), token)
-    fsio.write_parquet_atomic(t, f"{out_dir}/manifest/manifest.parquet",
-                              token=token)
-    fsio.write_bytes_atomic(f"{_snap_dir(out_dir)}/version-hint.txt",
-                            str(new_version).encode(), token=token)
+    restored_deletes = active_delete_files(out_dir, version)
+    t = _with_deletes_meta(t, restored_deletes)
+    # metadata-only commit — retry version minting on a lost race (the
+    # restored state is the fixed target snapshot either way)
+    for _ in range(10):
+        new_version = (current_snapshot(out_dir) or 0) + 1
+        try:
+            fsio.write_parquet_exclusive(
+                t, snapshot_manifest_path(out_dir, new_version), token=token
+            )
+        except FileExistsError:
+            continue
+        break
+    else:
+        raise CommitConflictError(
+            f"rollback on {out_dir} lost 10 straight commit races"
+        )
+    _write_snapshot_deletes(out_dir, new_version, restored_deletes, token)
+    _advance_current(out_dir, new_version, t, token)
     summary = read_summary(spark, out_dir)
     sha = _sha_of_partition_shas(
         t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
