@@ -62,9 +62,13 @@ class CommitConflictError(RuntimeError):
     """Another writer committed a snapshot between this commit's read of
     the current version and its attempt to publish the next one. The
     in-flight commit published NOTHING (the versioned manifest is
-    created exclusively); the winner's snapshot is intact. Metadata-only
+    created exclusively); the winner's SNAPSHOT is intact. Metadata-only
     commits (delete_rows, rollback) retry internally; data commits
-    surface this so the caller re-plans against the new table state."""
+    surface this because their partition placement was planned on a
+    stale snapshot. Seeing this from an append means the single-data-
+    writer contract was violated (SCALE.md): run ``verify_table`` —
+    partition checksums flag any chunk files the losing write left in
+    partitions the winner committed — then re-run the append."""
 
 
 def _local(path: str) -> str:
