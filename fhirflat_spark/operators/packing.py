@@ -133,6 +133,93 @@ FROM c GROUP BY 1 ORDER BY bin_id
 """
 
 
+# --- sliding-window chunking: the complement of packing — packing
+#     assembles SHORT documents into full context windows, chunking
+#     splits LONG documents into overlapping windows (stride < window =
+#     token overlap so no boundary context is lost). Pure per-row
+#     projection (split → sequence → posexplode → slice), zero shuffle,
+#     zero Python — the cheapest possible plan shape; at 100 TB it
+#     pipelines inside the scan stage.
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str, window: int, stride: int
+) -> DataFrame:
+    """Split each document's whitespace tokens into sliding windows of
+    ``window`` tokens every ``stride`` tokens. Chunk count =
+    1 + ceil(max(n - window, 0) / stride): the last window always covers
+    the tail, a doc with n <= window yields exactly one chunk, and an
+    interior chunk overlaps its predecessor by window - stride tokens.
+    Output: input columns + (chunk_id, chunk_tokens, chunk_text)."""
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride ({stride}) <= window ({window})")
+    arr = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(arr)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - F.lit(window), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    exploded = df.select(
+        "*",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+            "chunk_id", "__start"
+        ),
+    )
+    tokens = F.slice(
+        F.split(F.lower(F.trim(text_col)), r"\s+"),
+        F.col("__start") * stride + 1,
+        window,
+    )
+    return (
+        exploded.withColumn("chunk_text", F.concat_ws(" ", tokens))
+        .withColumn("chunk_tokens", F.size(tokens))
+        .drop("__start")
+    )
+
+
+_WINDOW, _STRIDE = 16, 12
+
+
+def q_chunk_windows(spark, sf_dir):
+    """Every sliding-window chunk of every document, pinned by content
+    sha — an off-by-one in window starts, a lost tail, or a wrong
+    overlap changes some chunk's text and fails the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        chunk_documents(docs, "text", _WINDOW, _STRIDE)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_tokens",
+            F.sha2("chunk_text", 256).alias("chunk_sha"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+SQL_CHUNK_WINDOWS = rf"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, arr,
+         1 + (greatest(len(arr) - {_WINDOW}, 0) + {_STRIDE - 1})
+             // {_STRIDE} AS n_chunks
+  FROM arrs
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(arr[i * {_STRIDE} + 1 : i * {_STRIDE} + {_WINDOW}]) AS INT)
+           AS chunk_tokens,
+       sha256(array_to_string(
+           arr[i * {_STRIDE} + 1 : i * {_STRIDE} + {_WINDOW}], ' '))
+           AS chunk_sha
+FROM counts, LATERAL unnest(range(n_chunks)) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "pack_context_bins": (q_pack_bins, SQL_PACK_BINS),
+    "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
 }

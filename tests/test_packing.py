@@ -103,3 +103,62 @@ def test_prefix_sum_plan_never_single_partition(spark):
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan  # the global-window scale trap
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Union of [start, start+len) spans = [0, n) for every doc, interior
+    chunks overlap by exactly window - stride, and the final chunk always
+    reaches the last token."""
+    from fhirflat_spark.operators.packing import chunk_documents
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(50))),   # n > window, tail ragged
+        (2, " ".join(f"t{i}" for i in range(16))),   # n == window
+        (3, " ".join(f"t{i}" for i in range(7))),    # n < window
+        (4, "solo"),                                  # single token
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    rows = chunk_documents(df, "text", 16, 12).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts:
+        n = len(text.split())
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        assert chunks[0].chunk_id == 0
+        covered = set()
+        for c in chunks:
+            start = c.chunk_id * 12
+            assert c.chunk_tokens == min(16, n - start)
+            covered.update(range(start, start + c.chunk_tokens))
+        assert covered == set(range(n)), doc_id
+        if n <= 16:
+            assert len(chunks) == 1
+        else:
+            # interior overlap: each next chunk re-reads window-stride tokens
+            assert chunks[1].chunk_id * 12 < 16
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    from fhirflat_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", 8, 9)   # stride > window: gaps
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", 8, 0)
+
+
+def test_chunk_plan_no_shuffle_no_python(spark):
+    from fhirflat_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = chunk_documents(docs, "text", 16, 12)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan           # pure per-row projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
