@@ -363,8 +363,92 @@ GROUP BY token ORDER BY tf DESC, token LIMIT {VOCAB_TOPK}
 """
 
 
+# --- PII redaction: scrub emails / IPv4 / long ID-like digit runs -----
+#     Sequential regexp_replace projection — pure codegen, zero shuffle,
+#     zero Python; at 100 TB this pipelines inside the scan stage like
+#     every other per-row scrub. Counts are taken on the text each
+#     pattern actually sees (post prior replacements), so the numbers
+#     are exactly "occurrences redacted", not "occurrences in the raw
+#     text" — the two differ when an earlier token rewrite destroys a
+#     later match. Patterns are ASCII-safe in both Java regex (Spark)
+#     and RE2 (DuckDB): \b, \d, {m,n} behave identically on ASCII text.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,12}\b", "<ID>"),
+]
+
+
+def redact_pii(df, text_col: str = "text", out_col: str = "clean_text"):
+    """Add per-pattern redaction counts (``n_email``/``n_ipv4``/
+    ``n_idnum``) and the scrubbed text as ``out_col``. Replacement
+    tokens contain no digits or '@', so a rewrite can never create a
+    new match for a later pattern."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("int").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias(out_col))
+
+
+def q_pii_redaction(spark, sf_dir):
+    """Redaction counts + scrubbed-content sha per doc. The synthetic
+    corpus contains no natural PII, so the query first seeds each doc
+    with deterministic doc_id-derived PII (an email, an IPv4, a 9-digit
+    account number) — making every count non-zero and the content hash
+    sensitive to any replacement drift."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10.2."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 acct 123456789"),
+        ).alias("text"),
+    )
+    return (
+        redact_pii(seeded)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_idnum",
+            F.sha2("clean_text", 256).alias("clean_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pii_redaction() -> str:
+    cols, cur = [], "text"
+    for name, pat, token in PII_PATTERNS:
+        cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    counts = ",\n       ".join(cols)
+    return rf"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com at 10.2.'
+              || (doc_id % 250) || '.7 acct 123456789' AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       sha256({cur}) AS clean_sha
+FROM seeded ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "pii_redaction": (q_pii_redaction, _sql_pii_redaction()),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, _sql_lang_id()),
