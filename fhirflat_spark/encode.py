@@ -413,7 +413,8 @@ def _bq(c: str):  # flat tables may carry dotted names (period.start)
 
 def _salted_prelude(df: DataFrame, rows_per_bucket: int,
                     num_partitions: int | None, salt_col: str | None,
-                    key_counts: list[tuple] | None):
+                    key_counts: list[tuple] | None,
+                    weight_col: str | None = None):
     """Shared skew-plan prelude: sentinel salt key + driver-side bucket
     allocation. Returns ``None`` when there is no salt column (caller
     falls back to a plain repartition), else a dict with the salted
@@ -447,7 +448,31 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
     # ``key_counts`` lets callers supply maintained table statistics
     # (the Iceberg partition-stats pattern) instead of rescanning.
     caller_counts = key_counts is not None
-    if key_counts is None:
+    if key_counts is None and weight_col is not None:
+        # byte-weighted placement: bucket allocation follows each key's
+        # PAYLOAD BYTES, not its row count. Row counts under-provision a
+        # repo of few giant files (and over-provision many tiny ones) —
+        # at 10^12-file scale that is the straggler/OOM skew that row
+        # counting cannot see. Weights are rescaled to "equivalent rows"
+        # (key_bytes × total_rows / total_bytes) so ``rows_per_bucket``
+        # keeps its meaning and total bucket count stays comparable.
+        # Same single pruned scan (count + sum(length) partials).
+        agg = df.groupBy("__skey").agg(
+            F.count("*").alias("count"),
+            F.coalesce(F.sum(F.length(_bq(weight_col))), F.lit(0)).alias("wbytes"),
+        ).collect()
+        total_rows = sum(r["count"] for r in agg) or 1
+        total_bytes = sum(r["wbytes"] for r in agg)
+        if total_bytes > 0:
+            key_counts = [
+                # all-NULL-payload keys fall back to their row count
+                (r[0], max(1, round(r["wbytes"] * total_rows / total_bytes))
+                 if r["wbytes"] > 0 else r["count"])
+                for r in agg
+            ]
+        else:  # weight column empty/NULL everywhere: behave like rows
+            key_counts = [(r[0], r["count"]) for r in agg]
+    elif key_counts is None:
         key_counts = [
             (r[0], r["count"]) for r in df.groupBy("__skey").count().collect()
         ]
@@ -572,7 +597,8 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
                 salt_col: str | None = "repo",
                 sort_cols: list[str] | None = None,
                 key_counts: list[tuple] | None = None,
-                stats_out: dict | None = None) -> tuple[DataFrame, int]:
+                stats_out: dict | None = None,
+                weight_col: str | None = None) -> tuple[DataFrame, int]:
     """Skew-defusing salted repartition + in-partition sort (the legacy
     row-shuffle encode plan; see ``plan_partition_ids`` for the
     blob-shuffle variant). Tables without the salt column fall back to a
@@ -596,7 +622,8 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
             out = out.sortWithinPartitions(*[_bq(c) for c in sort_cols])
         return out, P
 
-    pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col, key_counts)
+    pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col,
+                          key_counts, weight_col=weight_col)
     _capture_plan_stats(stats_out, pre)
     if pre["empty"]:
         P = num_partitions or 1
@@ -641,7 +668,8 @@ def plan_partition_ids(df: DataFrame, rows_per_bucket: int = 250_000,
                        num_partitions: int | None = None,
                        salt_col: str | None = "repo",
                        key_counts: list[tuple] | None = None,
-                       stats_out: dict | None = None) -> tuple[DataFrame, int]:
+                       stats_out: dict | None = None,
+                       weight_col: str | None = None) -> tuple[DataFrame, int]:
     """Skew plan for the blob-shuffle encode path: NO exchange — returns
     ``df`` plus an ``__pb`` int column (target partition index, 0..P-1)
     computed entirely map-side (broadcast joins + hash expressions).
@@ -665,7 +693,8 @@ def plan_partition_ids(df: DataFrame, rows_per_bucket: int = 250_000,
             F.pmod(F.xxhash64(*[_bq(c) for c in df.columns[:3]]), F.lit(P)).cast("int"),
         ), P
 
-    pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col, key_counts)
+    pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col,
+                          key_counts, weight_col=weight_col)
     _capture_plan_stats(stats_out, pre)
     if pre["empty"]:
         P = num_partitions or 1
@@ -908,6 +937,7 @@ def encode_table(
     max_new_partitions: int | None = None,
     bloom_columns: list[str] | None = None,
     delete_keys: tuple | None = None,
+    weight_col: str | None = None,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -922,6 +952,13 @@ def encode_table(
     regardless of input layout. ``shuffle="auto"`` runs
     ``detect_clustering`` (one pruned scan) and picks the layout-
     preserving mode when the input is already clustered.
+
+    ``weight_col`` (opt-in, e.g. ``"content"``): bucket allocation per
+    salt key follows that column's total BYTES instead of row counts —
+    bounds partition payload size when file sizes vary wildly across
+    repos (row counts under-provision a repo of few giant files, the
+    straggler/OOM skew a 10^12-file corpus actually has). Same single
+    counting scan; ignored when ``key_counts`` is caller-supplied.
 
     ``shuffle="blob"`` is the experimental pre-pack path: rows are
     grouped per target partition map-side and shuffled as Arrow-IPC
@@ -1029,7 +1066,7 @@ def encode_table(
         # the few fat blob rows, reassemble+sort+encode post-shuffle.
         bucketed, P = plan_partition_ids(
             df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
-            key_counts=key_counts, stats_out=plan_stats,
+            key_counts=key_counts, stats_out=plan_stats, weight_col=weight_col,
         )
         bucketed = bucketed.select(
             *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)],
@@ -1070,7 +1107,7 @@ def encode_table(
             salted, P = plan_salted(
                 df, rows_per_bucket=rows_per_bucket,
                 num_partitions=num_partitions, key_counts=key_counts,
-                stats_out=plan_stats,
+                stats_out=plan_stats, weight_col=weight_col,
             )
         else:  # layout-preserving: encode splits in place, no exchange
             salted = df
