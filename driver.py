@@ -60,7 +60,8 @@ def main() -> None:
     dec.add_argument("--out", required=True)
     dec.add_argument("--show", type=int, default=5)
     dec.add_argument("--columns", help="comma-separated subset (IO-pruned selective decode)")
-    dec.add_argument("--snapshot", type=int, help="time-travel to this snapshot version")
+    dec.add_argument("--snapshot",
+                     help="time-travel to this snapshot version or tag name")
 
     dlt = sub.add_parser("delete", help="row-level delete by key equality (no chunk rewrite)")
     dlt.add_argument("--out", required=True)
@@ -80,6 +81,11 @@ def main() -> None:
                      help="restore snapshot V as a new commit")
     snp.add_argument("--expire-keep", type=int, metavar="N",
                      help="drop all but the newest N snapshots")
+    snp.add_argument("--tag", metavar="NAME",
+                     help="tag a snapshot (default: current; use --at V)")
+    snp.add_argument("--at", type=int, metavar="V",
+                     help="snapshot version for --tag (default: current)")
+    snp.add_argument("--drop-tag", metavar="NAME", dest="drop_tag")
     snp.add_argument("--vacuum", action="store_true",
                      help="delete chunk partitions no retained snapshot references")
 
@@ -187,6 +193,11 @@ def main() -> None:
         out = {}
         if args.rollback is not None:
             out["rollback"] = M.rollback(spark, args.out, args.rollback)
+        if args.tag:
+            out["tagged"] = {args.tag: M.create_tag(args.out, args.tag, args.at)}
+        if args.drop_tag:
+            M.drop_tag(args.out, args.drop_tag)
+            out["dropped_tag"] = args.drop_tag
         if args.expire_keep is not None:
             out["expired"] = M.expire_snapshots(args.out, keep_last=args.expire_keep)
         if args.vacuum:
@@ -194,6 +205,7 @@ def main() -> None:
         out["snapshots"] = [
             r.asDict() for r in M.list_snapshots(spark, args.out).collect()
         ]
+        out["tags"] = M.list_refs(args.out)
         print(json.dumps(out))
     elif args.cmd == "changes":
         from pyspark.sql import functions as F

@@ -208,7 +208,7 @@ def decode_table(spark: SparkSession, out_dir: str,
                  key_range: tuple[str, str] | None = None,
                  zone_filter: tuple | None = None,
                  point_filter: tuple | None = None,
-                 snapshot: int | None = None) -> DataFrame:
+                 snapshot: int | str | None = None) -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
 
     ``part_ids`` prunes to specific partitions — parquet partition pruning
@@ -230,6 +230,8 @@ def decode_table(spark: SparkSession, out_dir: str,
     top). ``snapshot=N`` time-travels: only the partitions that historical
     snapshot committed are read (partition-directory pruning — committed
     partitions are immutable, so the old part-id set IS the old table).
+    A string ``snapshot`` that is not an int resolves as a TAG name
+    (``manifest.create_tag``).
 
     The table IS what the manifest says: decode always prunes to the
     manifest's ok partitions (as contiguous part-id ranges — a handful
@@ -238,13 +240,18 @@ def decode_table(spark: SparkSession, out_dir: str,
     orphaned, or a crashed run half-wrote, are thereby invisible to
     readers even before ``vacuum`` reclaims them.
     """
-    from fhirflat_spark.manifest import read_summary, snapshot_part_ids
+    from fhirflat_spark.manifest import (
+        read_summary,
+        resolve_snapshot,
+        snapshot_part_ids,
+    )
 
     from fhirflat_spark.encode import chunk_schema
 
     summary = read_summary(spark, out_dir)
     _check_version(summary)
     if snapshot is not None:
+        snapshot = resolve_snapshot(out_dir, snapshot)
         snap_ids = snapshot_part_ids(out_dir, snapshot)
         part_ids = (
             snap_ids if part_ids is None

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from collections import defaultdict
 
 import pyarrow as pa
@@ -403,6 +404,78 @@ def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+# --- snapshot tags (Iceberg refs analog): a tag is a named, immutable
+# pointer to a snapshot version, stored in ONE refs.json under the
+# snapshot dir. Tags protect their snapshot from expire_snapshots (and
+# therefore from vacuum, which only reclaims what no retained snapshot
+# references) — the "keep the quarterly training-corpus cut forever"
+# retention story. Tag writes are atomic metadata replaces; like data
+# commits they assume the documented single-writer contract (SCALE.md)
+# for concurrent MUTATION, while readers always see a complete refs file.
+
+_TAG_NAME_OK = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _refs_path(out_dir: str) -> str:
+    return f"{_snap_dir(out_dir)}/refs.json"
+
+
+def list_refs(out_dir: str) -> dict[str, int]:
+    """Tag name → snapshot version. Empty dict for an untagged table."""
+    try:
+        return {
+            str(k): int(v)
+            for k, v in json.loads(fsio.read_bytes(_refs_path(out_dir))).items()
+        }
+    except FileNotFoundError:
+        return {}
+
+
+def create_tag(out_dir: str, name: str, snapshot: int | None = None) -> int:
+    """Tag ``snapshot`` (default: current) as ``name``. Idempotent when
+    re-tagging the same version; refuses to move an existing tag (drop
+    it first — tags are immutable pointers, not branches)."""
+    if not _TAG_NAME_OK.match(name or ""):
+        raise ValueError(f"invalid tag name: {name!r}")
+    if snapshot is None:
+        snapshot = current_snapshot(out_dir)
+    if snapshot is None or snapshot not in _snapshot_versions(out_dir):
+        raise ValueError(f"no such snapshot to tag: {snapshot}")
+    refs = list_refs(out_dir)
+    if name in refs and refs[name] != snapshot:
+        raise ValueError(
+            f"tag {name!r} already points at v{refs[name]}; drop it first"
+        )
+    refs[name] = int(snapshot)
+    fsio.write_bytes_atomic(
+        _refs_path(out_dir), json.dumps(refs, sort_keys=True).encode()
+    )
+    return int(snapshot)
+
+
+def drop_tag(out_dir: str, name: str) -> None:
+    refs = list_refs(out_dir)
+    if name not in refs:
+        raise ValueError(f"no such tag: {name!r}")
+    del refs[name]
+    fsio.write_bytes_atomic(
+        _refs_path(out_dir), json.dumps(refs, sort_keys=True).encode()
+    )
+
+
+def resolve_snapshot(out_dir: str, snapshot: int | str) -> int:
+    """Version as-is for ints / int-strings, else a tag-name lookup."""
+    if isinstance(snapshot, str):
+        try:
+            return int(snapshot)
+        except ValueError:
+            refs = list_refs(out_dir)
+            if snapshot not in refs:
+                raise ValueError(f"no such snapshot tag: {snapshot!r}")
+            return refs[snapshot]
+    return int(snapshot)
+
+
 # --- row-level deletes (Iceberg v2 equality-delete analog): a delete
 # commits a small keys file + a new snapshot whose manifest is the
 # UNCHANGED partition set — no chunk bytes move at any table size.
@@ -699,13 +772,15 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
 
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshot manifests (the
-    current snapshot always survives). Returns the expired versions;
-    follow with ``vacuum`` to reclaim newly-unreferenced chunk files."""
+    current snapshot and every TAGGED snapshot always survive — drop the
+    tag to release it). Returns the expired versions; follow with
+    ``vacuum`` to reclaim newly-unreferenced chunk files."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _snapshot_versions(out_dir)
     cur = current_snapshot(out_dir)
-    expired = [v for v in versions[:-keep_last] if v != cur]
+    tagged = set(list_refs(out_dir).values())
+    expired = [v for v in versions[:-keep_last] if v != cur and v not in tagged]
     for v in expired:
         fsio.delete_file(snapshot_manifest_path(out_dir, v))
         fsio.delete_file(_snapshot_deletes_path(out_dir, v))

@@ -180,7 +180,10 @@ def _plan(options) -> dict:
         type_of = {c: T.StringType() for c in all_cols}
 
     snapshot = options.get("snapshot")
-    snapshot = int(snapshot) if snapshot is not None else None
+    if snapshot is not None:  # int version or tag name (manifest refs)
+        from fhirflat_spark.manifest import resolve_snapshot
+
+        snapshot = resolve_snapshot(path, snapshot)
     chunks_of: dict[int, int] = {}
     if snapshot is not None:
         from fhirflat_spark.manifest import read_snapshot_manifest

@@ -198,3 +198,72 @@ def test_fresh_encode_resets_snapshot_history(spark, docs, tmp_path):
     # overwrite = a new table: exactly one snapshot, version restarts
     assert current_snapshot(out) == 1
     assert list_snapshots(spark, out).count() == 1
+
+
+# ---------------------------------------------------------------- tags
+
+
+def test_tag_create_resolve_decode(spark, ds):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.manifest import create_tag, list_refs, resolve_snapshot
+
+    out, base, delta = ds
+    assert create_tag(out, "corpus-v1", 1) == 1
+    assert create_tag(out, "latest.cut") == 2  # default = current
+    assert list_refs(out) == {"corpus-v1": 1, "latest.cut": 2}
+    assert resolve_snapshot(out, "corpus-v1") == 1
+    assert resolve_snapshot(out, "2") == 2  # int-string stays a version
+    assert _same_rows(decode_table(spark, out, snapshot="corpus-v1"), base)
+    assert _same_rows(
+        decode_table(spark, out, snapshot="latest.cut"),
+        base.unionByName(delta),
+    )
+    # named source honors tag options too
+    from fhirflat_spark.sources.datasource import register
+
+    register(spark)
+    via_source = (
+        spark.read.format("fhirflat")
+        .option("snapshot", "corpus-v1")
+        .load(out)
+    )
+    assert _same_rows(via_source.select(*base.columns), base)
+
+
+def test_tags_are_immutable_and_validated(spark, ds):
+    from fhirflat_spark.manifest import create_tag, drop_tag, resolve_snapshot
+
+    out, _, _ = ds
+    create_tag(out, "pin", 1)
+    create_tag(out, "pin", 1)  # idempotent re-tag of the same version
+    with pytest.raises(ValueError, match="drop it first"):
+        create_tag(out, "pin", 2)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        create_tag(out, "bad name!", 1)
+    with pytest.raises(ValueError, match="no such snapshot to tag"):
+        create_tag(out, "ghost", 99)
+    with pytest.raises(ValueError, match="no such snapshot tag"):
+        resolve_snapshot(out, "never-made")
+    with pytest.raises(ValueError, match="no such tag"):
+        drop_tag(out, "never-made")
+
+
+def test_tagged_snapshot_survives_expiry(spark, ds):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.manifest import (
+        create_tag,
+        drop_tag,
+        expire_snapshots,
+        list_snapshots,
+    )
+
+    out, base, _ = ds
+    create_tag(out, "keep-forever", 1)
+    assert expire_snapshots(out, keep_last=1) == []  # tag protects v1
+    versions = [r["version"] for r in list_snapshots(spark, out).collect()]
+    assert versions == [1, 2]
+    assert _same_rows(decode_table(spark, out, snapshot="keep-forever"), base)
+    drop_tag(out, "keep-forever")
+    assert expire_snapshots(out, keep_last=1) == [1]  # released
+    versions = [r["version"] for r in list_snapshots(spark, out).collect()]
+    assert versions == [2]
