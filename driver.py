@@ -41,6 +41,9 @@ def main() -> None:
     enc.add_argument("--rows-per-bucket", type=int, default=250_000)
     enc.add_argument("--resume", action="store_true")
     enc.add_argument("--profile", choices=["balanced", "archive"], default="balanced")
+    enc.add_argument("--weight-col", dest="weight_col",
+                     help="allocate buckets by this column's bytes, not "
+                          "row counts (file-size-skew placement)")
     enc.add_argument("--shuffle", choices=["true", "false", "auto", "blob"], default="true",
                      help="auto = skip the exchange when input is already clustered")
 
@@ -131,7 +134,7 @@ def main() -> None:
         shuffle = {"true": True, "false": False, "auto": "auto", "blob": "blob"}[args.shuffle]
         res = encode_table(df, args.out, rows_per_bucket=args.rows_per_bucket,
                            resume=args.resume, profile=args.profile,
-                           shuffle=shuffle)
+                           shuffle=shuffle, weight_col=args.weight_col)
         print(json.dumps({
             "rows": res.rows, "raw_bytes": res.raw_bytes,
             "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),

@@ -1195,6 +1195,7 @@ def append_table(
     shuffle: bool | str = True,
     profile: str = "balanced",
     delete_keys: tuple | None = None,
+    weight_col: str | None = None,
 ) -> EncodeResult:
     """Incrementally append ``df`` to an EXISTING encoded dataset — the
     daily-ingest pattern at 100 TB: new rows become NEW partitions
@@ -1283,7 +1284,7 @@ def append_table(
     top = max([*existing, *all_snapshot_part_ids(out_dir)], default=None)
     offset = (top + 1) if top is not None else 0
     delta_stats: list[tuple] | None = None
-    if key_counts is None and "repo" in df.columns:
+    if key_counts is None and "repo" in df.columns and weight_col is None:
         delta_stats = [
             (r[0], r["count"]) for r in df.groupBy("repo").count().collect()
         ]
@@ -1297,6 +1298,10 @@ def append_table(
         bloom_columns=[c for c in summary.get("bloom_columns", ())
                        if c in df.columns],
         delete_keys=delete_keys,
+        # byte-weighted delta placement: the planner runs its own
+        # count+sum scan; row-count stats are NOT persisted for weighted
+        # appends (equivalent-row weights would pollute merged row totals)
+        weight_col=weight_col,
         # a RETRIED append reuses the same offset (the manifest was not
         # merged before the crash); dynamic partition overwrite makes the
         # retry replace exactly its own partition dirs instead of

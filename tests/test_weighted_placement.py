@@ -93,3 +93,22 @@ def test_null_weight_column_falls_back_to_rows(spark):
     plan_salted(df, rows_per_bucket=50, stats_out=stats, weight_col="content")
     # all-NULL weights: planner must not collapse to zero buckets
     assert dict(stats["key_counts"])["v:r"] == 200
+
+
+def test_weighted_append_roundtrip(spark, tmp_path):
+    from fhirflat_spark.encode import append_table
+
+    df = _skewed(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=1000, weight_col="content")
+    delta = _skewed(spark).withColumn(
+        "path", F.concat(F.lit("v2/"), F.col("path"))
+    )
+    append_table(delta, out, rows_per_bucket=1000, weight_col="content")
+    both = df.unionByName(delta)
+    assert (
+        verify_against_source(
+            both, decode_table(spark, out), ["repo", "path", "commit"]
+        ).count()
+        == 0
+    )
