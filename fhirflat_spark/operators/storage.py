@@ -794,8 +794,54 @@ FROM ch GROUP BY _change_type, lang ORDER BY _change_type, lang
 """
 
 
+def q_dedup_index_refresh(spark, sf_dir):
+    """Incremental dedup-index maintenance (dedup_index.py) proven
+    equal to a full recompute: build the MinHash index at snapshot 1
+    (even doc_ids), refresh it through the changelog to snapshot 2
+    (odds appended), and return every signature + its batch provenance.
+    The oracle recomputes the signatures over the WHOLE corpus in SQL —
+    any drift between the incremental merge and a from-scratch build
+    (a lost doc, a stale signature, wrong batch attribution) mismatches.
+    Portable sha hasher (DuckDB has no xxhash64)."""
+    import tempfile
+
+    from fhirflat_spark.dedup_index import (
+        build_dedup_index,
+        read_dedup_index,
+        refresh_dedup_index,
+    )
+
+    out = _encoded_documents_versioned(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="fhirflat_spark_dedupidx_") + "/idx"
+    build_dedup_index(spark, out, idx, hasher="sha", snapshot=1)
+    refresh_dedup_index(spark, out, idx)
+    sigs = read_dedup_index(spark, idx)
+    from fhirflat_spark.operators.dedup import N_HASHES
+
+    return sigs.select(
+        "doc_id",
+        *[f"mh{i}" for i in range(N_HASHES)],
+        "batch_snapshot",
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_index_refresh() -> str:
+    from fhirflat_spark.operators.dedup import _sql_min_exprs, _sql_tokens
+
+    mins = ",\n       ".join(_sql_min_exprs())
+    return f"""
+WITH toks AS ({_sql_tokens()})
+SELECT doc_id,
+       {mins},
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+           AS batch_snapshot
+FROM toks GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
+    "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),
     "time_travel_snapshot": (q_time_travel, SQL_TIME_TRAVEL),
