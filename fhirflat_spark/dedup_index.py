@@ -96,8 +96,17 @@ def build_dedup_index(
         "batch_snapshot", F.lit(v)
     )
     sigs.write.mode("overwrite").parquet(f"{index_dir}/v{v}")
+    from fhirflat_spark.manifest import read_summary
+
     meta = {"snapshot": v, "key_col": key_col, "text_col": text_col,
-            "hasher": hasher}
+            "hasher": hasher,
+            # table identity at (or after) the pinned snapshot — lets
+            # refresh detect a history RESET (maintain_table's
+            # compaction swap renumbers snapshots) and rebuild instead
+            # of mis-reading the new lineage as a delta
+            "dataset_sha256": read_summary(spark, table_dir).get(
+                "dataset_sha256"
+            )}
     fsio.write_bytes_atomic(
         _meta_path(index_dir), json.dumps(meta).encode(),
         token=str(os.getpid()),
@@ -117,14 +126,34 @@ def refresh_dedup_index(
     """Advance the index to the table's current snapshot: sign inserted
     docs, drop deleted keys, merge. No-op when already current.
     Refresh ≡ rebuild (bit-equal signatures) because a signature depends
-    only on its own document's text."""
+    only on its own document's text. A history RESET (compaction swap /
+    fresh re-encode — detected via snapshot regression or a changed
+    dataset checksum at an unchanged version) falls back to a full
+    rebuild: provenance restarts, so the next ``new_duplicate_pairs``
+    re-reports the whole corpus once (safe — dedup is idempotent)."""
     from fhirflat_spark.changes import CHANGE_COL, table_changes
     from fhirflat_spark.manifest import current_snapshot
+
+    from fhirflat_spark.manifest import read_summary
 
     meta = json.loads(fsio.read_bytes(_meta_path(index_dir)))
     key_col = meta["key_col"]
     frm, to = meta["snapshot"], current_snapshot(table_dir)
-    if to == frm:
+    cur_sha = read_summary(spark, table_dir).get("dataset_sha256")
+    if to == frm and cur_sha == meta.get("dataset_sha256"):
+        return meta
+    if to is None or to < frm or to == frm:
+        # history RESET, not a delta: a compaction swap (maintain_table)
+        # or fresh re-encode renumbers snapshots from 1 — the recorded
+        # version no longer names a manifest in this lineage. Rebuild
+        # (one full scan — exactly what a reset costs by definition).
+        old = f"{index_dir}/v{frm}"
+        meta = build_dedup_index(
+            spark, table_dir, index_dir, key_col=key_col,
+            text_col=meta["text_col"], hasher=meta["hasher"],
+        )
+        if not keep_old and frm != meta["snapshot"]:
+            fsio.delete_dir(old)
         return meta
     ch = table_changes(spark, table_dir, frm, to)
     new_sigs = signatures_of(
@@ -142,6 +171,7 @@ def refresh_dedup_index(
         f"{index_dir}/v{to}"
     )
     meta["snapshot"] = to
+    meta["dataset_sha256"] = cur_sha
     fsio.write_bytes_atomic(
         _meta_path(index_dir), json.dumps(meta).encode(),
         token=str(os.getpid()),

@@ -103,3 +103,26 @@ def test_pair_plan_no_cartesian_no_python(spark, docs, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_refresh_after_compaction_reset_rebuilds(spark, docs, tmp_path):
+    """A compaction swap renumbers snapshots (the new lineage starts at
+    v1 < the index's pinned version): refresh must detect the reset and
+    rebuild rather than mis-read the new history as a delta. Signatures
+    stay equal (same logical rows); provenance restarts at the new v1."""
+    from fhirflat_spark.decode import compact_table
+    from fhirflat_spark.encode import append_table, encode_table
+
+    out, dst, idx = (str(tmp_path / n) for n in ("ds", "compacted", "idx"))
+    encode_table(docs.where(F.col("doc_id") % 2 == 0), out,
+                 rows_per_bucket=1000)
+    append_table(docs.where(F.col("doc_id") % 2 == 1), out,
+                 rows_per_bucket=1000)
+    build_dedup_index(spark, out, idx)   # pinned at snapshot 2
+    before = _rows(read_dedup_index(spark, idx).drop("batch_snapshot"))
+    compact_table(spark, out, dst, rows_per_bucket=4000)
+    meta = refresh_dedup_index(spark, dst, idx)  # caller swapped dirs
+    assert meta["snapshot"] == 1  # rebuilt against the reset lineage
+    after = read_dedup_index(spark, idx)
+    assert _rows(after.drop("batch_snapshot")) == before
+    assert after.where(F.col("batch_snapshot") != 1).count() == 0
