@@ -168,13 +168,17 @@ def test_streaming_tail_with_restart(spark, docs, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     encode_table(docs.where(F.col("doc_id") < 100), out, rows_per_bucket=50)
     register(spark)
-    seen: list[tuple[int, int]] = []
+    # keyed by epoch id: stop() can land between a micro-batch running and
+    # its offset commit, so a restart legally RE-RUNS that epoch (at-least-
+    # once). Epoch ids are stable across the re-run — dedupe on them, the
+    # documented foreachBatch exactly-once idiom.
+    seen: dict[int, int] = {}
 
-    def run_until(target_total, timeout=60):
+    def run_until(target_total, timeout=120):
         q = (
             spark.readStream.format("fhirflat").option("path", out).load()
             .writeStream.foreachBatch(
-                lambda df, epoch: seen.append((epoch, df.count()))
+                lambda df, epoch: seen.__setitem__(epoch, df.count())
             )
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="1 seconds")
@@ -182,18 +186,18 @@ def test_streaming_tail_with_restart(spark, docs, tmp_path):
         )
         deadline = time.time() + timeout
         while time.time() < deadline:
-            if sum(n for _, n in seen) >= target_total:
+            if sum(seen.values()) >= target_total:
                 break
             time.sleep(0.5)
         q.stop()
         q.awaitTermination(30)
 
     run_until(100)
-    assert sum(n for _, n in seen) == 100
+    assert sum(seen.values()) == 100
     append_table(docs.where(F.col("doc_id").between(100, 159)), out,
                  rows_per_bucket=50)
-    run_until(160)  # restart: only the 60 new rows arrive
-    assert sum(n for _, n in seen) == 160
+    run_until(160)  # restart: only the 60 new rows arrive (per epoch)
+    assert sum(seen.values()) == 160
 
 
 def test_table_changes_fast_path_upsert(spark, ds_dir, docs):
