@@ -404,6 +404,76 @@ def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def aggregate_from_metadata(out_dir: str, columns: list[str],
+                            snapshot: int | str | None = None):
+    """count(*) + per-column min/max answered from the snapshot manifest
+    ALONE — zero chunk IO (the Iceberg metadata-only-scan analog). At
+    100 TB this turns a full-table aggregate into one small-parquet read.
+
+    Returns ``{"rows": n, "min": {col: v}, "max": {col: v}}``, or None
+    whenever the manifest cannot answer EXACTLY, in which case the
+    caller must scan:
+
+    - active equality-deletes at the snapshot (stats predate them);
+    - a non-numeric column (string zone bounds are truncated
+      prefix/successor bounds — valid for pruning, not exact extrema);
+    - a live non-empty partition without a recorded zone for the column
+      (all-NULL or non-finite-float chunks skip zones; schema-evolved
+      partitions predate the column).
+
+    Numeric zones are exact chunk min/max (``encode._zone_bounds``),
+    merged per-partition only when EVERY chunk bounded the column
+    (``_merge_chunk_zones``), so min-of-mins / max-of-maxes here is
+    exact. ``snapshot`` accepts a version or tag name; None = current.
+    """
+    version = (
+        resolve_snapshot(out_dir, snapshot) if snapshot is not None
+        else current_snapshot(out_dir)
+    )
+    if version is None:
+        return None
+    if active_delete_files(out_dir, version):
+        return None
+    summary = json.loads(fsio.read_bytes(f"{out_dir}/_SUMMARY.json"))
+    numeric_ok = set()
+    if summary.get("spark_schema"):
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                       T.IntegerType, T.LongType,
+                                       T.FloatType, T.DoubleType)):
+                numeric_ok.add(f.name)
+    if any(c not in numeric_ok for c in columns):
+        return None
+    t = read_snapshot_manifest(out_dir, version)
+    if "col_zones" not in t.schema.names:
+        return None  # pre-zone manifest: bounds were never recorded
+    total = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for n_rows, status, zjson in zip(
+        t["rows"].to_pylist(), t["status"].to_pylist(),
+        t["col_zones"].to_pylist(),
+    ):
+        if status != "ok":
+            continue
+        total += n_rows
+        if n_rows == 0:
+            continue
+        zones = json.loads(zjson) if zjson else {}
+        for c in columns:
+            z = zones.get(c)
+            if z is None:
+                return None  # unbounded partition: manifest can't answer
+            mins[c] = z[0] if c not in mins else min(mins[c], z[0])
+            maxs[c] = z[1] if c not in maxs else max(maxs[c], z[1])
+    if columns and total and (set(mins) != set(columns)):
+        return None
+    return {"rows": total, "min": mins, "max": maxs}
+
+
 # --- snapshot tags (Iceberg refs analog): a tag is a named, immutable
 # pointer to a snapshot version, stored in ONE refs.json under the
 # snapshot dir. Tags protect their snapshot from expire_snapshots (and

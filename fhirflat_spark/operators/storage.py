@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 # doc_id range chosen to span multiple chunks but prune most at any sf
 ZONE_LO, ZONE_HI = 100, 500
 
+# bump on METADATA-layer changes that don't move chunk bytes (and so
+# don't bump FORMAT_VERSION) but that cached-dataset consumers depend
+# on — e.g. manifest col_zones, the snapshot log. A stale epoch misses
+# the cache instead of silently serving a dataset missing the feature.
+CACHE_EPOCH = 2
+
 
 def _cached_dataset(spark, sf_dir: str, tag: str, build_fn) -> str:
     """Build an encoded dataset once per (tag, sf label, FORMAT_VERSION)
@@ -39,10 +45,21 @@ def _cached_dataset(spark, sf_dir: str, tag: str, build_fn) -> str:
 
     label = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(
-        tempfile.gettempdir(), f"fhirflat_spark_{tag}_{label}_v{FORMAT_VERSION}"
+        tempfile.gettempdir(),
+        f"fhirflat_spark_{tag}_{label}_v{FORMAT_VERSION}.{CACHE_EPOCH}",
     )
     out = os.path.join(root, "ds")
-    if not os.path.exists(os.path.join(out, "_SUMMARY.json")):
+
+    def _valid(path):
+        # a complete dataset has both the summary AND a committed
+        # snapshot log — a cache built before the snapshot layer landed
+        # (same FORMAT_VERSION: the chunk bytes didn't change) has no
+        # snapshots and would break time-travel/metadata-only callers
+        return os.path.exists(os.path.join(path, "_SUMMARY.json")) and \
+            os.path.exists(os.path.join(path, "snapshots", "version-hint.txt"))
+
+    if not _valid(out):
+        shutil.rmtree(root, ignore_errors=True)
         build = os.path.join(root, f".build.{os.getpid()}")
         shutil.rmtree(build, ignore_errors=True)
         build_fn(os.path.join(build, "ds"))
@@ -58,7 +75,7 @@ def _cached_dataset(spark, sf_dir: str, tag: str, build_fn) -> str:
                 shutil.rmtree(build, ignore_errors=True)
                 raise
         shutil.rmtree(build, ignore_errors=True)
-    if not os.path.exists(os.path.join(out, "_SUMMARY.json")):
+    if not _valid(out):
         raise RuntimeError(f"{tag} cache build failed to produce {out}")
     return out
 
@@ -839,8 +856,53 @@ FROM toks GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_metadata_only_aggregate(spark, sf_dir):
+    """count(*)/min/max answered from the snapshot manifest ALONE — no
+    chunk payload is opened (the Iceberg metadata-only-scan analog; at
+    100 TB the whole aggregate is one small-parquet manifest read).
+
+    Raises rather than falling back: the encoded documents table has no
+    deletes and both columns are int64 with zones in every partition, so
+    an unservable manifest here means the stats pipeline regressed —
+    exactly what this oracle exists to catch.
+    ``tests/test_metadata_agg.py`` proves the no-IO claim by deleting
+    the chunk payloads and re-answering."""
+    from fhirflat_spark.manifest import aggregate_from_metadata
+
+    out = _encoded_documents(spark, sf_dir)
+    agg = aggregate_from_metadata(out, ["doc_id", "n_chars"])
+    if agg is None:
+        raise RuntimeError(
+            "metadata-only aggregate unservable on a clean encoded table"
+        )
+    row = (
+        agg["rows"],
+        agg["min"]["doc_id"], agg["max"]["doc_id"],
+        agg["min"]["n_chars"], agg["max"]["n_chars"],
+    )
+    return spark.createDataFrame(
+        [row],
+        "cnt BIGINT, min_doc_id BIGINT, max_doc_id BIGINT, "
+        "min_n_chars BIGINT, max_n_chars BIGINT",
+    )
+
+
+SQL_METADATA_ONLY_AGGREGATE = """
+SELECT
+  count(*) AS cnt,
+  min(doc_id) AS min_doc_id,
+  max(doc_id) AS max_doc_id,
+  min(n_chars) AS min_n_chars,
+  max(n_chars) AS max_n_chars
+FROM documents
+"""
+
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
+    "metadata_only_aggregate": (
+        q_metadata_only_aggregate, SQL_METADATA_ONLY_AGGREGATE,
+    ),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),
