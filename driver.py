@@ -54,6 +54,8 @@ def main() -> None:
     app.add_argument("--out", required=True)
     app.add_argument("--rows-per-bucket", type=int, default=250_000)
     app.add_argument("--profile", choices=["balanced", "archive"], default="balanced")
+    app.add_argument("--branch", metavar="NAME",
+                     help="stage the append on a branch (WAP) instead of main")
 
     ver = sub.add_parser("verify", help="re-verify every chunk round-trips bit-identically")
     ver.add_argument("--out", required=True)
@@ -89,6 +91,10 @@ def main() -> None:
     snp.add_argument("--at", type=int, metavar="V",
                      help="snapshot version for --tag (default: current)")
     snp.add_argument("--drop-tag", metavar="NAME", dest="drop_tag")
+    snp.add_argument("--publish", metavar="BRANCH", dest="publish_branch",
+                     help="fast-forward main to a staged branch head")
+    snp.add_argument("--drop-branch", metavar="BRANCH", dest="drop_branch",
+                     help="discard a staged branch and its snapshots")
     snp.add_argument("--vacuum", action="store_true",
                      help="delete chunk partitions no retained snapshot references")
 
@@ -151,7 +157,7 @@ def main() -> None:
 
             df = gen_spark(spark, args.rows, seed=args.seed)
         res = append_table(df, args.out, rows_per_bucket=args.rows_per_bucket,
-                           profile=args.profile)
+                           profile=args.profile, branch=args.branch)
         print(json.dumps({
             "rows_total": res.rows, "raw_bytes": res.raw_bytes,
             "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),
@@ -201,6 +207,14 @@ def main() -> None:
         if args.drop_tag:
             M.drop_tag(args.out, args.drop_tag)
             out["dropped_tag"] = args.drop_tag
+        if args.publish_branch:
+            out["published"] = {
+                args.publish_branch: M.publish_branch(args.out,
+                                                      args.publish_branch)
+            }
+        if args.drop_branch:
+            out["dropped_branch_snapshots"] = M.drop_branch(args.out,
+                                                            args.drop_branch)
         if args.expire_keep is not None:
             out["expired"] = M.expire_snapshots(args.out, keep_last=args.expire_keep)
         if args.vacuum:
@@ -208,7 +222,9 @@ def main() -> None:
         out["snapshots"] = [
             r.asDict() for r in M.list_snapshots(spark, args.out).collect()
         ]
-        out["tags"] = M.list_refs(args.out)
+        out["refs"] = {
+            k: v for k, v in M._read_refs_full(args.out).items()
+        }
         print(json.dumps(out))
     elif args.cmd == "changes":
         from pyspark.sql import functions as F

@@ -938,6 +938,7 @@ def encode_table(
     bloom_columns: list[str] | None = None,
     delete_keys: tuple | None = None,
     weight_col: str | None = None,
+    branch: str | None = None,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
 
@@ -983,6 +984,9 @@ def encode_table(
         write_summary,
     )
 
+    if branch is not None and not append:
+        raise ValueError("branch staging is append-only (WAP audits a "
+                         "delta against an existing table)")
     if profile not in ("balanced", "archive"):
         raise ValueError(f"unknown profile {profile!r}")
     spark = df.sparkSession
@@ -1156,7 +1160,22 @@ def encode_table(
             {"file": dname, "column": dcol, "below_part": part_offset}
         ]
     manifest_stats = write_manifest(spark, out_dir, meta_rows,
-                                    new_deletes=new_deletes)
+                                    new_deletes=new_deletes, branch=branch)
+    if branch is not None:
+        # staged commit: the summary and merged key-count stats are
+        # MAIN-visible state — publish_branch patches the summary from
+        # the ref's recorded totals; stats fragments are skipped (stale
+        # counts are safe by design, and drop_branch must not leak them)
+        seconds = time.time() - t0
+        return EncodeResult(
+            out_dir=out_dir,
+            num_partitions=manifest_stats["n_partitions"],
+            seconds=seconds,
+            rows=manifest_stats["rows"],
+            raw_bytes=manifest_stats["raw_bytes"],
+            encoded_bytes=manifest_stats["encoded_bytes"],
+            shuffled=bool(shuffle),
+        )
     if plan_stats.get("key_counts") and not plan_stats.get("caller_counts"):
         # persist SCAN-DERIVED counts only (caller-provided stats are the
         # caller's to maintain). Fragment keyed by part_offset: a full
@@ -1196,6 +1215,7 @@ def append_table(
     profile: str = "balanced",
     delete_keys: tuple | None = None,
     weight_col: str | None = None,
+    branch: str | None = None,
 ) -> EncodeResult:
     """Incrementally append ``df`` to an EXISTING encoded dataset — the
     daily-ingest pattern at 100 TB: new rows become NEW partitions
@@ -1236,6 +1256,14 @@ def append_table(
     added = [c for c in df.columns if c not in old_cols]
     missing = [c for c in old_cols if c not in df.columns]
     evolved = bool(added or missing) or list(df.columns) != old_cols
+    if branch is not None and (added or missing):
+        # staged appends may not evolve the schema: the columns list and
+        # spark_schema live in the MAIN-visible summary, so a staged
+        # evolution would leak unpublished columns to main readers
+        raise ValueError(
+            f"branch {branch!r} append adds/omits columns "
+            f"({added or missing}); schema evolution must commit to main"
+        )
     if summary.get("spark_schema"):
         old_schema = T.StructType.fromJson(json.loads(summary["spark_schema"]))
         by_name = {f.name: f for f in old_schema.fields}
@@ -1298,6 +1326,7 @@ def append_table(
         bloom_columns=[c for c in summary.get("bloom_columns", ())
                        if c in df.columns],
         delete_keys=delete_keys,
+        branch=branch,
         # byte-weighted delta placement: the planner runs its own
         # count+sum scan; row-count stats are NOT persisted for weighted
         # appends (equivalent-row weights would pollute merged row totals)
@@ -1308,7 +1337,9 @@ def append_table(
         # appending duplicate chunk files next to the crashed attempt's
         overwrite_partitions=True,
     )
-    if delta_stats is not None:  # persist only after a successful append
+    if delta_stats is not None and branch is None:
+        # persist only after a successful MAIN append (a staged append's
+        # stats would leak into main observability and outlive drop_branch)
         write_key_counts(
             out_dir,
             [("n:" if k is None else f"v:{k}", c) for k, c in delta_stats],

@@ -179,7 +179,8 @@ def prune_part_ids_by_zones(out_dir: str, candidates: list[int],
 
 def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
                    new_deletes: list[dict] | None = None,
-                   carry_deletes: bool = True) -> dict:
+                   carry_deletes: bool = True,
+                   branch: str | None = None) -> dict:
     """Aggregate collected chunk-meta rows → manifest parquet + stats,
     committed as a new SNAPSHOT (Iceberg-style versioned metadata).
 
@@ -239,8 +240,36 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
     )
     import os
 
-    prev = current_snapshot(out_dir)
-    version = (prev or 0) + 1
+    refs = _read_refs_full(out_dir)
+    staged_names = [
+        n for n, r in refs.items()
+        if r.get("type") == "branch" and r.get("history")
+    ]
+    if branch is None and staged_names:
+        # a main data commit is built from ALL task fragments — it would
+        # swallow the staged branch's partitions into main, silently
+        # publishing them. Audit-then-publish (or drop) first.
+        raise ValueError(
+            f"branch(es) {staged_names} have unpublished staged commits; "
+            "publish_branch/drop_branch before writing to main"
+        )
+    bref = refs.get(branch) if branch is not None else None
+    if bref is not None and bref.get("type") != "tag" and \
+            bref.get("type") != "branch":
+        raise ValueError(f"ref {branch!r} has unknown type")
+    if bref is not None and bref.get("type") == "tag":
+        raise ValueError(f"ref {branch!r} is a tag; tags are immutable")
+    main_head = current_snapshot(out_dir)
+    if branch is not None and main_head is None:
+        raise ValueError("branch staging needs an existing committed table")
+    # base = parent snapshot this commit builds on: the branch head when
+    # extending an active staging cycle, else the main head (a fresh
+    # staging cycle implicitly re-branches from main)
+    if bref is not None and bref.get("history"):
+        prev = int(bref["snapshot"])
+    else:
+        prev = main_head
+    version = _next_version(out_dir)
     token = str(os.getpid())
     # a data commit carries the active row-level delete set forward
     # (deletes are snapshot state, like Iceberg's delete files riding
@@ -260,6 +289,13 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         e for e in (new_deletes or []) if e["file"] not in seen
     ]
     table = _with_deletes_meta(table, active)
+    # commit lineage: parent snapshot version (branch head for staged
+    # commits, main head otherwise) rides in the manifest's metadata —
+    # what fast-forward publish and history inspection walk
+    table = table.replace_schema_metadata(
+        {**(table.schema.metadata or {}), _PARENT_META_KEY:
+         str(prev or 0).encode()}
+    )
     # optimistic concurrency: the versioned manifest is CREATED, never
     # overwritten — two writers racing to v{N} get exactly one winner,
     # the loser surfaces instead of silently erasing the winner's commit
@@ -279,9 +315,35 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
             "re-run this write against the new table state"
         ) from None
     _write_snapshot_deletes(out_dir, version, active, token)
-    _advance_current(out_dir, version, table, token)
-    return {**totals, "dataset_sha256": dataset_h.hexdigest(),
-            "n_partitions": len(by_part), "snapshot": version}
+    stats = {**totals, "dataset_sha256": dataset_h.hexdigest(),
+             "n_partitions": len(by_part), "snapshot": version}
+    if branch is not None:
+        # staged (write-audit-publish): move the branch ref, NOT the main
+        # pointer — main readers keep seeing the pre-stage table until
+        # publish_branch fast-forwards. Totals ride in the ref so publish
+        # can patch the summary without recomputing.
+        fresh_cycle = not (bref and bref.get("history"))
+        refs = _read_refs_full(out_dir)  # re-read: commit won the race
+        old = refs.get(branch, {})
+        refs[branch] = {
+            "type": "branch",
+            "snapshot": version,
+            "base": int(main_head) if fresh_cycle else int(old["base"]),
+            "history": (
+                [] if fresh_cycle else list(old.get("history") or [])
+            ) + [version],
+            "totals": {
+                "rows": stats["rows"],
+                "raw_bytes": stats["raw_bytes"],
+                "encoded_bytes": stats["encoded_bytes"],
+                "n_partitions": stats["n_partitions"],
+                "dataset_sha256": stats["dataset_sha256"],
+            },
+        }
+        _write_refs_full(out_dir, refs)
+    else:
+        _advance_current(out_dir, version, table, token)
+    return stats
 
 
 def build_manifest(chunk_df: DataFrame) -> DataFrame:
@@ -342,8 +404,12 @@ def _snapshot_versions(out_dir: str) -> list[int]:
 
 
 def current_snapshot(out_dir: str) -> int | None:
-    """Latest committed snapshot version (hint file, falling back to a
-    listing when the hint is missing/corrupt), or None for a fresh dir."""
+    """Latest committed MAIN snapshot version (hint file, falling back
+    to a listing when the hint is missing/corrupt), or None for a fresh
+    dir. Snapshots staged on an unpublished branch deliberately sit
+    ABOVE the hint — recovery must never adopt them, so the listing
+    fallback excludes every branch-staged version (refs.json is read
+    only on that rare repair path, not per lookup)."""
     hint = f"{_snap_dir(out_dir)}/version-hint.txt"
     try:
         v = int(fsio.read_bytes(hint).decode().strip())
@@ -351,8 +417,19 @@ def current_snapshot(out_dir: str) -> int | None:
         v = None
     versions = _snapshot_versions(out_dir)
     if versions and (v is None or v < versions[-1]):
-        return versions[-1]
+        staged = _branch_staged_versions(out_dir)
+        main = [x for x in versions if x not in staged]
+        if main and (v is None or v < main[-1]):
+            return main[-1]
     return v
+
+
+def _next_version(out_dir: str) -> int:
+    """Next GLOBAL commit version: past every snapshot in the listing
+    (branch-staged ones included — versions are commit ids, lineage is
+    the parent metadata) and past the hint (covers expired listings)."""
+    hint = current_snapshot(out_dir) or 0
+    return max([*_snapshot_versions(out_dir), hint], default=0) + 1
 
 
 def read_snapshot_manifest(out_dir: str, version: int,
@@ -393,14 +470,20 @@ def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
         sha = _sha_of_partition_shas(
             t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
         )
+        meta = t.schema.metadata or {}
+        parent = (
+            int(meta[_PARENT_META_KEY]) or None
+            if _PARENT_META_KEY in meta else None
+        )
         rows.append((v, t.num_rows, sum(t["rows"].to_pylist()),
                      sum(t["raw_bytes"].to_pylist()),
                      sum(t["encoded_bytes"].to_pylist()),
-                     sha, v == cur))
+                     sha, v == cur, parent))
     return spark.createDataFrame(
         rows,
         "version INT, n_partitions BIGINT, rows BIGINT, raw_bytes BIGINT, "
-        "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN",
+        "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN, "
+        "parent INT",
     )
 
 
@@ -490,15 +573,52 @@ def _refs_path(out_dir: str) -> str:
     return f"{_snap_dir(out_dir)}/refs.json"
 
 
-def list_refs(out_dir: str) -> dict[str, int]:
-    """Tag name → snapshot version. Empty dict for an untagged table."""
+def _read_refs_full(out_dir: str) -> dict[str, dict]:
+    """All refs in normalized form: ``{name: {"type": "tag"|"branch",
+    "snapshot": N, ...}}``. Legacy refs.json values are bare ints
+    (tags) — normalized on read, preserved on write."""
     try:
-        return {
-            str(k): int(v)
-            for k, v in json.loads(fsio.read_bytes(_refs_path(out_dir))).items()
-        }
+        raw = json.loads(fsio.read_bytes(_refs_path(out_dir)))
     except FileNotFoundError:
         return {}
+    return {
+        str(k): (dict(v) if isinstance(v, dict)
+                 else {"type": "tag", "snapshot": int(v)})
+        for k, v in raw.items()
+    }
+
+
+def _write_refs_full(out_dir: str, refs: dict[str, dict]) -> None:
+    # tags serialize as bare ints (the legacy form older readers parse);
+    # branches need their staging state and stay dicts
+    out = {
+        k: (int(v["snapshot"]) if v.get("type") == "tag" else v)
+        for k, v in refs.items()
+    }
+    fsio.write_bytes_atomic(
+        _refs_path(out_dir), json.dumps(out, sort_keys=True).encode()
+    )
+
+
+def _branch_staged_versions(out_dir: str,
+                            refs: dict[str, dict] | None = None) -> set[int]:
+    """Every snapshot version staged on SOME branch and not yet
+    published — the set main-pointer recovery must never adopt."""
+    if refs is None:
+        refs = _read_refs_full(out_dir)
+    staged: set[int] = set()
+    for r in refs.values():
+        if r.get("type") == "branch":
+            staged.update(int(v) for v in r.get("history") or ())
+    return staged
+
+
+def list_refs(out_dir: str) -> dict[str, int]:
+    """Ref name → snapshot version (tags AND branch heads). Empty dict
+    for an unreferenced table."""
+    return {
+        k: int(v["snapshot"]) for k, v in _read_refs_full(out_dir).items()
+    }
 
 
 def create_tag(out_dir: str, name: str, snapshot: int | None = None) -> int:
@@ -511,26 +631,138 @@ def create_tag(out_dir: str, name: str, snapshot: int | None = None) -> int:
         snapshot = current_snapshot(out_dir)
     if snapshot is None or snapshot not in _snapshot_versions(out_dir):
         raise ValueError(f"no such snapshot to tag: {snapshot}")
-    refs = list_refs(out_dir)
-    if name in refs and refs[name] != snapshot:
-        raise ValueError(
-            f"tag {name!r} already points at v{refs[name]}; drop it first"
-        )
-    refs[name] = int(snapshot)
-    fsio.write_bytes_atomic(
-        _refs_path(out_dir), json.dumps(refs, sort_keys=True).encode()
-    )
+    refs = _read_refs_full(out_dir)
+    if name in refs:
+        if refs[name].get("type") != "tag":
+            raise ValueError(f"ref {name!r} is a branch, not a tag")
+        if refs[name]["snapshot"] != snapshot:
+            raise ValueError(
+                f"tag {name!r} already points at v{refs[name]['snapshot']}; "
+                "drop it first"
+            )
+    refs[name] = {"type": "tag", "snapshot": int(snapshot)}
+    _write_refs_full(out_dir, refs)
     return int(snapshot)
 
 
 def drop_tag(out_dir: str, name: str) -> None:
-    refs = list_refs(out_dir)
+    refs = _read_refs_full(out_dir)
     if name not in refs:
         raise ValueError(f"no such tag: {name!r}")
+    if refs[name].get("type") == "branch" and refs[name].get("history"):
+        raise ValueError(
+            f"{name!r} is a staged branch — drop_branch cleans up its "
+            "unpublished snapshots; drop_tag would leak them"
+        )
     del refs[name]
-    fsio.write_bytes_atomic(
-        _refs_path(out_dir), json.dumps(refs, sort_keys=True).encode()
-    )
+    _write_refs_full(out_dir, refs)
+
+
+# --- branches (Iceberg write-audit-publish): a branch is a MOVABLE ref
+# whose staged snapshots are invisible to main readers (the version
+# hint doesn't advance; current_snapshot's recovery path excludes
+# staged versions). Staging = append_table(..., branch="audit"): the
+# commit lands as a real immutable snapshot, auditable via
+# decode_table(snapshot="audit"), then publish_branch fast-forwards the
+# main pointer to the staged head (refusing if main moved — the
+# Iceberg fast-forward precondition), or drop_branch discards the
+# staged snapshots entirely. While a branch has staged commits, main
+# DATA commits are refused (the fragment-merge manifest would swallow
+# the staged partitions); metadata-only commits (delete_rows, rollback)
+# remain allowed and simply invalidate the fast-forward precondition.
+
+
+def publish_branch(out_dir: str, name: str) -> int:
+    """Fast-forward main to the branch's staged head (the audit passed).
+    Refuses when main moved since staging began — the staged lineage no
+    longer descends from main's head, so fast-forward would drop main's
+    newer commit. Returns the published version; the branch ref remains,
+    pointing at the now-published head with an empty staging cycle."""
+    import os
+
+    refs = _read_refs_full(out_dir)
+    r = refs.get(name)
+    if not r or r.get("type") != "branch" or not r.get("history"):
+        raise ValueError(f"no staged branch {name!r} to publish")
+    cur = current_snapshot(out_dir)
+    if cur != r.get("base"):
+        raise CommitConflictError(
+            f"cannot fast-forward {name!r}: main moved v{r.get('base')} → "
+            f"v{cur} while the branch was staged; re-stage against the "
+            "new head"
+        )
+    head = int(r["snapshot"])
+    token = str(os.getpid())
+    t = read_snapshot_manifest(out_dir, head)
+    _advance_current(out_dir, head, t, token)
+    # summary totals were deliberately NOT rewritten while staging (main
+    # readers own the summary) — patch them to the staged state now
+    tot = r.get("totals") or {}
+    try:
+        summary = json.loads(fsio.read_bytes(f"{out_dir}/_SUMMARY.json"))
+    except FileNotFoundError:
+        summary = None
+    if summary is not None and tot:
+        for k in ("rows", "raw_bytes", "encoded_bytes", "n_partitions"):
+            if k in tot:
+                summary["num_partitions" if k == "n_partitions" else k] = \
+                    tot[k]
+        if tot.get("dataset_sha256"):
+            summary["dataset_sha256"] = tot["dataset_sha256"]
+        if summary.get("raw_bytes"):
+            summary["compression_ratio"] = round(
+                summary["encoded_bytes"] / summary["raw_bytes"], 6
+            )
+        fsio.write_bytes_atomic(
+            f"{out_dir}/_SUMMARY.json",
+            json.dumps(summary, indent=2).encode(), token=token,
+        )
+    refs = _read_refs_full(out_dir)
+    refs[name] = {"type": "branch", "snapshot": head, "base": head,
+                  "history": []}
+    _write_refs_full(out_dir, refs)
+    return head
+
+
+def drop_branch(out_dir: str, name: str) -> list[int]:
+    """Abandon a branch: DELETE its staged snapshot manifests (recovery
+    would otherwise adopt them as main once the ref disappears) and the
+    task fragments of partitions only they referenced (the next append's
+    fragment merge would resurrect those partitions). Chunk files are
+    reclaimed by ``vacuum``. Returns the dropped versions."""
+    refs = _read_refs_full(out_dir)
+    r = refs.get(name)
+    if not r or r.get("type") != "branch":
+        raise ValueError(f"no such branch: {name!r}")
+    staged = [int(v) for v in r.get("history") or ()]
+    base = r.get("base")
+    base_ids = set(snapshot_part_ids(out_dir, base)) if staged else set()
+    staged_ids: set[int] = set()
+    for v in staged:
+        staged_ids.update(snapshot_part_ids(out_dir, v))
+    # snapshot files first, ref last: a crash in between leaves a ref to
+    # missing snapshots (loud read error), never unreferenced staged
+    # snapshots that recovery would silently adopt as main
+    for v in staged:
+        fsio.delete_file(snapshot_manifest_path(out_dir, v))
+        fsio.delete_file(_snapshot_deletes_path(out_dir, v))
+    for pid in sorted(staged_ids - base_ids):
+        fsio.delete_file(f"{out_dir}/manifest_parts/{pid:06d}.json")
+    refs = _read_refs_full(out_dir)
+    refs.pop(name, None)
+    _write_refs_full(out_dir, refs)
+    return staged
+
+
+def snapshot_parent(out_dir: str, version: int) -> int | None:
+    """Parent version recorded at commit time (0/None for roots)."""
+    meta = fsio.read_parquet_schema(
+        snapshot_manifest_path(out_dir, version)
+    ).metadata
+    if meta and _PARENT_META_KEY in meta:
+        p = int(meta[_PARENT_META_KEY])
+        return p or None
+    return None
 
 
 def resolve_snapshot(out_dir: str, snapshot: int | str) -> int:
@@ -586,6 +818,7 @@ def _advance_current(out_dir: str, version: int, table: pa.Table,
 
 
 _DELETES_META_KEY = b"fhirflat.active_deletes"
+_PARENT_META_KEY = b"fhirflat.parent"
 
 
 def _with_deletes_meta(table: pa.Table, files: list[dict]) -> pa.Table:
@@ -712,7 +945,7 @@ def delete_rows(spark: SparkSession, out_dir: str, column: str,
     # re-deriving scope is the correct reapply)
     for _ in range(10):
         prev = current_snapshot(out_dir)
-        version = prev + 1
+        version = _next_version(out_dir)
         t = read_snapshot_manifest(out_dir, prev)
         below = max((int(p) for p in t["part_id"].to_pylist()), default=-1) + 1
         active = active_delete_files(out_dir, prev) + [
@@ -809,7 +1042,7 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     # metadata-only commit — retry version minting on a lost race (the
     # restored state is the fixed target snapshot either way)
     for _ in range(10):
-        new_version = (current_snapshot(out_dir) or 0) + 1
+        new_version = _next_version(out_dir)
         try:
             fsio.write_parquet_exclusive(
                 t, snapshot_manifest_path(out_dir, new_version), token=token
@@ -849,8 +1082,12 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
         raise ValueError("keep_last must be >= 1")
     versions = _snapshot_versions(out_dir)
     cur = current_snapshot(out_dir)
-    tagged = set(list_refs(out_dir).values())
-    expired = [v for v in versions[:-keep_last] if v != cur and v not in tagged]
+    refs = _read_refs_full(out_dir)
+    protected = {int(r["snapshot"]) for r in refs.values()}
+    protected |= _branch_staged_versions(out_dir, refs)
+    expired = [
+        v for v in versions[:-keep_last] if v != cur and v not in protected
+    ]
     for v in expired:
         fsio.delete_file(snapshot_manifest_path(out_dir, v))
         fsio.delete_file(_snapshot_deletes_path(out_dir, v))

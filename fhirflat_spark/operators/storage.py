@@ -887,6 +887,52 @@ def q_metadata_only_aggregate(spark, sf_dir):
     )
 
 
+def _encoded_documents_staged(spark, sf_dir: str) -> str:
+    """WAP fixture: even doc_ids committed to MAIN, odd doc_ids staged
+    on branch ``audit`` and deliberately left unpublished — the cached
+    state a write-audit-publish pipeline sits in mid-audit."""
+    from fhirflat_spark.encode import append_table, encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs.where(F.col("doc_id") % 2 == 0), path,
+                     rows_per_bucket=2000)
+        append_table(docs.where(F.col("doc_id") % 2 == 1), path,
+                     rows_per_bucket=2000, branch="audit")
+
+    return _cached_dataset(spark, sf_dir, "wapq", build)
+
+
+def q_wap_branch(spark, sf_dir):
+    """Write-audit-publish isolation, oracle-checked on BOTH sides of
+    the pointer: the main view must still be exactly the even rows (the
+    staged commit is invisible — version hint unmoved), while the
+    branch view (snapshot="audit") is exactly the full table the audit
+    inspects. One row: per-view count + n_chars sum."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_staged(spark, sf_dir)
+    main = decode_table(spark, out).agg(
+        F.count("*").alias("main_cnt"),
+        F.sum("n_chars").alias("main_chars"),
+    )
+    branch = decode_table(spark, out, snapshot="audit").agg(
+        F.count("*").alias("branch_cnt"),
+        F.sum("n_chars").alias("branch_chars"),
+    )
+    return main.crossJoin(branch)
+
+
+SQL_WAP_BRANCH = """
+SELECT
+  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS main_cnt,
+  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+    WHERE doc_id % 2 = 0) AS main_chars,
+  (SELECT count(*) FROM documents) AS branch_cnt,
+  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS branch_chars
+"""
+
+
 SQL_METADATA_ONLY_AGGREGATE = """
 SELECT
   count(*) AS cnt,
@@ -903,6 +949,7 @@ QUERIES = {
     "metadata_only_aggregate": (
         q_metadata_only_aggregate, SQL_METADATA_ONLY_AGGREGATE,
     ),
+    "wap_branch_isolation": (q_wap_branch, SQL_WAP_BRANCH),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),

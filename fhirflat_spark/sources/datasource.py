@@ -407,7 +407,8 @@ def _delete_keys(path: str, name: str) -> pa.Array:
 METADATA_DDL = {
     "snapshots": (
         "version INT, n_partitions BIGINT, rows BIGINT, raw_bytes BIGINT, "
-        "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN"
+        "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN, "
+        "parent INT"
     ),
     "partitions": (
         "part_id INT, n_chunks INT, rows BIGINT, raw_bytes BIGINT, "
@@ -451,7 +452,8 @@ class FhirflatMetadataReader(DataSourceReader):
             [("version", pa.int32()), ("n_partitions", pa.int64()),
              ("rows", pa.int64()), ("raw_bytes", pa.int64()),
              ("encoded_bytes", pa.int64()),
-             ("dataset_sha256", pa.string()), ("is_current", pa.bool_())]
+             ("dataset_sha256", pa.string()), ("is_current", pa.bool_()),
+             ("parent", pa.int32())]
         ),
         "partitions": pa.schema(
             [("part_id", pa.int32()), ("n_chunks", pa.int32()),
@@ -502,10 +504,16 @@ class FhirflatMetadataReader(DataSourceReader):
                 sha = _sha_of_partition_shas(
                     t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
                 )
+                meta = t.schema.metadata or {}
+                parent = (
+                    int(meta[b"fhirflat.parent"]) or None
+                    if b"fhirflat.parent" in meta else None
+                )
                 rows.append(
                     (v, t.num_rows, sum(t["rows"].to_pylist()),
                      sum(t["raw_bytes"].to_pylist()),
-                     sum(t["encoded_bytes"].to_pylist()), sha, v == cur)
+                     sum(t["encoded_bytes"].to_pylist()), sha, v == cur,
+                     parent)
                 )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(list(c), type=f.type)

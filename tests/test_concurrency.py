@@ -71,9 +71,10 @@ def test_data_commit_conflict_raises_and_preserves_winner(
     out, docs = ds
     assert current_snapshot(out) == 1
     winner = read_snapshot_manifest(out, 1)
-    # simulate: this append's commit reads version 0 (stale) while v1
-    # already exists on disk
-    monkeypatch.setattr(mf, "current_snapshot", lambda d: None)
+    # simulate: this append's commit minted v1 from a stale listing
+    # while v1 already exists on disk (version minting reads the
+    # listing, so staleness is injected at _next_version)
+    monkeypatch.setattr(mf, "_next_version", lambda d: 1)
     with pytest.raises(CommitConflictError):
         append_table(docs.limit(50), out, rows_per_bucket=500)
     monkeypatch.undo()
