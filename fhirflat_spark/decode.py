@@ -118,15 +118,23 @@ def _zone_predicate(schema: T.StructType, col: str, lo, hi):
     dt = schema[col].dataType if col in schema.names else None
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         zmin, zmax = zmin.cast("long"), zmax.cast("long")
-        lo, hi = int(lo), int(hi)
+        lo = int(lo) if lo is not None else None
+        hi = int(hi) if hi is not None else None
     elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         zmin, zmax = zmin.cast("double"), zmax.cast("double")
-        lo, hi = float(lo), float(hi)
+        lo = float(lo) if lo is not None else None
+        hi = float(hi) if hi is not None else None
     elif isinstance(dt, T.StringType):
-        lo, hi = str(lo), str(hi)
+        lo = str(lo) if lo is not None else None
+        hi = str(hi) if hi is not None else None
     else:
         return F.lit(True)  # unknown type: keep every chunk (conservative)
-    return zmin.isNull() | zmax.isNull() | ~((zmax < lo) | (zmin > hi))
+    drop = F.lit(False)  # lo/hi None = one-sided filter
+    if lo is not None:
+        drop = drop | (zmax < lo)
+    if hi is not None:
+        drop = drop | (zmin > hi)
+    return zmin.isNull() | zmax.isNull() | ~drop
 
 
 def _bloom_predicate(col: str, value: str):
@@ -631,6 +639,17 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                         if "zmin" in s
                     },
                 }
+                # stats-v2 rollups ride through only when EVERY column
+                # of the source chunk carried them (pre-v2 chunks keep
+                # the partition conservatively untracked)
+                if all("nulls" in s for s in stats.values()):
+                    row["nulls"] = {
+                        name: s["nulls"] for name, s in stats.items()
+                    }
+                    row["sums"] = {
+                        name: s["sum"] for name, s in stats.items()
+                        if "sum" in s
+                    }
                 frag.append(row)
                 yield pa.RecordBatch.from_pydict(
                     {

@@ -133,16 +133,16 @@ def _zone_bounds(arr: pa.Array):
     if arr.null_count == len(arr):
         return None
     if pa.types.is_integer(t) or pa.types.is_floating(t):
-        mm = pc.min_max(arr)
-        lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if pa.types.is_floating(t):
-            import math as _math
-
-            # NaN/inf would render as non-JSON tokens (and an all-NaN
-            # chunk reports inverted inf/-inf bounds) — skip the zone
-            if not (_math.isfinite(lo) and _math.isfinite(hi)):
+            # ANY non-finite value poisons the zone: Arrow's min_max
+            # IGNORES NaN, but Spark orders NaN above every value — a
+            # finite upper bound would let `col > hi` prune a chunk
+            # whose NaN rows match (silent row drop). inf/-inf would
+            # also render as non-JSON tokens. Skip the zone entirely.
+            if not pc.all(pc.is_finite(arr)).as_py():
                 return None
-        return lo, hi
+        mm = pc.min_max(arr)
+        return mm["min"].as_py(), mm["max"].as_py()
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         mm = pc.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
@@ -204,6 +204,15 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
         zones = _zone_bounds(arr)
         if zones is not None:
             stats[out_name]["zmin"], stats[out_name]["zmax"] = zones
+        # stats v2: per-column null count (all types) + exact value sum
+        # (integer types — order-independent, so partition/table rollups
+        # are exact; float sums drift and are deliberately not tracked)
+        stats[out_name]["nulls"] = arr.null_count
+        if pa.types.is_integer(arr.type):
+            import pyarrow.compute as pc
+
+            s = pc.sum(arr).as_py()
+            stats[out_name]["sum"] = int(s) if s is not None else 0
         if bloom_cols and out_name in bloom_cols:
             from fhirflat_spark import bloom as _bloom
 
@@ -240,6 +249,13 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
             name: [stats[name]["zmin"], stats[name]["zmax"]]
             for name in stats
             if "zmin" in stats[name]
+        },
+        # stats v2 rollup inputs (write_manifest merges per partition;
+        # a column absent from a chunk's nulls map = all-null there)
+        "nulls": {name: stats[name]["nulls"] for name in stats},
+        "sums": {
+            name: stats[name]["sum"] for name in stats
+            if "sum" in stats[name]
         },
     }
     payload_type = pa.struct(

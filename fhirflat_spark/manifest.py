@@ -55,6 +55,13 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         # column — a chunk without bounds can hold anything, so a partial
         # aggregate could not prune safely. NULL on pre-zone datasets.
         ("col_zones", pa.string()),
+        # stats v2 (NULL on datasets whose chunks predate it): JSON
+        # {col: null_count} / {col: value_sum, integer columns only}.
+        # A column ABSENT from the nulls map is all-null in this
+        # partition (its chunks predate the column) — distinct from the
+        # whole column being NULL, which means "not tracked".
+        ("col_nulls", pa.string()),
+        ("col_sums", pa.string()),
     ]
 )
 
@@ -111,6 +118,31 @@ def _merge_chunk_zones(chunks: list[dict]) -> dict | None:
             zones[k][0] = min(zones[k][0], v[0])
             zones[k][1] = max(zones[k][1], v[1])
     return zones or None
+
+
+def _merge_chunk_rollups(chunks: list[dict]) -> tuple[dict | None,
+                                                      dict | None]:
+    """Partition-level (col_nulls, col_sums) from the chunks' stats-v2
+    rollups, or (None, None) when any chunk predates them (a partial
+    total would read as a wrong exact answer). A column missing from a
+    chunk's nulls map is all-null there (schema evolution) and
+    contributes its row count; missing from sums contributes 0."""
+    if any("nulls" not in c for c in chunks):
+        return None, None
+    cols: set[str] = set()
+    for c in chunks:
+        cols.update(c["nulls"])
+    nulls = {
+        k: sum(c["nulls"].get(k, c["n_rows"]) for c in chunks) for k in cols
+    }
+    sum_cols: set[str] = set()
+    for c in chunks:
+        sum_cols.update(c.get("sums") or ())
+    sums = {
+        k: sum((c.get("sums") or {}).get(k, 0) for c in chunks)
+        for k in sum_cols
+    }
+    return nulls, sums
 
 
 def coerce_zone_bound(dt, value):
@@ -209,6 +241,7 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         rows = raw = enc = 0
         rmin = rmax = None
         zones = _merge_chunk_zones(chunks)
+        nulls, sums = _merge_chunk_rollups(chunks)
         for c in chunks:
             h.update(c["content_sha"].encode())
             rows += c["n_rows"]
@@ -231,6 +264,14 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         cols["status"].append("ok")
         cols["col_zones"].append(
             json.dumps(zones, separators=(",", ":")) if zones else None
+        )
+        cols["col_nulls"].append(
+            json.dumps(nulls, separators=(",", ":"))
+            if nulls is not None else None
+        )
+        cols["col_sums"].append(
+            json.dumps(sums, separators=(",", ":"))
+            if sums is not None else None
         )
         totals["rows"] += rows
         totals["raw_bytes"] += raw
@@ -374,6 +415,8 @@ def build_manifest(chunk_df: DataFrame) -> DataFrame:
             # distributed zone aggregation would parse the chunks' stats
             # JSON here; the doc-path emits unbounded (conservative)
             F.lit(None).cast("string").alias("col_zones"),
+            F.lit(None).cast("string").alias("col_nulls"),
+            F.lit(None).cast("string").alias("col_sums"),
         )
     )
 
@@ -489,25 +532,27 @@ def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def aggregate_from_metadata(out_dir: str, columns: list[str],
                             snapshot: int | str | None = None):
-    """count(*) + per-column min/max answered from the snapshot manifest
-    ALONE — zero chunk IO (the Iceberg metadata-only-scan analog). At
-    100 TB this turns a full-table aggregate into one small-parquet read.
+    """count(*) + per-column null_count/min/max/sum answered from the
+    snapshot manifest ALONE — zero chunk IO (the Iceberg metadata-only
+    scan, extended with exact integer sums). At 100 TB this turns a
+    full-table aggregate into one small-parquet read.
 
-    Returns ``{"rows": n, "min": {col: v}, "max": {col: v}}``, or None
-    whenever the manifest cannot answer EXACTLY, in which case the
-    caller must scan:
+    Returns ``{"rows": n, "null_count": {c}, "nonnull": {c},
+    "min": {c}, "max": {c}, "sum": {c}}`` with SQL NULL semantics
+    (min/max/sum are None for an all-NULL column). Per-column coverage
+    follows the type: null_count/nonnull for EVERY column; min/max for
+    numeric columns (string zone bounds are truncated prefix/successor
+    bounds — pruning-valid, not extrema — so strings carry no min/max
+    key); sum for integer columns only (order-independent, exact; float
+    sums drift and are not tracked).
 
-    - active equality-deletes at the snapshot (stats predate them);
-    - a non-numeric column (string zone bounds are truncated
-      prefix/successor bounds — valid for pruning, not exact extrema);
-    - a live non-empty partition without a recorded zone for the column
-      (all-NULL or non-finite-float chunks skip zones; schema-evolved
-      partitions predate the column).
-
-    Numeric zones are exact chunk min/max (``encode._zone_bounds``),
-    merged per-partition only when EVERY chunk bounded the column
-    (``_merge_chunk_zones``), so min-of-mins / max-of-maxes here is
-    exact. ``snapshot`` accepts a version or tag name; None = current.
+    Returns None — caller must scan — whenever the answer would not be
+    EXACT: active equality-deletes at the snapshot; an unknown column;
+    a pre-stats manifest or a partition whose chunks predate the v2
+    rollups; a numeric column left unbounded in a partition that has
+    non-NULL values for it (non-finite floats skip zones, and a
+    partition mixing all-NULL chunks with valued ones merges to
+    unbounded). ``snapshot`` accepts a version, tag, or branch name.
     """
     version = (
         resolve_snapshot(out_dir, snapshot) if snapshot is not None
@@ -518,43 +563,74 @@ def aggregate_from_metadata(out_dir: str, columns: list[str],
     if active_delete_files(out_dir, version):
         return None
     summary = json.loads(fsio.read_bytes(f"{out_dir}/_SUMMARY.json"))
-    numeric_ok = set()
-    if summary.get("spark_schema"):
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(summary["spark_schema"]))
-        for f in schema.fields:
-            if isinstance(f.dataType, (T.ByteType, T.ShortType,
-                                       T.IntegerType, T.LongType,
-                                       T.FloatType, T.DoubleType)):
-                numeric_ok.add(f.name)
-    if any(c not in numeric_ok for c in columns):
+    if not summary.get("spark_schema"):
         return None
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+    dtype = {f.name: f.dataType for f in schema.fields}
+    if any(c not in dtype for c in columns):
+        return None
+    numeric = tuple(
+        c for c in columns
+        if isinstance(dtype[c], (T.ByteType, T.ShortType, T.IntegerType,
+                                 T.LongType, T.FloatType, T.DoubleType))
+    )
+    integral = tuple(
+        c for c in numeric
+        if isinstance(dtype[c], (T.ByteType, T.ShortType, T.IntegerType,
+                                 T.LongType))
+    )
     t = read_snapshot_manifest(out_dir, version)
-    if "col_zones" not in t.schema.names:
-        return None  # pre-zone manifest: bounds were never recorded
+    names = t.schema.names
+    if "col_zones" not in names or "col_nulls" not in names:
+        return None  # pre-stats manifest: never recorded
     total = 0
+    nulls = dict.fromkeys(columns, 0)
+    sums = dict.fromkeys(integral, 0)
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
-    for n_rows, status, zjson in zip(
+    for n_rows, status, zjson, njson, sjson in zip(
         t["rows"].to_pylist(), t["status"].to_pylist(),
-        t["col_zones"].to_pylist(),
+        t["col_zones"].to_pylist(), t["col_nulls"].to_pylist(),
+        t["col_sums"].to_pylist(),
     ):
         if status != "ok":
             continue
         total += n_rows
         if n_rows == 0:
             continue
+        if njson is None:
+            return None  # partition predates stats v2
         zones = json.loads(zjson) if zjson else {}
+        pn = json.loads(njson)
+        ps = json.loads(sjson) if sjson else {}
         for c in columns:
-            z = zones.get(c)
-            if z is None:
-                return None  # unbounded partition: manifest can't answer
-            mins[c] = z[0] if c not in mins else min(mins[c], z[0])
-            maxs[c] = z[1] if c not in maxs else max(maxs[c], z[1])
-    if columns and total and (set(mins) != set(columns)):
-        return None
-    return {"rows": total, "min": mins, "max": maxs}
+            # a column absent from the nulls map is all-NULL in this
+            # partition (its chunks predate the column)
+            nc = pn.get(c, n_rows)
+            nulls[c] += nc
+            if c in numeric:
+                z = zones.get(c)
+                if z is not None:
+                    mins[c] = z[0] if c not in mins else min(mins[c], z[0])
+                    maxs[c] = z[1] if c not in maxs else max(maxs[c], z[1])
+                elif nc != n_rows:
+                    # unbounded with real values present: non-finite
+                    # floats or a mixed all-NULL/valued partition —
+                    # the manifest cannot answer exactly
+                    return None
+            if c in sums:
+                sums[c] += ps.get(c, 0)
+    nonnull = {c: total - nulls[c] for c in columns}
+    return {
+        "rows": total,
+        "null_count": nulls,
+        "nonnull": nonnull,
+        "min": {c: (mins.get(c) if nonnull[c] else None) for c in numeric},
+        "max": {c: (maxs.get(c) if nonnull[c] else None) for c in numeric},
+        "sum": {c: (sums[c] if nonnull[c] else None) for c in integral},
+    }
 
 
 # --- snapshot tags (Iceberg refs analog): a tag is a named, immutable

@@ -29,7 +29,7 @@ ZONE_LO, ZONE_HI = 100, 500
 # don't bump FORMAT_VERSION) but that cached-dataset consumers depend
 # on — e.g. manifest col_zones, the snapshot log. A stale epoch misses
 # the cache instead of silently serving a dataset missing the feature.
-CACHE_EPOCH = 2
+CACHE_EPOCH = 3
 
 
 def _cached_dataset(spark, sf_dir: str, tag: str, build_fn) -> str:
@@ -857,20 +857,21 @@ FROM toks GROUP BY doc_id ORDER BY doc_id
 
 
 def q_metadata_only_aggregate(spark, sf_dir):
-    """count(*)/min/max answered from the snapshot manifest ALONE — no
-    chunk payload is opened (the Iceberg metadata-only-scan analog; at
+    """count(*)/count(col)/min/max/sum answered from the snapshot
+    manifest ALONE — no chunk payload is opened (the Iceberg
+    metadata-only-scan analog, extended with exact integer sums; at
     100 TB the whole aggregate is one small-parquet manifest read).
 
     Raises rather than falling back: the encoded documents table has no
-    deletes and both columns are int64 with zones in every partition, so
-    an unservable manifest here means the stats pipeline regressed —
-    exactly what this oracle exists to catch.
+    deletes and both numeric columns are int64 with stats in every
+    partition, so an unservable manifest here means the stats pipeline
+    regressed — exactly what this oracle exists to catch.
     ``tests/test_metadata_agg.py`` proves the no-IO claim by deleting
     the chunk payloads and re-answering."""
     from fhirflat_spark.manifest import aggregate_from_metadata
 
     out = _encoded_documents(spark, sf_dir)
-    agg = aggregate_from_metadata(out, ["doc_id", "n_chars"])
+    agg = aggregate_from_metadata(out, ["doc_id", "n_chars", "text"])
     if agg is None:
         raise RuntimeError(
             "metadata-only aggregate unservable on a clean encoded table"
@@ -879,11 +880,14 @@ def q_metadata_only_aggregate(spark, sf_dir):
         agg["rows"],
         agg["min"]["doc_id"], agg["max"]["doc_id"],
         agg["min"]["n_chars"], agg["max"]["n_chars"],
+        agg["sum"]["n_chars"],
+        agg["nonnull"]["text"],
     )
     return spark.createDataFrame(
         [row],
         "cnt BIGINT, min_doc_id BIGINT, max_doc_id BIGINT, "
-        "min_n_chars BIGINT, max_n_chars BIGINT",
+        "min_n_chars BIGINT, max_n_chars BIGINT, sum_n_chars BIGINT, "
+        "cnt_text BIGINT",
     )
 
 
@@ -939,7 +943,9 @@ SELECT
   min(doc_id) AS min_doc_id,
   max(doc_id) AS max_doc_id,
   min(n_chars) AS min_n_chars,
-  max(n_chars) AS max_n_chars
+  max(n_chars) AS max_n_chars,
+  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+  count(text) AS cnt_text
 FROM documents
 """
 

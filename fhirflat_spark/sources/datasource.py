@@ -413,7 +413,8 @@ METADATA_DDL = {
     "partitions": (
         "part_id INT, n_chunks INT, rows BIGINT, raw_bytes BIGINT, "
         "encoded_bytes BIGINT, partition_sha STRING, repo_min STRING, "
-        "repo_max STRING, status STRING, col_zones STRING"
+        "repo_max STRING, status STRING, col_zones STRING, "
+        "col_nulls STRING, col_sums STRING"
     ),
     "chunks": (
         "part_id INT, chunk_seq INT, n_rows BIGINT, column STRING, "
@@ -460,7 +461,8 @@ class FhirflatMetadataReader(DataSourceReader):
              ("rows", pa.int64()), ("raw_bytes", pa.int64()),
              ("encoded_bytes", pa.int64()), ("partition_sha", pa.string()),
              ("repo_min", pa.string()), ("repo_max", pa.string()),
-             ("status", pa.string()), ("col_zones", pa.string())]
+             ("status", pa.string()), ("col_zones", pa.string()),
+             ("col_nulls", pa.string()), ("col_sums", pa.string())]
         ),
         "chunks": pa.schema(
             [("part_id", pa.int32()), ("chunk_seq", pa.int32()),
@@ -523,6 +525,9 @@ class FhirflatMetadataReader(DataSourceReader):
             )
         elif self._table == "partitions":
             t = fsio.read_parquet(f"{path}/manifest")
+            for f in schema:  # pre-stats-v2 manifests lack the rollups
+                if f.name not in t.schema.names:
+                    t = t.append_column(f, pa.nulls(t.num_rows, f.type))
             yield from t.select(schema.names).cast(schema).to_batches()
         elif self._table == "deletes":
             rows = []

@@ -129,3 +129,24 @@ def test_datasource_partition_pruning(clustered_ds):
         v.as_py() for p in pruned for b in rdr.read(p) for v in b.column(0)
     ]
     assert set(range(100, 301)) <= set(ids)
+
+
+def test_nan_rows_survive_one_sided_zone_filter(spark, tmp_path):
+    """Spark orders NaN ABOVE every double, but Arrow's min_max ignores
+    NaN — a finite recorded upper bound would let `col > hi` prune the
+    chunk holding the NaN rows. A NaN-bearing chunk must record NO zone
+    so every zone/pushdown path keeps it."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(float("nan")))
+        .otherwise(F.col("id") * 1.0).alias("price"),
+    )
+    out = str(tmp_path / "nanz")
+    encode_table(df, out, rows_per_bucket=100, num_partitions=1)
+    dec = decode_table(spark, out, zone_filter=("price", 1000.0, None))
+    got = dec.where(F.col("price") > 1000.0).collect()
+    # NaN > 1000.0 is TRUE under Spark ordering: the row must survive
+    assert [r["doc_id"] for r in got] == [7]
