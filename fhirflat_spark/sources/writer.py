@@ -223,6 +223,28 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
             # LATER micro-batches upsert against the earlier ones)
             upsert = None
 
+    # write-audit-publish staging through the sink surface: the commit
+    # lands on a branch ref instead of moving the main pointer (the
+    # encode.append_table(branch=) semantics; publish_branch/drop_branch
+    # finish the cycle). Batch append only: a fresh table has nothing to
+    # audit against, overwrite already replaces, and a stream would
+    # re-stage every micro-batch with nothing to publish between them.
+    branch = options.get("branch") or None
+    if branch:
+        if streaming:
+            raise ValueError("branch staging is batch-only")
+        if mode != "append":
+            raise ValueError(
+                "branch staging is append-only (WAP audits a delta "
+                "against an existing table)"
+            )
+        if columns != list(summary["columns"]):
+            raise ValueError(
+                f"branch {branch!r} append adds columns; schema evolution "
+                "must commit to main (the schema lives in the main-visible "
+                "summary)"
+            )
+
     # mint past every id any retained snapshot references (history
     # immutability — encode.append_table); crashed-attempt ids live in
     # no snapshot and stay reusable
@@ -262,6 +284,7 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
         "schema_json": schema_json,
         "bloom": bloom,
         "upsert_key": upsert,
+        "branch": branch,
         "codec_opts": {"archive": True} if profile == "archive" else {},
         "part_offset": base,
         "parts_per_batch": ppb,
@@ -427,7 +450,12 @@ def _commit_snapshot(plan: dict, by_part: dict[int, list],
     meta_rows = load_fragments(frag_dir)
     stats = write_manifest(None, path, meta_rows,
                            new_deletes=new_deletes,
-                           carry_deletes=not replace)
+                           carry_deletes=not replace,
+                           branch=plan.get("branch"))
+    if plan.get("branch"):
+        # staged: the summary is MAIN-visible state — publish_branch
+        # patches it from the ref's recorded totals
+        return
     result = EncodeResult(
         out_dir=path,
         num_partitions=stats["n_partitions"],

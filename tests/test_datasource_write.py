@@ -313,3 +313,44 @@ def test_stream_sink_upsert_latest_batch_wins(spark, docs, tmp_path):
         back.where("text like '%+v2'").count()
         == first.where("doc_id % 3 = 0").count()
     )
+
+
+def test_sink_branch_staging_and_publish(spark, docs, tmp_path):
+    """df.write.option("branch", ...) stages through the sink: invisible
+    to main until publish_branch fast-forwards."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import publish_branch
+
+    out = str(tmp_path / "waps")
+    encode_table(docs.where(F.col("doc_id") < 100), out, rows_per_bucket=50)
+    (
+        docs.where(F.col("doc_id").between(100, 149))
+        .write.format("fhirflat").mode("append")
+        .option("branch", "audit").save(out)
+    )
+    assert decode_table(spark, out).count() == 100
+    assert decode_table(spark, out, snapshot="audit").count() == 150
+    publish_branch(out, "audit")
+    assert decode_table(spark, out).count() == 150
+
+
+def test_sink_branch_guards(spark, docs, tmp_path):
+    from fhirflat_spark.encode import encode_table
+
+    out = str(tmp_path / "wapg")
+    encode_table(docs.where(F.col("doc_id") < 50), out, rows_per_bucket=50)
+    # schema evolution refused on a branch
+    with pytest.raises(Exception, match="schema evolution"):
+        (
+            docs.where(F.col("doc_id") == 50)
+            .withColumn("extra", F.lit(1))
+            .write.format("fhirflat").mode("append")
+            .option("branch", "audit").save(out)
+        )
+    # staging needs an existing table (create mode refused)
+    with pytest.raises(Exception, match="append-only"):
+        (
+            docs.limit(1).write.format("fhirflat").mode("append")
+            .option("branch", "b").save(str(tmp_path / "fresh"))
+        )
