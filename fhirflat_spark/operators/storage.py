@@ -891,6 +891,48 @@ def q_metadata_only_aggregate(spark, sf_dir):
     )
 
 
+PROBE_IDS = (7, 137, 423)
+
+
+def q_runtime_semi_probe(spark, sf_dir):
+    """Runtime dim-driven pruning (the dynamic-partition-pruning analog
+    at chunk granularity): a small dim lookup resolves probe keys
+    driver-side, the fact scan takes them as an IN filter through the
+    named source, and pushFilters turns each value into a per-chunk
+    Bloom probe (text is bloomed) + a zone range — chunks that cannot
+    contain any probe are skipped before payload IO. Duplicated corpus
+    texts make the semi-join multiplicity non-trivial (every copy of a
+    probed text matches, exactly as SQL's IN does)."""
+    from fhirflat_spark.sources.datasource import register
+
+    out = _encoded_documents_bloomed(spark, sf_dir)
+    register(spark)
+    probes = [
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id").isin(*PROBE_IDS)).select("text").collect()
+    ]
+    fact = spark.read.format("fhirflat").option("path", out).load()
+    return fact.where(F.col("text").isin(probes)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_RUNTIME_SEMI_PROBE = f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+WHERE text IN (
+  SELECT text FROM documents WHERE doc_id IN {PROBE_IDS}
+)
+"""
+
+
 def _encoded_documents_staged(spark, sf_dir: str) -> str:
     """WAP fixture: even doc_ids committed to MAIN, odd doc_ids staged
     on branch ``audit`` and deliberately left unpublished — the cached
@@ -956,6 +998,7 @@ QUERIES = {
         q_metadata_only_aggregate, SQL_METADATA_ONLY_AGGREGATE,
     ),
     "wap_branch_isolation": (q_wap_branch, SQL_WAP_BRANCH),
+    "runtime_semi_probe": (q_runtime_semi_probe, SQL_RUNTIME_SEMI_PROBE),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),

@@ -318,3 +318,24 @@ def test_metadata_deletes_table(spark, ds_dir):
 def test_metadata_unknown_table_rejected(spark, ds_dir):
     with pytest.raises(Exception, match="metadata"):
         _md(spark, ds_dir, "nope").collect()
+
+
+def test_in_pushdown_bloom_prunes_chunks(spark, ds_dir, docs):
+    """An IN over a bloomed column probes every value per chunk: chunks
+    containing none of the probed texts are skipped before payload IO,
+    and every matching row survives (never a false negative)."""
+    from pyspark.sql.datasource import In
+
+    probes = [
+        r[0] for r in docs.where(F.col("doc_id").isin(42, 120))
+        .select("text").collect()
+    ]
+    rdr = FhirflatBatchReader({"path": ds_dir}, None)
+    rdr.pushFilters([In(("text",), tuple(probes))])
+    batches = [b for p in rdr.partitions() for b in rdr.read(p)]
+    full = FhirflatBatchReader({"path": ds_dir}, None)
+    n_chunks_all = sum(1 for p in full.partitions() for _ in full.read(p))
+    assert len(batches) < n_chunks_all
+    texts = [v.as_py() for b in batches for v in b.column(1)]
+    for probe in probes:
+        assert probe in texts
