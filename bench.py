@@ -99,6 +99,39 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
+def metadata_agg_stage(spark) -> dict:
+    """Metadata-only aggregate vs the identical aggregate as a decode
+    scan on the same encoded table: the manifest read is O(#partitions)
+    regardless of data size, so the speedup GROWS with scale (at 100 TB
+    the scan side is hours; the manifest side stays milliseconds).
+    Values are asserted equal — this stage is also a correctness probe."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.manifest import aggregate_from_metadata
+    from fhirflat_spark.operators.storage import _encoded_documents
+
+    out = _encoded_documents(spark, SF_DIR)  # cache build excluded
+    t0 = time.time()
+    agg = aggregate_from_metadata(out, ["doc_id", "n_chars"])
+    meta_s = time.time() - t0
+    t0 = time.time()
+    row = decode_table(spark, out).agg(
+        F.count("*"), F.min("doc_id"), F.max("doc_id"), F.sum("n_chars")
+    ).collect()[0]
+    scan_s = time.time() - t0
+    assert agg is not None and agg["rows"] == row[0]
+    assert agg["min"]["doc_id"] == row[1] and agg["max"]["doc_id"] == row[2]
+    assert agg["sum"]["n_chars"] == row[3]
+    st = {
+        "metadata_sec": round(meta_s, 4),
+        "scan_sec": round(scan_s, 3),
+        "speedup": round(scan_s / max(meta_s, 1e-6), 1),
+    }
+    print(f"  metadata_agg: {st}", flush=True)
+    return st
+
+
 def ensure_source(spark) -> str:
     """Materialize the synthetic code table once (generation excluded from
     encode timing)."""
@@ -356,6 +389,7 @@ def main() -> None:
 
     spark = get_spark("bench_queries", cores=CPUS, extra_conf=_EXTRA)
     queries = run_queries(spark)
+    meta_agg = metadata_agg_stage(spark)
     src = ensure_source(spark)
     key_counts = [
         (r[0], r["count"])
@@ -415,6 +449,7 @@ def main() -> None:
             "parquet_zstd_l9_wall_sec": pz9_wall,
             "ratio_vs_parquet_zstd_l9": round(archive["encoded_bytes"] / pz9_bytes, 4),
         },
+        "metadata_agg": meta_agg,
         "bench_total_sec": total,
     }
     env_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
@@ -585,6 +620,18 @@ def _write_report(result: dict) -> None:
     ]
     for q, s in result["queries"].items():
         lines.append(f"| {q} | {s} |")
+    ma = result.get("metadata_agg")
+    if ma:
+        lines += [
+            "",
+            "## Metadata-only aggregate (zero chunk IO)",
+            "",
+            f"count/min/max/sum from the snapshot manifest: "
+            f"{ma['metadata_sec']}s vs {ma['scan_sec']}s as a decode scan "
+            f"({ma['speedup']}x; the manifest side is O(#partitions), so "
+            "the gap grows linearly with data size — values asserted "
+            "equal).",
+        ]
     with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

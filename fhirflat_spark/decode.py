@@ -476,8 +476,14 @@ def verify_kernel_factory(columns: list[str], field_names: list[str]):
 
 
 def verify_table(spark: SparkSession, out_dir: str,
-                 columns: list[str] | None = None) -> DataFrame:
-    """Per-chunk round-trip verification status — the error side-channel."""
+                 columns: list[str] | None = None,
+                 snapshot: int | str | None = None) -> DataFrame:
+    """Per-chunk round-trip verification status — the error side-channel.
+
+    ``snapshot`` (version, tag, or branch name) restricts verification
+    to that snapshot's partitions — the WAP audit step checksums the
+    staged branch (``snapshot="audit"``) before ``publish_branch``.
+    Default: every chunk on disk, staged and historical included."""
     from fhirflat_spark.manifest import read_summary
 
     from fhirflat_spark.encode import chunk_schema
@@ -495,6 +501,13 @@ def verify_table(spark: SparkSession, out_dir: str,
         "part_id", "chunk_seq", "n_rows", "content_sha", "stats",
         *[F.col(f"payload.{f}").alias(f"__v_{f}") for f in fields],
     )
+    if snapshot is not None:
+        from fhirflat_spark.manifest import resolve_snapshot, snapshot_part_ids
+
+        ids = snapshot_part_ids(
+            out_dir, resolve_snapshot(out_dir, snapshot)
+        )
+        chunks = chunks.where(_part_range_predicate(ids))
     return chunks.mapInArrow(verify_kernel_factory(columns, fields), schema=VERIFY_SCHEMA)
 
 

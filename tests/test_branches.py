@@ -163,3 +163,16 @@ def test_named_source_reads_branch_snapshot(spark, docs, base):
     assert via.count() == 150
     main = spark.read.format("fhirflat").option("path", base).load()
     assert main.count() == 100
+
+
+def test_verify_table_scopes_to_branch_snapshot(spark, docs, base):
+    """The audit step: verify_table(snapshot=branch) checksums exactly
+    the staged table's chunks (main-scoped verify excludes staged
+    partitions; branch-scoped covers them)."""
+    append_table(docs.where(F.col("doc_id").between(100, 149)), base,
+                 rows_per_bucket=50, branch="audit")
+    main_v = verify_table(spark, base, snapshot=1)
+    branch_v = verify_table(spark, base, snapshot="audit")
+    assert main_v.where(~F.col("ok")).count() == 0
+    assert branch_v.where(~F.col("ok")).count() == 0
+    assert branch_v.count() > main_v.count()
