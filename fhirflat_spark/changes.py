@@ -39,20 +39,26 @@ def _delete_names(entries: list[dict]) -> list[str]:
 
 
 def table_changes(spark: SparkSession, out_dir: str,
-                  from_snapshot: int, to_snapshot: int) -> DataFrame:
+                  from_snapshot: int | str,
+                  to_snapshot: int | str) -> DataFrame:
     from fhirflat_spark.decode import decode_table
     from fhirflat_spark.manifest import (
+        _snapshot_versions,
         active_delete_files,
-        current_snapshot,
+        resolve_snapshot,
         snapshot_part_ids,
     )
 
-    cur = current_snapshot(out_dir)
-    if cur is None:
+    # names resolve through the ref layer, so to_snapshot="audit" diffs
+    # a staged branch against any base — the WAP audit's change review
+    from_snapshot = resolve_snapshot(out_dir, from_snapshot)
+    to_snapshot = resolve_snapshot(out_dir, to_snapshot)
+    versions = set(_snapshot_versions(out_dir))
+    if not versions:
         raise ValueError(f"{out_dir} has no committed snapshot")
     for v in (from_snapshot, to_snapshot):
-        if not 1 <= v <= cur:
-            raise ValueError(f"snapshot {v} outside committed range 1..{cur}")
+        if v not in versions:
+            raise ValueError(f"snapshot {v} is not a retained snapshot")
     if to_snapshot < from_snapshot:
         raise ValueError("to_snapshot must be >= from_snapshot")
     if to_snapshot == from_snapshot:

@@ -663,6 +663,13 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                         name: s["sum"] for name, s in stats.items()
                         if "sum" in s
                     }
+                # sketches ride through; an always-present (possibly
+                # empty) map keeps tracked-but-all-null partitions
+                # distinguishable from untracked ones downstream
+                row["hlls"] = {
+                    name: s["hll"] for name, s in stats.items()
+                    if "hll" in s
+                }
                 frag.append(row)
                 yield pa.RecordBatch.from_pydict(
                     {

@@ -168,7 +168,8 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
                       columns: list[str], name_map: dict[str, str],
                       overrides: dict, base_opts: dict,
                       repo_batch_col: str | None,
-                      bloom_cols: frozenset[str] | None = None):
+                      bloom_cols: frozenset[str] | None = None,
+                      ndv_cols: frozenset[str] | None = None):
     """Encode ONE Arrow batch into a (fragment-meta, chunk-row batch) pair.
 
     Shared by the legacy row-shuffle kernel and the blob-shuffle unpack
@@ -220,6 +221,12 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
             if bh is not None:
                 stats[out_name]["bloom"] = bh
                 stats[out_name]["bbits"] = _bloom.M_BITS
+        if ndv_cols and out_name in ndv_cols:
+            from fhirflat_spark import ndv as _ndv
+
+            regs = _ndv.hll_registers(arr)
+            if regs is not None:  # all-null chunk contributes no values
+                stats[out_name]["hll"] = regs.hex()
         raw_total += raw_bytes
         enc_total += len(blob)
     repo_col = (
@@ -258,6 +265,11 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
             if "sum" in stats[name]
         },
     }
+    if ndv_cols:
+        meta["hlls"] = {
+            name: stats[name]["hll"] for name in stats
+            if "hll" in stats[name]
+        }
     payload_type = pa.struct(
         [(f"__c{i}", pa.binary()) for i in range(len(columns))]
     )
@@ -353,7 +365,8 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           name_map: dict[str, str] | None = None,
                           codec_opts: dict | None = None,
                           part_offset: int = 0,
-                          bloom_columns: frozenset[str] | None = None):
+                          bloom_columns: frozenset[str] | None = None,
+                          ndv_columns: frozenset[str] | None = None):
     overrides = codec_overrides or {}
     base_opts = codec_opts or {}
     skip = skip_parts or frozenset()
@@ -373,7 +386,7 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                 continue
             meta, out = _encode_one_batch(
                 batch, part_id, seq, columns, name_map, overrides,
-                base_opts, repo_batch_col, bloom_columns,
+                base_opts, repo_batch_col, bloom_columns, ndv_columns,
             )
             frag.append(meta)
             yield out
@@ -814,7 +827,8 @@ def unpack_encode_kernel_factory(columns: list[str],
                                  batch_rows: int = 16384,
                                  from_blobs: bool = True,
                                  part_offset: int = 0,
-                                 bloom_columns: frozenset[str] | None = None):
+                                 bloom_columns: frozenset[str] | None = None,
+                                 ndv_columns: frozenset[str] | None = None):
     """Post-shuffle encode kernel: materialize the partition (from
     Arrow-IPC blob rows when ``from_blobs``, else directly from the data
     batches), sort rows IN THE KERNEL (numpy/Arrow sort — replaces a JVM
@@ -865,6 +879,7 @@ def unpack_encode_kernel_factory(columns: list[str],
                 meta, out = _encode_one_batch(
                     b, part_id, seq, columns, name_map, overrides,
                     base_opts, repo_batch_col, bloom_columns,
+                    ndv_columns,
                 )
                 frag.append(meta)
                 yield out
@@ -952,6 +967,7 @@ def encode_table(
     overwrite_partitions: bool = False,
     max_new_partitions: int | None = None,
     bloom_columns: list[str] | None = None,
+    ndv_columns: list[str] | None = None,
     delete_keys: tuple | None = None,
     weight_col: str | None = None,
     branch: str | None = None,
@@ -1014,18 +1030,23 @@ def encode_table(
     # (e.g. the streaming sink) would write unbloomed chunks AND
     # rewrite the summary without the key, silently killing the
     # point-lookup capability
-    if append and bloom_columns is None:
+    if append and (bloom_columns is None or ndv_columns is None):
         from fhirflat_spark.manifest import read_summary as _read_summary
 
         try:
-            bloom_columns = [
-                c for c in _read_summary(spark, out_dir).get(
-                    "bloom_columns", ()
-                )
-                if c in columns
-            ]
+            _summary = _read_summary(spark, out_dir)
         except FileNotFoundError:
-            bloom_columns = None
+            _summary = {}
+        if bloom_columns is None:
+            bloom_columns = [
+                c for c in _summary.get("bloom_columns", ()) if c in columns
+            ]
+        # ndv inherits for the same reason bloom does: a direct append
+        # must not silently write unsketched chunks into a tracked table
+        if ndv_columns is None:
+            ndv_columns = [
+                c for c in _summary.get("ndv_columns", ()) if c in columns
+            ]
     bloom_set = frozenset(bloom_columns or ())
     for c in bloom_set:
         if c not in columns:
@@ -1033,6 +1054,17 @@ def encode_table(
         if not isinstance(df.schema[c].dataType, T.StringType):
             raise ValueError(
                 f"bloom column {c!r} must be a string column "
+                f"(got {df.schema[c].dataType})"
+            )
+    ndv_set = frozenset(ndv_columns or ())
+    for c in ndv_set:
+        if c not in columns:
+            raise ValueError(f"ndv column {c!r} not in encoded columns")
+        if not isinstance(df.schema[c].dataType,
+                          (T.StringType, T.BinaryType, T.ByteType,
+                           T.ShortType, T.IntegerType, T.LongType)):
+            raise ValueError(
+                f"ndv column {c!r} must be a string/binary/integer column "
                 f"(got {df.schema[c].dataType})"
             )
     t0 = time.time()
@@ -1111,6 +1143,7 @@ def encode_table(
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
             sort_names=sort_names, batch_rows=batch_rows,
             part_offset=part_offset, bloom_columns=bloom_set,
+            ndv_columns=ndv_set,
         )
         chunks = packed.repartition(P, F.col("__tok")).mapInArrow(
             kernel, schema=chunk_schema(len(columns))
@@ -1139,6 +1172,7 @@ def encode_table(
             safe_names, codec_overrides, skip_parts=skip,
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
             part_offset=part_offset, bloom_columns=bloom_set,
+            ndv_columns=ndv_set,
         )
         chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
     if max_new_partitions is not None and P > max_new_partitions:
@@ -1216,7 +1250,10 @@ def encode_table(
         spark, out_dir, result, columns,
         spark_schema=df.select(*[F.col(f"`{c}`") for c in columns]).schema.json(),
         dataset_sha=manifest_stats["dataset_sha256"],
-        extra={"bloom_columns": sorted(bloom_set)} if bloom_set else None,
+        extra=(
+            ({"bloom_columns": sorted(bloom_set)} if bloom_set else {})
+            | ({"ndv_columns": sorted(ndv_set)} if ndv_set else {})
+        ) or None,
     )
     return result
 
@@ -1232,6 +1269,7 @@ def append_table(
     delete_keys: tuple | None = None,
     weight_col: str | None = None,
     branch: str | None = None,
+    ndv_columns: list[str] | None = None,
 ) -> EncodeResult:
     """Incrementally append ``df`` to an EXISTING encoded dataset — the
     daily-ingest pattern at 100 TB: new rows become NEW partitions
@@ -1343,6 +1381,7 @@ def append_table(
                        if c in df.columns],
         delete_keys=delete_keys,
         branch=branch,
+        ndv_columns=ndv_columns,
         # byte-weighted delta placement: the planner runs its own
         # count+sum scan; row-count stats are NOT persisted for weighted
         # appends (equivalent-row weights would pollute merged row totals)

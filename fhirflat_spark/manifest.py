@@ -62,6 +62,10 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         # whole column being NULL, which means "not tracked".
         ("col_nulls", pa.string()),
         ("col_sums", pa.string()),
+        # per-partition merged HLL registers (JSON {col: hex}) for
+        # ndv_columns datasets; NULL = untracked (pre-ndv chunks or no
+        # sketched columns). Register-wise max merge is exact.
+        ("col_hlls", pa.string()),
     ]
 )
 
@@ -143,6 +147,30 @@ def _merge_chunk_rollups(chunks: list[dict]) -> tuple[dict | None,
         for k in sum_cols
     }
     return nulls, sums
+
+
+def _merge_chunk_hlls(chunks: list[dict]) -> dict | None:
+    """Partition-level merged NDV sketches ({col: hex}) via register-wise
+    max, or None when any chunk predates sketching (its values would be
+    invisible to the estimate). A column absent from a chunk's map had
+    no non-null values there — contributes nothing, which is exact."""
+    if any("hlls" not in c for c in chunks):
+        return None
+    from fhirflat_spark import ndv as _ndv
+
+    cols: set[str] = set()
+    for c in chunks:
+        cols.update(c["hlls"])
+    out = {}
+    for k in cols:
+        merged = None
+        for c in chunks:
+            hx = c["hlls"].get(k)
+            if hx:
+                merged = _ndv.hll_merge(merged, bytes.fromhex(hx))
+        if merged is not None:
+            out[k] = merged.hex()
+    return out or None
 
 
 def coerce_zone_bound(dt, value):
@@ -242,6 +270,7 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         rmin = rmax = None
         zones = _merge_chunk_zones(chunks)
         nulls, sums = _merge_chunk_rollups(chunks)
+        hlls = _merge_chunk_hlls(chunks)
         for c in chunks:
             h.update(c["content_sha"].encode())
             rows += c["n_rows"]
@@ -272,6 +301,10 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         cols["col_sums"].append(
             json.dumps(sums, separators=(",", ":"))
             if sums is not None else None
+        )
+        cols["col_hlls"].append(
+            json.dumps(hlls, separators=(",", ":"))
+            if hlls is not None else None
         )
         totals["rows"] += rows
         totals["raw_bytes"] += raw
@@ -417,6 +450,7 @@ def build_manifest(chunk_df: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("col_zones"),
             F.lit(None).cast("string").alias("col_nulls"),
             F.lit(None).cast("string").alias("col_sums"),
+            F.lit(None).cast("string").alias("col_hlls"),
         )
     )
 

@@ -891,6 +891,54 @@ def q_metadata_only_aggregate(spark, sf_dir):
     )
 
 
+NDV_COLS = ("doc_id", "lang", "source")
+
+
+def _encoded_documents_ndv(spark, sf_dir: str) -> str:
+    """NDV fixture: documents encoded with per-chunk HLL sketches on an
+    int key (doc_id) and two low-cardinality strings."""
+    from fhirflat_spark.encode import encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs, path, rows_per_bucket=2000,
+                     ndv_columns=list(NDV_COLS))
+
+    return _cached_dataset(spark, sf_dir, "ndvq", build)
+
+
+def q_ndv_sketch(spark, sf_dir):
+    """Metadata-only approximate COUNT(DISTINCT) (per-chunk HLL, merged
+    register-max up the manifest — the Iceberg puffin-NDV story): the
+    oracle pins the estimate within 5% of the exact count per column
+    (deterministic: the sketch is a pure function of the values, so a
+    passing dataset passes forever; a broken sketch flips the booleans).
+    Low-cardinality columns sit in the linear-counting regime and are
+    near exact; the int key exercises the 2^11-register estimator."""
+    from fhirflat_spark.ndv import ndv_from_metadata
+
+    out = _encoded_documents_ndv(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for col in NDV_COLS:
+        est = ndv_from_metadata(out, col)
+        if est is None:
+            raise RuntimeError(f"ndv unservable for {col!r} on a clean table")
+        exact = docs.select(col).distinct().count()
+        ok = (abs(est - exact) <= 0.05 * exact) if exact else (est == 0)
+        rows.append((col, bool(ok)))
+    return spark.createDataFrame(
+        sorted(rows), "column STRING, within_5pct BOOLEAN"
+    )
+
+
+SQL_NDV_SKETCH = """
+SELECT column_name AS column, TRUE AS within_5pct
+FROM (VALUES ('doc_id'), ('lang'), ('source')) AS t(column_name)
+ORDER BY column_name
+"""
+
+
 PROBE_IDS = (7, 137, 423)
 
 
@@ -999,6 +1047,7 @@ QUERIES = {
     ),
     "wap_branch_isolation": (q_wap_branch, SQL_WAP_BRANCH),
     "runtime_semi_probe": (q_runtime_semi_probe, SQL_RUNTIME_SEMI_PROBE),
+    "ndv_sketch_estimate": (q_ndv_sketch, SQL_NDV_SKETCH),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),

@@ -414,7 +414,7 @@ METADATA_DDL = {
         "part_id INT, n_chunks INT, rows BIGINT, raw_bytes BIGINT, "
         "encoded_bytes BIGINT, partition_sha STRING, repo_min STRING, "
         "repo_max STRING, status STRING, col_zones STRING, "
-        "col_nulls STRING, col_sums STRING"
+        "col_nulls STRING, col_sums STRING, col_hlls STRING"
     ),
     "chunks": (
         "part_id INT, chunk_seq INT, n_rows BIGINT, column STRING, "
@@ -462,7 +462,8 @@ class FhirflatMetadataReader(DataSourceReader):
              ("encoded_bytes", pa.int64()), ("partition_sha", pa.string()),
              ("repo_min", pa.string()), ("repo_max", pa.string()),
              ("status", pa.string()), ("col_zones", pa.string()),
-             ("col_nulls", pa.string()), ("col_sums", pa.string())]
+             ("col_nulls", pa.string()), ("col_sums", pa.string()),
+             ("col_hlls", pa.string())]
         ),
         "chunks": pa.schema(
             [("part_id", pa.int32()), ("chunk_seq", pa.int32()),

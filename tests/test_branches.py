@@ -176,3 +176,18 @@ def test_verify_table_scopes_to_branch_snapshot(spark, docs, base):
     assert main_v.where(~F.col("ok")).count() == 0
     assert branch_v.where(~F.col("ok")).count() == 0
     assert branch_v.count() > main_v.count()
+
+
+def test_table_changes_accepts_ref_names(spark, docs, base):
+    """Audit change review: diff main head against the staged branch by
+    NAME — exactly the staged rows appear as inserts."""
+    from fhirflat_spark.changes import table_changes
+    from fhirflat_spark.manifest import create_tag
+
+    append_table(docs.where(F.col("doc_id").between(100, 149)), base,
+                 rows_per_bucket=50, branch="audit")
+    create_tag(base, "baseline", 1)
+    ch = table_changes(spark, base, "baseline", "audit").collect()
+    assert len(ch) == 50
+    assert all(r["_change_type"] == "insert" for r in ch)
+    assert sorted(r["doc_id"] for r in ch) == list(range(100, 150))
