@@ -46,6 +46,10 @@ def main() -> None:
                           "row counts (file-size-skew placement)")
     enc.add_argument("--shuffle", choices=["true", "false", "auto", "blob"], default="true",
                      help="auto = skip the exchange when input is already clustered")
+    enc.add_argument("--bloom-columns", dest="bloom_columns",
+                     help="comma-separated string columns to Bloom-index per chunk")
+    enc.add_argument("--ndv-columns", dest="ndv_columns",
+                     help="comma-separated string/int columns to HLL-sketch per chunk")
 
     app = sub.add_parser("append", help="incrementally append rows to an existing dataset")
     app.add_argument("--rows", type=int, default=100_000, help="synthetic rows (ignored with --src)")
@@ -103,6 +107,13 @@ def main() -> None:
     trc.add_argument("--out", required=True)
     trc.add_argument("--profile", choices=["balanced", "archive"], default="archive")
 
+    sta = sub.add_parser("stats", help="metadata-only aggregates from the snapshot manifest (zero chunk IO)")
+    sta.add_argument("--out", required=True)
+    sta.add_argument("--columns", required=True,
+                     help="comma-separated columns for count/min/max/sum")
+    sta.add_argument("--ndv", help="comma-separated sketched columns for approx COUNT(DISTINCT)")
+    sta.add_argument("--snapshot", help="version, tag, or branch (default: current)")
+
     chg = sub.add_parser("changes", help="net row-level changelog between two snapshots")
     chg.add_argument("--out", required=True)
     chg.add_argument("--from-snapshot", type=int, required=True, dest="from_v")
@@ -138,9 +149,12 @@ def main() -> None:
 
             df = gen_spark(spark, args.rows, seed=42)
         shuffle = {"true": True, "false": False, "auto": "auto", "blob": "blob"}[args.shuffle]
+        split = lambda v: [c.strip() for c in v.split(",") if c.strip()] if v else None
         res = encode_table(df, args.out, rows_per_bucket=args.rows_per_bucket,
                            resume=args.resume, profile=args.profile,
-                           shuffle=shuffle, weight_col=args.weight_col)
+                           shuffle=shuffle, weight_col=args.weight_col,
+                           bloom_columns=split(args.bloom_columns),
+                           ndv_columns=split(args.ndv_columns))
         print(json.dumps({
             "rows": res.rows, "raw_bytes": res.raw_bytes,
             "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),
@@ -225,6 +239,21 @@ def main() -> None:
         out["refs"] = {
             k: v for k, v in M._read_refs_full(args.out).items()
         }
+        print(json.dumps(out))
+    elif args.cmd == "stats":
+        from fhirflat_spark.manifest import aggregate_from_metadata
+        from fhirflat_spark.ndv import ndv_from_metadata
+
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        snap = args.snapshot
+        out = {"aggregate": aggregate_from_metadata(args.out, cols,
+                                                    snapshot=snap)}
+        if args.ndv:
+            out["ndv"] = {
+                c.strip(): ndv_from_metadata(args.out, c.strip(),
+                                             snapshot=snap)
+                for c in args.ndv.split(",") if c.strip()
+            }
         print(json.dumps(out))
     elif args.cmd == "changes":
         from pyspark.sql import functions as F

@@ -1193,10 +1193,14 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
     versions = _snapshot_versions(out_dir)
     cur = current_snapshot(out_dir)
     refs = _read_refs_full(out_dir)
-    protected = {int(r["snapshot"]) for r in refs.values()}
-    protected |= _branch_staged_versions(out_dir, refs)
+    staged = _branch_staged_versions(out_dir, refs)
+    protected = {int(r["snapshot"]) for r in refs.values()} | staged
+    # keep_last counts MAIN-lineage snapshots: staged branch versions
+    # sit at the top of the listing and must not crowd recent main
+    # snapshots out of the retention window (they are protected anyway)
+    main = [v for v in versions if v not in staged]
     expired = [
-        v for v in versions[:-keep_last] if v != cur and v not in protected
+        v for v in main[:-keep_last] if v != cur and v not in protected
     ]
     for v in expired:
         fsio.delete_file(snapshot_manifest_path(out_dir, v))

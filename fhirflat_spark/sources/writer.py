@@ -156,6 +156,7 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
     columns = in_cols
     merged_fields = list(schema.fields)
     bloom: list[str] = []
+    ndv: list[str] = []
     history_compatible = False
     if exists and not overwrite:
         mode = "append"
@@ -179,7 +180,20 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
         merged_fields = [by_name[c] for c in old_cols] + added
         # appended chunks keep indexing the columns the dataset blooms
         bloom = [c for c in summary.get("bloom_columns", ()) if c in in_cols]
+        ndv = [c for c in summary.get("ndv_columns", ()) if c in in_cols]
     else:
+        opt_ndv = options.get("ndv_columns")
+        if opt_ndv:
+            ndv = [c.strip() for c in opt_ndv.split(",") if c.strip()]
+            for c in ndv:
+                if c not in in_cols:
+                    raise ValueError(f"ndv column {c!r} not in {in_cols}")
+                if not isinstance(schema[c].dataType,
+                                  (T.StringType, T.BinaryType, T.ByteType,
+                                   T.ShortType, T.IntegerType, T.LongType)):
+                    raise ValueError(
+                        f"ndv column {c!r} must be string/binary/integer"
+                    )
         opt_bloom = options.get("bloom_columns")
         if opt_bloom:
             bloom = [c.strip() for c in opt_bloom.split(",") if c.strip()]
@@ -283,6 +297,7 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
         },
         "schema_json": schema_json,
         "bloom": bloom,
+        "ndv": ndv,
         "upsert_key": upsert,
         "branch": branch,
         "codec_opts": {"archive": True} if profile == "archive" else {},
@@ -338,6 +353,7 @@ def _encode_partition(plan: dict, part_id: int, batches, out_path: str,
     safe = [f"__c{i}" for i in range(len(columns))]
     name_map = dict(zip(safe, columns))
     bloom = frozenset(plan["bloom"])
+    ndv = frozenset(plan.get("ndv") or ())
     file_schema = _chunk_file_schema(len(columns))
     key_col = plan["upsert_key"] if keys_path else None
     key_idx = columns.index(key_col) if key_col else None
@@ -371,7 +387,7 @@ def _encode_partition(plan: dict, part_id: int, batches, out_path: str,
                 plan["codec_opts"], next(
                     (s for s, c in zip(safe, columns) if c == "repo"), None
                 ),
-                bloom,
+                bloom, ndv,
             )
             metas.append(meta)
             if writer is None:
@@ -469,8 +485,12 @@ def _commit_snapshot(plan: dict, by_part: dict[int, list],
         None, path, result, plan["columns"],
         spark_schema=plan["schema_json"],
         dataset_sha=stats["dataset_sha256"],
-        extra={"bloom_columns": sorted(plan["bloom"])}
-        if plan["bloom"] else None,
+        extra=(
+            ({"bloom_columns": sorted(plan["bloom"])}
+             if plan["bloom"] else {})
+            | ({"ndv_columns": sorted(plan.get("ndv") or ())}
+               if plan.get("ndv") else {})
+        ) or None,
     )
 
 

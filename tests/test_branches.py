@@ -191,3 +191,24 @@ def test_table_changes_accepts_ref_names(spark, docs, base):
     assert len(ch) == 50
     assert all(r["_change_type"] == "insert" for r in ch)
     assert sorted(r["doc_id"] for r in ch) == list(range(100, 150))
+
+
+def test_expire_keeps_main_window_despite_staged_tail(spark, docs, base):
+    """keep_last counts MAIN snapshots: staged branch versions at the
+    top of the listing must not crowd recent main history out of the
+    retention window."""
+    from fhirflat_spark.manifest import expire_snapshots
+
+    append_table(docs.where(F.col("doc_id").between(100, 119)), base,
+                 rows_per_bucket=50)  # main v2
+    append_table(docs.where(F.col("doc_id").between(120, 149)), base,
+                 rows_per_bucket=50, branch="audit")  # staged v3
+    expired = expire_snapshots(base, keep_last=2)
+    # main window = {1, 2}; the staged v3 is protected; nothing expires
+    assert expired == []
+    expired = expire_snapshots(base, keep_last=1)
+    assert expired == [1]
+    # branch still auditable and publishable afterwards
+    assert decode_table(spark, base, snapshot="audit").count() == 150
+    publish_branch(base, "audit")
+    assert decode_table(spark, base).count() == 150

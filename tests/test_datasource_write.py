@@ -354,3 +354,21 @@ def test_sink_branch_guards(spark, docs, tmp_path):
             docs.limit(1).write.format("fhirflat").mode("append")
             .option("branch", "b").save(str(tmp_path / "fresh"))
         )
+
+
+def test_sink_ndv_option_and_inheritance(spark, docs, tmp_path):
+    from fhirflat_spark.ndv import ndv_from_metadata
+
+    out = str(tmp_path / "ndvsink")
+    (
+        docs.where(F.col("doc_id") < 200)
+        .write.format("fhirflat").mode("append")
+        .option("ndv_columns", "doc_id,lang").save(out)
+    )
+    est = ndv_from_metadata(out, "doc_id")
+    assert est is not None and abs(est - 200) <= 10
+    # append inherits the sketch columns from the summary
+    docs.where(F.col("doc_id").between(200, 299)).write.format(
+        "fhirflat").mode("append").save(out)
+    est2 = ndv_from_metadata(out, "doc_id")
+    assert est2 is not None and abs(est2 - 300) <= 15
