@@ -107,6 +107,11 @@ def main() -> None:
     trc.add_argument("--out", required=True)
     trc.add_argument("--profile", choices=["balanced", "archive"], default="archive")
 
+    ddp = sub.add_parser("dedup", help="physical dedup via position deletes (no chunk rewrite)")
+    ddp.add_argument("--out", required=True)
+    ddp.add_argument("--key", required=True, help="comma-separated duplicate-group columns")
+    ddp.add_argument("--order", help="comma-separated keeper-order columns (default: physical address)")
+
     sta = sub.add_parser("stats", help="metadata-only aggregates from the snapshot manifest (zero chunk IO)")
     sta.add_argument("--out", required=True)
     sta.add_argument("--columns", required=True,
@@ -240,6 +245,13 @@ def main() -> None:
             k: v for k, v in M._read_refs_full(args.out).items()
         }
         print(json.dumps(out))
+    elif args.cmd == "dedup":
+        from fhirflat_spark.manifest import drop_duplicate_rows
+
+        keys = [c.strip() for c in args.key.split(",") if c.strip()]
+        order = [c.strip() for c in (args.order or "").split(",") if c.strip()]
+        print(json.dumps(drop_duplicate_rows(spark, args.out, keys,
+                                             order_cols=order or None)))
     elif args.cmd == "stats":
         from fhirflat_spark.manifest import aggregate_from_metadata
         from fhirflat_spark.ndv import ndv_from_metadata

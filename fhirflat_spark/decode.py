@@ -66,7 +66,8 @@ def _blob_view(col: pa.Array, i: int) -> memoryview:
 
 def decode_kernel_factory(columns: list[str], field_names: list[str],
                           arrow_types: list | None = None,
-                          emit_part: bool = False):
+                          emit_part: bool = False,
+                          emit_pos: bool = False):
     """``field_names[j]`` is the chunk-struct field holding ``columns[j]``
     — the kernel only ever sees the SELECTED fields (parquet nested
     pruning keeps unselected columns' bytes unread).
@@ -76,13 +77,17 @@ def decode_kernel_factory(columns: list[str], field_names: list[str],
     rewritten) — the kernel emits a typed all-null array of the chunk's
     length, which is why the batch carries ``n_rows``. ``emit_part``
     additionally surfaces each row's partition id as ``__part_id`` (the
-    sequence scope for row-level deletes)."""
+    sequence scope for row-level deletes); ``emit_pos`` adds
+    ``__chunk_seq``/``__row_idx`` — with the part id, a row's stable
+    physical address (chunk files are immutable; compaction, which
+    rewrites, materializes position deletes first)."""
     import numpy as np
 
     def kernel(batches):
         for batch in batches:
             nrs = batch.column("n_rows")
             pids = batch.column("part_id") if emit_part else None
+            seqs = batch.column("chunk_seq") if emit_pos else None
             cols = [batch.column(f) for f in field_names]
             for i in range(batch.num_rows):  # iterates CHUNKS (≈16k rows each), not rows
                 arrays = {}
@@ -96,6 +101,14 @@ def decode_kernel_factory(columns: list[str], field_names: list[str],
                     arrays["__part_id"] = pa.array(
                         np.full(nrs[i].as_py(), pids[i].as_py(),
                                 dtype=np.int32)
+                    )
+                if emit_pos:
+                    n = nrs[i].as_py()
+                    arrays["__chunk_seq"] = pa.array(
+                        np.full(n, seqs[i].as_py(), dtype=np.int32)
+                    )
+                    arrays["__row_idx"] = pa.array(
+                        np.arange(n, dtype=np.int32)
                     )
                 yield pa.RecordBatch.from_pydict(arrays)
 
@@ -216,8 +229,14 @@ def decode_table(spark: SparkSession, out_dir: str,
                  key_range: tuple[str, str] | None = None,
                  zone_filter: tuple | None = None,
                  point_filter: tuple | None = None,
-                 snapshot: int | str | None = None) -> DataFrame:
+                 snapshot: int | str | None = None,
+                 with_positions: bool = False) -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
+
+    ``with_positions=True`` appends each row's stable physical address
+    (``__part_id``, ``__chunk_seq``, ``__row_idx``) — the handle
+    position deletes (``manifest.delete_rows_at``) take, e.g. to drop
+    all-but-one copy of duplicate rows without a key column.
 
     ``part_ids`` prunes to specific partitions — parquet partition pruning
     on the ``part_id`` directory key makes this a metadata-only skip, the
@@ -357,8 +376,12 @@ def decode_table(spark: SparkSession, out_dir: str,
 
     snap_for_deletes = snapshot  # None = current
     delete_entries = active_delete_files(out_dir, snap_for_deletes)
-    delete_cols = {e["column"] for e in delete_entries}
-    need_part = any("below_part" in e for e in delete_entries)
+    delete_cols = {
+        e["column"] for e in delete_entries if e.get("column") is not None
+    }
+    need_pos = any(e.get("positional") for e in delete_entries) \
+        or with_positions
+    need_part = any("below_part" in e for e in delete_entries) or need_pos
     requested = list(columns)
     for c in sorted(delete_cols - set(columns)):
         columns = [*columns, c]
@@ -371,17 +394,22 @@ def decode_table(spark: SparkSession, out_dir: str,
     arrow_types = _arrow_types(spark, schema)
     if need_part:
         schema = schema.add(T.StructField("__part_id", T.IntegerType(), False))
+    if need_pos:
+        schema = schema.add(
+            T.StructField("__chunk_seq", T.IntegerType(), False)
+        ).add(T.StructField("__row_idx", T.IntegerType(), False))
     # select only the requested payload fields plus the per-chunk row
     # count (int64/chunk — needed to size typed null fills for columns
     # added after a chunk was written): nested-schema pruning still
     # reaches the parquet scan, so unselected columns cost zero IO
     pruned = chunks.select(
         "n_rows", *(["part_id"] if need_part else []),
+        *(["chunk_seq"] if need_pos else []),
         *[F.col(f"payload.{f}").alias(f) for f in fields],
     )
     decoded = pruned.mapInArrow(
         decode_kernel_factory(columns, fields, arrow_types,
-                              emit_part=need_part),
+                              emit_part=need_part, emit_pos=need_pos),
         schema=schema,
     )
     if delete_entries:
@@ -389,11 +417,19 @@ def decode_table(spark: SparkSession, out_dir: str,
             spark, out_dir, decoded, snap_for_deletes,
             part_col="__part_id" if need_part else None,
         )
-    if need_part:
+    if need_part and not with_positions:
         decoded = decoded.drop("__part_id")
+    if need_pos and not with_positions:
+        decoded = decoded.drop("__chunk_seq", "__row_idx")
     if requested != columns:
         # backticked: flat datasets carry dotted column names
-        decoded = decoded.select(*[F.col(f"`{c}`") for c in requested])
+        pos_cols = (
+            ["__part_id", "__chunk_seq", "__row_idx"] if with_positions
+            else []
+        )
+        decoded = decoded.select(
+            *[F.col(f"`{c}`") for c in requested], *pos_cols
+        )
     return decoded
 
 

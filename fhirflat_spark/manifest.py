@@ -1078,6 +1078,93 @@ def delete_rows(spark: SparkSession, out_dir: str, column: str,
     )
 
 
+def delete_rows_at(spark: SparkSession, out_dir: str,
+                   positions: DataFrame) -> dict:
+    """Row-level DELETE by physical position (Iceberg v2 position-delete
+    analog), committed as a new snapshot with zero chunk bytes moved.
+    ``positions`` carries ``part_id, chunk_seq, row_idx`` — the address
+    ``decode_table(with_positions=True)`` exposes. Unlike equality
+    deletes this removes SPECIFIC row copies, which is what physical
+    dedup needs (an equality delete on the dup key would kill the
+    keeper too). Addresses stay valid because chunk files are
+    immutable; compaction applies deletes while rewriting and starts
+    the new table with an empty delete set."""
+    import os
+    import uuid
+
+    need = {"part_id", "chunk_seq", "row_idx"}
+    if not need <= set(positions.columns):
+        raise ValueError(f"positions need columns {sorted(need)}")
+    keys = positions.select(
+        F.col("part_id").cast("int"), F.col("chunk_seq").cast("int"),
+        F.col("row_idx").cast("int"),
+    ).distinct()
+    n_keys = keys.count()
+    if n_keys == 0:
+        raise ValueError("delete requires a non-empty position set")
+    token = str(os.getpid())
+    dfile = f"p{uuid.uuid4().hex[:12]}.parquet"
+    keys.write.mode("overwrite").parquet(f"{_deletes_dir(out_dir)}/{dfile}")
+    for _ in range(10):
+        prev = current_snapshot(out_dir)
+        if prev is None:
+            raise ValueError(f"{out_dir} has no committed snapshot")
+        version = _next_version(out_dir)
+        t = read_snapshot_manifest(out_dir, prev)
+        active = active_delete_files(out_dir, prev) + [
+            {"file": dfile, "column": None, "positional": True}
+        ]
+        t = _with_deletes_meta(t, active)
+        try:
+            fsio.write_parquet_exclusive(
+                t, snapshot_manifest_path(out_dir, version), token=token
+            )
+        except FileExistsError:
+            continue
+        _write_snapshot_deletes(out_dir, version, active, token)
+        _advance_current(out_dir, version, t, token)
+        return {"snapshot": version, "delete_file": dfile,
+                "n_positions": n_keys,
+                "active_delete_files": len(active)}
+    raise CommitConflictError(
+        f"position delete on {out_dir} lost 10 straight commit races"
+    )
+
+
+def drop_duplicate_rows(spark: SparkSession, out_dir: str,
+                        key_cols: list[str],
+                        order_cols: list[str] | None = None) -> dict:
+    """Physical dedup as a METADATA-ONLY operation: keep exactly one
+    row per ``key_cols`` group (the first by ``order_cols``, else by
+    physical address — deterministic either way) and position-delete
+    the rest. At 100 TB this replaces the rewrite-the-corpus dedup job
+    with one scan + one small-keys commit; the bytes are reclaimed by
+    the next compaction, the merge-on-read trade. Returns the commit
+    stats plus ``rows_dropped`` (0 = no duplicates, no commit)."""
+    from pyspark.sql import Window
+
+    from fhirflat_spark.decode import decode_table
+
+    pos = ["__part_id", "__chunk_seq", "__row_idx"]
+    df = decode_table(spark, out_dir, with_positions=True)
+    order = [F.col(f"`{c}`") for c in (order_cols or [])] +         [F.col(c) for c in pos]
+    w = Window.partitionBy(*[F.col(f"`{c}`") for c in key_cols]).orderBy(*order)
+    losers = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(
+            F.col("__part_id").alias("part_id"),
+            F.col("__chunk_seq").alias("chunk_seq"),
+            F.col("__row_idx").alias("row_idx"),
+        )
+    )
+    n = losers.count()
+    if n == 0:
+        return {"rows_dropped": 0}
+    stats = delete_rows_at(spark, out_dir, losers)
+    return {**stats, "rows_dropped": n}
+
+
 def copy_delete_file(src_dir: str, dst_dir: str, name: str) -> None:
     """Copy one delete-keys file (single-file or Spark-written
     directory form) between datasets — the transcode carry path."""
@@ -1104,10 +1191,27 @@ def apply_deletes(spark: SparkSession, out_dir: str, df: DataFrame,
     (period.start) that bare resolution would read as struct paths."""
     for i, entry in enumerate(active_delete_files(out_dir, version)):
         keys = spark.read.parquet(f"{_deletes_dir(out_dir)}/{entry['file']}")
-        below = entry.get("below_part")
-        col = entry["column"]
         dal, kal = f"__dd{i}", f"__dk{i}"
         d, k = df.alias(dal), keys.alias(kal)
+        if entry.get("positional"):
+            # position delete: anti-join on the row's physical address
+            # (decode carries __part_id/__chunk_seq/__row_idx whenever a
+            # positional entry is active)
+            for c in ("__part_id", "__chunk_seq", "__row_idx"):
+                if c not in df.columns:
+                    raise ValueError(
+                        "positional delete entries need row addresses "
+                        f"({c} missing) — decode with positions enabled"
+                    )
+            cond = (
+                (F.col(f"{dal}.__part_id") == F.col(f"{kal}.part_id"))
+                & (F.col(f"{dal}.__chunk_seq") == F.col(f"{kal}.chunk_seq"))
+                & (F.col(f"{dal}.__row_idx") == F.col(f"{kal}.row_idx"))
+            )
+            df = d.join(k, on=cond, how="left_anti")
+            continue
+        below = entry.get("below_part")
+        col = entry["column"]
         cond = F.col(f"{dal}.`{col}`") == F.col(f"{kal}.`{col}`")
         if below is not None:
             if part_col is None:

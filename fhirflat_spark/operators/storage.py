@@ -939,6 +939,62 @@ ORDER BY column_name
 """
 
 
+def _encoded_documents_pos_deduped(spark, sf_dir: str) -> str:
+    """Physical-dedup fixture: documents augmented with duplicate copies
+    (every 10th doc re-inserted under a shifted id), then deduped by
+    text via POSITION deletes (drop_duplicate_rows keeps the min-doc_id
+    copy) — zero chunk bytes rewritten."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import drop_duplicate_rows
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        aug = docs.unionByName(
+            docs.where(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        )
+        encode_table(aug, path, rows_per_bucket=2000)
+        drop_duplicate_rows(spark, path, ["text"], order_cols=["doc_id"])
+
+    return _cached_dataset(spark, sf_dir, "pdedupq", build)
+
+
+def q_physical_dedup(spark, sf_dir):
+    """Metadata-only physical dedup (Iceberg v2 position deletes): the
+    duplicate copies are removed by ADDRESS — an equality delete on the
+    dup key would kill the keeper too — and the keeper choice (min
+    doc_id per text) must match SQL's row_number()=1. A wrong position
+    (off-by-one row_idx, wrong chunk) flips id_sum immediately."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_pos_deduped(spark, sf_dir)
+    return decode_table(spark, out).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+SQL_PHYSICAL_DEDUP = """
+WITH aug AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+keep AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM aug
+  ) WHERE rn = 1
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM keep
+"""
+
+
 PROBE_IDS = (7, 137, 423)
 
 
@@ -1048,6 +1104,7 @@ QUERIES = {
     "wap_branch_isolation": (q_wap_branch, SQL_WAP_BRANCH),
     "runtime_semi_probe": (q_runtime_semi_probe, SQL_RUNTIME_SEMI_PROBE),
     "ndv_sketch_estimate": (q_ndv_sketch, SQL_NDV_SKETCH),
+    "physical_dedup_positional": (q_physical_dedup, SQL_PHYSICAL_DEDUP),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),

@@ -210,8 +210,9 @@ def _plan(options) -> dict:
         deletes.append(
             {
                 "file": entry["file"],
-                "column": entry["column"],
+                "column": entry.get("column"),
                 "below_part": entry.get("below_part"),
+                "positional": bool(entry.get("positional")),
             }
         )
     return {
@@ -294,9 +295,11 @@ class _ReadMixin:
         columns = list(plan["columns"])
         field_of = {c: f"__c{i}" for i, c in enumerate(plan["all_cols"])}
         # delete-key columns ride along for masking, then are dropped
+        pos_deletes = [d for d in plan["deletes"] if d.get("positional")]
         deletes = [
             d for d in plan["deletes"]
-            if d["below_part"] is None or pid < d["below_part"]
+            if not d.get("positional")
+            and (d["below_part"] is None or pid < d["below_part"])
         ]
         extra = sorted({d["column"] for d in deletes} - set(columns))
         read_cols = columns + extra
@@ -313,6 +316,8 @@ class _ReadMixin:
         proj = {"n_rows": pads.field("n_rows")}
         if need_stats:
             proj["stats"] = pads.field("stats")
+        if pos_deletes:
+            proj["chunk_seq"] = pads.field("chunk_seq")
         # schema evolution: a partition written before a column was added
         # has no payload.__c{i} field for it at all (vs a NULL cell when
         # only some chunks predate it) — project only the fields this
@@ -332,6 +337,16 @@ class _ReadMixin:
         key_sets = {
             d["file"]: _delete_keys(path, d["file"]) for d in deletes
         }
+        # positional deletes for THIS partition, grouped by chunk:
+        # chunk_seq -> sorted row indices (metadata-sized per task —
+        # mass-dedup-scale position sets should read via decode_table,
+        # whose anti-join distributes, same caveat as big key sets)
+        pos_of: dict[int, list[int]] = {}
+        for d in pos_deletes:
+            t = _delete_positions(path, d["file"], pid)
+            for cs, ri in zip(t.column("chunk_seq").to_pylist(),
+                              t.column("row_idx").to_pylist()):
+                pos_of.setdefault(int(cs), []).append(int(ri))
 
         for batch in dset.to_batches(columns=proj, filter=scan_filter):
             nrs = batch.column("n_rows")
@@ -368,6 +383,16 @@ class _ReadMixin:
                     )
                     keep = pc.invert(pc.fill_null(hit, False))
                     mask = keep if mask is None else pc.and_(mask, keep)
+                if pos_of:
+                    cs = int(batch.column("chunk_seq")[i].as_py())
+                    hits = pos_of.get(cs)
+                    if hits:
+                        import numpy as np
+
+                        keep_np = np.ones(nrs[i].as_py(), dtype=bool)
+                        keep_np[np.asarray(hits, dtype=np.int64)] = False
+                        keep = pa.array(keep_np)
+                        mask = keep if mask is None else pc.and_(mask, keep)
                 out = pa.RecordBatch.from_arrays(
                     [arrays[c] for c in columns], schema=out_schema
                 )
@@ -375,6 +400,18 @@ class _ReadMixin:
                     out = out.filter(mask)
                 if out.num_rows:
                     yield out
+
+
+def _delete_positions(path: str, name: str, pid: int) -> pa.Table:
+    """One positional-delete file (Spark-written dir) filtered to a
+    partition."""
+    import pyarrow.dataset as pads
+
+    from fhirflat_spark import fsio
+
+    fs, inner = fsio.resolve(f"{path}/deletes/{name}")
+    dset = pads.dataset(inner, filesystem=fs, format="parquet")
+    return dset.to_table(filter=pads.field("part_id") == pid)
 
 
 def _delete_keys(path: str, name: str) -> pa.Array:
@@ -422,6 +459,10 @@ METADATA_DDL = {
         "zmin STRING, zmax STRING"
     ),
     "deletes": "file STRING, column STRING, below_part INT, n_keys BIGINT",
+    "refs": (
+        "name STRING, type STRING, snapshot INT, base INT, "
+        "staged_commits INT"
+    ),
 }
 
 
@@ -471,6 +512,11 @@ class FhirflatMetadataReader(DataSourceReader):
              ("codec", pa.string()), ("raw_bytes", pa.int64()),
              ("encoded_bytes", pa.int64()), ("sha", pa.string()),
              ("zmin", pa.string()), ("zmax", pa.string())]
+        ),
+        "refs": pa.schema(
+            [("name", pa.string()), ("type", pa.string()),
+             ("snapshot", pa.int32()), ("base", pa.int32()),
+             ("staged_commits", pa.int32())]
         ),
         "deletes": pa.schema(
             [("file", pa.string()), ("column", pa.string()),
@@ -530,6 +576,22 @@ class FhirflatMetadataReader(DataSourceReader):
                 if f.name not in t.schema.names:
                     t = t.append_column(f, pa.nulls(t.num_rows, f.type))
             yield from t.select(schema.names).cast(schema).to_batches()
+        elif self._table == "refs":
+            from fhirflat_spark.manifest import _read_refs_full
+
+            rows = []
+            for name, r in sorted(_read_refs_full(path).items()):
+                rows.append((
+                    name, r.get("type", "tag"), int(r["snapshot"]),
+                    int(r["base"]) if r.get("base") is not None else None,
+                    len(r.get("history") or ()),
+                ))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(c), type=f.type)
+                 for c, f in zip(zip(*rows), schema)]
+                if rows else [pa.array([], type=f.type) for f in schema],
+                schema=schema,
+            )
         elif self._table == "deletes":
             rows = []
             for e in active_delete_files(path):

@@ -339,3 +339,22 @@ def test_in_pushdown_bloom_prunes_chunks(spark, ds_dir, docs):
     texts = [v.as_py() for b in batches for v in b.column(1)]
     for probe in probes:
         assert probe in texts
+
+
+def test_metadata_refs_table(spark, ds_dir, docs, tmp_path):
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import create_tag
+
+    out = str(tmp_path / "refs")
+    encode_table(docs.where(F.col("doc_id") < 50), out, rows_per_bucket=50)
+    create_tag(out, "v1", 1)
+    append_table(docs.where(F.col("doc_id").between(50, 59)), out,
+                 rows_per_bucket=50, branch="audit")
+    refs = {
+        r["name"]: r
+        for r in spark.read.format("fhirflat").option("path", out)
+        .option("metadata", "refs").load().collect()
+    }
+    assert refs["v1"]["type"] == "tag" and refs["v1"]["snapshot"] == 1
+    assert refs["audit"]["type"] == "branch"
+    assert refs["audit"]["staged_commits"] == 1 and refs["audit"]["base"] == 1
