@@ -707,6 +707,67 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def collapse_near_duplicates(spark, out_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> dict:
+    """Near-dup curation applied to an ENCODED table as ONE metadata-only
+    equality-delete commit — the composition a 100-TB curation run
+    executes in place: exact-collapse (hash-groupBy keepers) → MinHash
+    LSH candidate pairs over the survivors → connected components →
+    delete every non-keeper id. Zero chunk bytes move; the next
+    compaction materializes. Every stage is individually oracle-checked
+    (``dedup_exact``, ``near_dedup_pipeline``, ``near_dedup_clusters``,
+    ``row_level_delete``); this is their write-path composition.
+    Returns ``{"rows_dropped", "exact_dups", "near_dups", ...commit}``.
+    Keepers are deterministic: min id per exact group, component-min id
+    per near-dup cluster."""
+    from pyspark.sql import Window
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.manifest import delete_rows
+
+    df = decode_table(spark, out_dir).select(
+        F.col(f"`{id_col}`").alias("doc_id"),
+        F.col(f"`{text_col}`").alias("text"),
+        F.lit("").alias("lang"),  # _tokens_of carries lang; unused here
+    )
+    # the losers are removed by id EQUALITY — a non-unique id would
+    # delete every row sharing a loser's id, keepers of other groups
+    # included. Refuse loudly instead of silently over-deleting.
+    if df.count() != df.select("doc_id").distinct().count():
+        raise ValueError(
+            f"collapse_near_duplicates needs a UNIQUE id column; "
+            f"{id_col!r} has duplicate values"
+        )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    labeled = df.withColumn("keeper", F.min("doc_id").over(w))
+    exact_losers = labeled.where(F.col("doc_id") != F.col("keeper"))
+    survivors = labeled.where(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id", "text", "lang"
+    )
+    aggs = [
+        F.min(_sha_hasher(F.col("token"), i)).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = _tokens_of(survivors).groupBy("doc_id").agg(*aggs)
+    pairs = _lsh_pairs_from_sigs(sigs)
+    labels = connected_components(pairs)
+    near_losers = labels.where(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("doc_id")
+    )
+    losers = (
+        exact_losers.select("doc_id").unionByName(near_losers).distinct()
+        .select(F.col("doc_id").alias(id_col))
+    )
+    n_exact = exact_losers.count()
+    n_near = near_losers.count()
+    if n_exact + n_near == 0:
+        return {"rows_dropped": 0, "exact_dups": 0, "near_dups": 0}
+    stats = delete_rows(spark, out_dir, id_col, losers)
+    return {**stats, "rows_dropped": losers.count(),
+            "exact_dups": n_exact, "near_dups": n_near}
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_list": (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST),

@@ -133,3 +133,50 @@ def test_compaction_materializes_position_deletes(spark, docs, tmp_path):
 def test_bad_positions_rejected(spark, ds):
     with pytest.raises(ValueError, match="positions need columns"):
         delete_rows_at(spark, ds, decode_table(spark, ds).select("doc_id"))
+
+
+def test_collapse_near_duplicates_in_place(spark, docs, tmp_path):
+    """Exact + near-dup curation as one metadata-only commit: fabricated
+    exact copies AND lightly-edited near copies both collapse to the
+    min-id keeper; originals survive untouched."""
+    from fhirflat_spark.operators.dedup import collapse_near_duplicates
+
+    out = str(tmp_path / "near")
+    base = docs.where(F.col("doc_id") < 120)
+    exact_copies = docs.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    near_copies = (
+        docs.where(F.col("doc_id").between(20, 39))
+        .withColumn("doc_id", F.col("doc_id") + 2000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" trailing edit")))
+    )
+    encode_table(base.unionByName(exact_copies).unionByName(near_copies),
+                 out, rows_per_bucket=50)
+    stats = collapse_near_duplicates(spark, out)
+    assert stats["exact_dups"] == 20
+    assert stats["near_dups"] > 0  # LSH catches the light edits
+    dec = decode_table(spark, out)
+    assert dec.count() == 160 - stats["rows_dropped"]
+    ids = {r["doc_id"] for r in dec.select("doc_id").collect()}
+    # every exact copy is gone (its original has the smaller id)
+    assert not any(1000 <= i < 2000 for i in ids)
+    # most fabricated near copies collapse onto their originals — LSH
+    # banding is probabilistic (a copy whose edit shifts the banded
+    # signature rows can slip through), so the bound is recall-style,
+    # not per-pair
+    assert sum(1 for i in ids if i >= 2000) < 10
+    # idempotent second run
+    assert collapse_near_duplicates(spark, out)["rows_dropped"] == 0
+
+
+def test_collapse_rejects_non_unique_id(spark, docs, tmp_path):
+    out = str(tmp_path / "badid")
+    encode_table(
+        docs.where(F.col("doc_id") < 40)
+        .withColumn("doc_id", F.col("doc_id") % 10),
+        out, rows_per_bucket=50,
+    )
+    from fhirflat_spark.operators.dedup import collapse_near_duplicates
+
+    with pytest.raises(ValueError, match="UNIQUE id column"):
+        collapse_near_duplicates(spark, out)
