@@ -366,10 +366,14 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
     # commit lineage: parent snapshot version (branch head for staged
     # commits, main head otherwise) rides in the manifest's metadata —
     # what fast-forward publish and history inspection walk
-    table = table.replace_schema_metadata(
-        {**(table.schema.metadata or {}), _PARENT_META_KEY:
-         str(prev or 0).encode()}
-    )
+    meta = {**(table.schema.metadata or {}),
+            _PARENT_META_KEY: str(prev or 0).encode()}
+    if branch is not None:
+        # staged snapshots self-identify: a crash between the exclusive
+        # snapshot write and the refs update must not leave an orphan
+        # that recovery would adopt as main (silent publication)
+        meta[_STAGED_META_KEY] = branch.encode()
+    table = table.replace_schema_metadata(meta)
     # optimistic concurrency: the versioned manifest is CREATED, never
     # overwritten — two writers racing to v{N} get exactly one winner,
     # the loser surfaces instead of silently erasing the winner's commit
@@ -495,7 +499,11 @@ def current_snapshot(out_dir: str) -> int | None:
     versions = _snapshot_versions(out_dir)
     if versions and (v is None or v < versions[-1]):
         staged = _branch_staged_versions(out_dir)
-        main = [x for x in versions if x not in staged]
+        main = [
+            x for x in versions
+            if x not in staged
+            and (x <= (v or 0) or not _snapshot_is_staged(out_dir, x))
+        ]
         if main and (v is None or v < main[-1]):
             return main[-1]
     return v
@@ -723,6 +731,18 @@ def _branch_staged_versions(out_dir: str,
     return staged
 
 
+def _snapshot_is_staged(out_dir: str, version: int) -> bool:
+    """The snapshot's own staged-branch marker (covers the crash window
+    where the commit wrote the snapshot but never updated refs)."""
+    try:
+        meta = fsio.read_parquet_schema(
+            snapshot_manifest_path(out_dir, version)
+        ).metadata
+    except FileNotFoundError:
+        return False
+    return bool(meta and _STAGED_META_KEY in meta)
+
+
 def list_refs(out_dir: str) -> dict[str, int]:
     """Ref name → snapshot version (tags AND branch heads). Empty dict
     for an unreferenced table."""
@@ -804,6 +824,21 @@ def publish_branch(out_dir: str, name: str) -> int:
     head = int(r["snapshot"])
     token = str(os.getpid())
     t = read_snapshot_manifest(out_dir, head)
+    # strip the staged marker from every published snapshot (atomic
+    # in-place metadata rewrite — rows/checksums identical): the marker
+    # must mean UNPUBLISHED, or a later lost hint would make recovery
+    # skip the published head and regress to its base
+    for v in [int(x) for x in r.get("history") or ()]:
+        tv = t if v == head else read_snapshot_manifest(out_dir, v)
+        meta = dict(tv.schema.metadata or {})
+        if _STAGED_META_KEY in meta:
+            del meta[_STAGED_META_KEY]
+            tv = tv.replace_schema_metadata(meta)
+            fsio.write_parquet_atomic(
+                tv, snapshot_manifest_path(out_dir, v), token=token
+            )
+            if v == head:
+                t = tv
     _advance_current(out_dir, head, t, token)
     # summary totals were deliberately NOT rewritten while staging (main
     # readers own the summary) — patch them to the staged state now
@@ -929,6 +964,10 @@ def _advance_current(out_dir: str, version: int, table: pa.Table,
 
 _DELETES_META_KEY = b"fhirflat.active_deletes"
 _PARENT_META_KEY = b"fhirflat.parent"
+# branch name a STAGED snapshot was committed to — self-identifying, so
+# pointer recovery can skip it even when the commit crashed BEFORE the
+# branch ref was updated (the ref-based exclusion alone has a window)
+_STAGED_META_KEY = b"fhirflat.staged_branch"
 
 
 def _with_deletes_meta(table: pa.Table, files: list[dict]) -> pa.Table:

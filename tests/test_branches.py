@@ -212,3 +212,39 @@ def test_expire_keeps_main_window_despite_staged_tail(spark, docs, base):
     assert decode_table(spark, base, snapshot="audit").count() == 150
     publish_branch(base, "audit")
     assert decode_table(spark, base).count() == 150
+
+
+def test_crashed_staged_commit_never_becomes_main(spark, docs, base,
+                                                  monkeypatch):
+    """Crash window: the staged snapshot is written but the branch ref
+    update never happens. Recovery (even with a torn hint) must not
+    adopt the orphan — staged snapshots self-identify via their
+    manifest marker."""
+    import fhirflat_spark.manifest as mf
+    from fhirflat_spark import fsio
+
+    monkeypatch.setattr(mf, "_write_refs_full",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("crash before refs update")))
+    with pytest.raises(RuntimeError, match="crash before refs"):
+        append_table(docs.where(F.col("doc_id").between(100, 149)), base,
+                     rows_per_bucket=50, branch="audit")
+    monkeypatch.undo()
+    # the orphan staged snapshot exists on disk but main stays at v1,
+    # even after the hint is lost
+    fsio.delete_file(f"{base}/snapshots/version-hint.txt")
+    assert current_snapshot(base) == 1
+    assert decode_table(spark, base).count() == 100
+
+
+def test_published_head_survives_lost_hint(spark, docs, base):
+    """After publish the staged marker is stripped, so recovery from a
+    lost hint lands on the published head, not its base."""
+    from fhirflat_spark import fsio
+
+    append_table(docs.where(F.col("doc_id").between(100, 149)), base,
+                 rows_per_bucket=50, branch="audit")
+    publish_branch(base, "audit")
+    fsio.delete_file(f"{base}/snapshots/version-hint.txt")
+    assert current_snapshot(base) == 2
+    assert decode_table(spark, base).count() == 150
