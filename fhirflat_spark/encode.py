@@ -1102,6 +1102,25 @@ def encode_table(
         fsio.delete_dir(_stats_dir(out_dir))
         fsio.delete_dir(_snap_dir(out_dir))
         fsio.delete_dir(_deletes_dir(out_dir))
+    elif append:
+        # crashed-attempt fragment sweep: tasks write manifest fragments
+        # as a side effect DURING the job, so a killed append leaves
+        # fragments for part ids its chunk files never committed. A
+        # retry re-mints the same offset, but if it plans FEWER
+        # partitions the leftovers above its range would merge into the
+        # manifest as phantom partitions pointing at missing chunk dirs.
+        # Any fragment at/above this run's offset that no retained
+        # snapshot references is exactly such a leftover (committed pids
+        # are always snapshot-referenced; this run's fragments don't
+        # exist yet) — delete them before the job starts.
+        from fhirflat_spark import fsio
+        from fhirflat_spark.manifest import all_snapshot_part_ids
+
+        committed = all_snapshot_part_ids(out_dir)
+        for name in fsio.list_files(frag_dir, suffix=".json"):
+            pid = int(name[: -len(".json")])
+            if pid >= part_offset and pid not in committed:
+                fsio.delete_file(f"{frag_dir}/{name}")
     # pyspark's mapInArrow resolves plain column names, which breaks on
     # dotted flat names (period.start) — feed it positional safe names and
     # keep the original names inside the kernel for payload/stats keys

@@ -880,8 +880,6 @@ def drop_branch(out_dir: str, name: str) -> list[int]:
     if not r or r.get("type") != "branch":
         raise ValueError(f"no such branch: {name!r}")
     staged = [int(v) for v in r.get("history") or ()]
-    base = r.get("base")
-    base_ids = set(snapshot_part_ids(out_dir, base)) if staged else set()
     staged_ids: set[int] = set()
     for v in staged:
         staged_ids.update(snapshot_part_ids(out_dir, v))
@@ -891,7 +889,13 @@ def drop_branch(out_dir: str, name: str) -> list[int]:
     for v in staged:
         fsio.delete_file(snapshot_manifest_path(out_dir, v))
         fsio.delete_file(_snapshot_deletes_path(out_dir, v))
-    for pid in sorted(staged_ids - base_ids):
+    # staged-only fragments = staged pids no RETAINED snapshot still
+    # references (computed AFTER the staged manifests are gone, so it
+    # needs neither the base snapshot — which expire_snapshots may have
+    # dropped after main moved on — nor any lineage assumption; shared
+    # pids with main or another branch stay protected)
+    live = all_snapshot_part_ids(out_dir)
+    for pid in sorted(staged_ids - live):
         fsio.delete_file(f"{out_dir}/manifest_parts/{pid:06d}.json")
     refs = _read_refs_full(out_dir)
     refs.pop(name, None)
@@ -1275,18 +1279,6 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
 
     t = read_snapshot_manifest(out_dir, version)
     restored_ids = {int(p) for p in t["part_id"].to_pylist()}
-    frag_dir = f"{out_dir}/manifest_parts"
-    for name in fsio.list_files(frag_dir, suffix=".json"):
-        if int(name[:-len(".json")]) not in restored_ids:
-            fsio.delete_file(f"{frag_dir}/{name}")
-    # key-count stats fragments are labeled by part offset; fragments
-    # from dropped appends would feed phantom keys into the next
-    # append's merged statistics
-    max_restored = max(restored_ids, default=-1)
-    stats_dir = _stats_dir(out_dir)
-    for name in fsio.list_files(stats_dir, suffix=".parquet"):
-        if int(name[:-len(".parquet")]) > max_restored:
-            fsio.delete_file(f"{stats_dir}/{name}")
     token = str(os.getpid())
     # the restored state includes its row-level delete set (a rollback
     # across a delete un-deletes; onto a deleted epoch re-deletes)
@@ -1309,6 +1301,27 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
         )
     _write_snapshot_deletes(out_dir, new_version, restored_deletes, token)
     _advance_current(out_dir, new_version, t, token)
+    # fragment sweep AFTER the commit landed (a crash before this point
+    # leaves stale fragments — detectable resurrection at the next
+    # append — never the silent partition loss a pre-commit sweep risks
+    # if the commit then fails). Fragments of rolled-back partitions
+    # would otherwise re-merge into the next append's manifest; staged
+    # branch partitions keep theirs (their snapshots remain retained).
+    keep_ids = set(restored_ids)
+    for sv in _branch_staged_versions(out_dir):
+        keep_ids.update(snapshot_part_ids(out_dir, sv))
+    frag_dir = f"{out_dir}/manifest_parts"
+    for name in fsio.list_files(frag_dir, suffix=".json"):
+        if int(name[:-len(".json")]) not in keep_ids:
+            fsio.delete_file(f"{frag_dir}/{name}")
+    # key-count stats fragments are labeled by part offset; fragments
+    # from dropped appends would feed phantom keys into the next
+    # append's merged statistics (staged appends never write stats)
+    max_restored = max(restored_ids, default=-1)
+    stats_dir = _stats_dir(out_dir)
+    for name in fsio.list_files(stats_dir, suffix=".parquet"):
+        if int(name[:-len(".parquet")]) > max_restored:
+            fsio.delete_file(f"{stats_dir}/{name}")
     summary = read_summary(spark, out_dir)
     sha = _sha_of_partition_shas(
         t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
