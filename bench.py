@@ -411,6 +411,10 @@ def main() -> None:
     # layout-preserving mode (no exchange): the throughput ceiling when the
     # source table is already clustered by the salt key
     noshuffle = encode_run(CPUS, src, f"n{CPUS}_noshuffle", key_counts, shuffle=False)
+    # encoded shuffle: map-side encode, exchange of the final compressed
+    # chunk bytes — the re-cluster path's answer to the row-exchange tax
+    encoded = encode_run(CPUS, src, f"n{CPUS}_encoded", key_counts,
+                         shuffle="encoded")
     efficiency = round(high["gbps"] / (4 * low["gbps"]), 4) if low["gbps"] else 0.0
     efficiency_med = (
         round(high["gbps_median"] / (4 * low["gbps_median"]), 4)
@@ -430,6 +434,7 @@ def main() -> None:
             f"local[{N_HIGH}]": high,
             f"local[{CPUS}]": full,
             f"local[{CPUS}]_noshuffle": noshuffle,
+            f"local[{CPUS}]_encoded_shuffle": encoded,
             "scaling_efficiency_n_to_4n": efficiency,
             "scaling_efficiency_n_to_4n_median": efficiency_med,
         },

@@ -889,6 +889,162 @@ def unpack_encode_kernel_factory(columns: list[str],
     return kernel
 
 
+def encoded_shuffle_schema(n_cols: int) -> T.StructType:
+    """Stage-1 output of the encoded shuffle: a final chunk row plus the
+    routing/ordering sidecar columns stage 2 strips."""
+    base = chunk_schema(n_cols)
+    return T.StructType(
+        list(base.fields)
+        + [
+            T.StructField("meta_json", T.StringType(), False),
+            T.StructField("src_split", T.IntegerType(), False),
+            T.StructField("local_seq", T.IntegerType(), False),
+            T.StructField("__tok", T.LongType(), False),
+        ]
+    )
+
+
+def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
+                                codec_overrides: dict | None,
+                                name_map: dict[str, str] | None = None,
+                                codec_opts: dict | None = None,
+                                part_offset: int = 0,
+                                sort_names: list[str] | None = None,
+                                batch_rows: int = 16384,
+                                bloom_columns: frozenset[str] | None = None,
+                                ndv_columns: frozenset[str] | None = None):
+    """Stage 1 of ``shuffle="encoded"``: encode THIS input split's rows
+    per target partition BEFORE the exchange, so the shuffle moves the
+    final compressed chunk bytes (~0.25-0.3x of raw on this corpus)
+    instead of every data row — and the expensive work (zstd/fsst/prefix
+    kernels, stats, blooms) runs exactly once, map-side, where the
+    no-shuffle path already proved the input conversion cheap.
+
+    Contrast with the rejected blob pre-pack (SCALE.md): that variant
+    shipped the RAW rows as Arrow-IPC blobs and still paid the full
+    encode after the exchange; this one ships nothing that is not final
+    output. The trade is chunk granularity: each (input split, target
+    bucket) intersection becomes its own chunk, so unclustered inputs
+    produce smaller chunks than the row shuffle's 16k-row slices — a
+    documented compression-ratio trade, not a correctness one."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    overrides = codec_overrides or {}
+    base_opts = codec_opts or {}
+    name_map = name_map or {c: c for c in columns}
+    repo_batch_col = next((b for b, o in name_map.items() if o == "repo"), None)
+
+    def kernel(batches):
+        ctx = TaskContext.get()
+        split = ctx.partitionId() if ctx is not None else 0
+        parts = [b for b in batches if b.num_rows]
+        if not parts:
+            return
+        tbl = pa.Table.from_batches(parts).combine_chunks()
+        # one vectorized sort clusters the split by (target, sort keys):
+        # each target's slice is then contiguous AND key-ordered, so the
+        # final table keeps the zone/compression locality of the sorted
+        # row-shuffle layout within each chunk
+        keys = [("__pb", "ascending")] + [
+            (c, "ascending") for c in (sort_names or [])
+        ]
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=keys,
+                                       null_placement="at_start"))
+        pb = tbl.column("__pb").to_numpy()
+        data = tbl.drop_columns(["__pb"])
+        bounds = np.flatnonzero(np.diff(pb)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pb)]))
+        for s, e in zip(starts, ends):
+            g = int(pb[s])
+            part_id = part_offset + g
+            tok = tokens[g]
+            local = 0
+            sub = data.slice(s, e - s)
+            for off in range(0, sub.num_rows, batch_rows):
+                sl = sub.slice(off, batch_rows).combine_chunks()
+                for b in sl.to_batches():
+                    if b.num_rows == 0:
+                        continue
+                    meta, out = _encode_one_batch(
+                        b, part_id, local, columns, name_map, overrides,
+                        base_opts, repo_batch_col, bloom_columns,
+                        ndv_columns,
+                    )
+                    extra = pa.RecordBatch.from_pydict(
+                        {
+                            "meta_json": [json.dumps(meta)],
+                            "src_split": [split],
+                            "local_seq": [local],
+                            "__tok": [tok],
+                        },
+                        schema=pa.schema(
+                            [("meta_json", pa.string()),
+                             ("src_split", pa.int32()),
+                             ("local_seq", pa.int32()),
+                             ("__tok", pa.int64())]
+                        ),
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        list(out.columns) + list(extra.columns),
+                        schema=pa.schema(
+                            list(out.schema) + list(extra.schema)
+                        ),
+                    )
+                    local += 1
+
+    return kernel
+
+
+def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None):
+    """Stage 2 of ``shuffle="encoded"``: renumber this partition's
+    chunklets into a deterministic chunk_seq order — (src_split,
+    local_seq), a pure function of the input layout — and task-commit
+    the manifest fragment. No decode, no re-encode: the heavy bytes
+    pass through untouched; cost is O(#chunklets), never O(rows)."""
+    import pyarrow.compute as pc
+
+    strip = ["meta_json", "src_split", "local_seq", "__tok"]
+
+    def kernel(batches):
+        parts = [b for b in batches if b.num_rows]
+        if not parts:
+            return
+        tbl = pa.Table.from_batches(parts).combine_chunks()
+        tbl = tbl.take(pc.sort_indices(
+            tbl,
+            sort_keys=[("part_id", "ascending"), ("src_split", "ascending"),
+                       ("local_seq", "ascending")],
+        ))
+        pids = tbl.column("part_id").to_pylist()
+        metas = tbl.column("meta_json").to_pylist()
+        out_tbl = tbl.drop_columns(strip)
+        frags: dict[int, list[dict]] = {}
+        seqs: list[int] = []
+        prev = None
+        seq = 0
+        for pid, mj in zip(pids, metas):
+            if pid != prev:
+                seq = 0
+                prev = pid
+            meta = json.loads(mj)
+            meta["chunk_seq"] = seq
+            frags.setdefault(pid, []).append(meta)
+            seqs.append(seq)
+            seq += 1
+        out_tbl = out_tbl.set_column(
+            out_tbl.schema.get_field_index("chunk_seq"),
+            pa.field("chunk_seq", pa.int32()),
+            pa.array(seqs, pa.int32()),
+        )
+        for pid, frag in frags.items():
+            _write_fragment(manifest_dir, pid, frag)
+        yield from out_tbl.to_batches()
+
+    return kernel
+
+
 def detect_clustering(df: DataFrame, salt_col: str = "repo",
                       rows_per_bucket: int = 250_000) -> bool:
     """True when the input's existing splits are already clustered on the
@@ -1004,6 +1160,24 @@ def encode_table(
     became a literal-map projection (~1s of a ~6s job). Kept as the seam
     for a columnar-shuffle runtime; not the default.
 
+    ``shuffle="encoded"`` moves the encode BEFORE the exchange: stage 1
+    sorts each input split by (target bucket, key prefix), kernel-
+    encodes every (split, bucket) slice into final chunk rows, and the
+    one exchange ships those COMPRESSED bytes (~0.25-0.3x of raw);
+    stage 2 renumbers chunk_seq deterministically and commits the
+    fragments — no decode, no re-encode. Measured 2.8s vs 9.6s for the
+    row shuffle (1M rows, local[32], min-of-3 same-session) at +0.2%
+    footprint on this corpus, because the expensive work happens where
+    the no-shuffle path already proved the input conversion cheap, and
+    the post-shuffle row↔Arrow tax shrinks to the compressed bytes. At
+    cluster scale this is also a ~4x network-byte saving. The trade is
+    chunk granularity: every (split, bucket) intersection is its own
+    chunk, so a fully scattered input (splits × buckets ≫ rows/16k)
+    pays more per-chunk overhead — footprint-sensitive archival runs on
+    scattered inputs should keep the row shuffle. Not yet the default:
+    one round of soak across input shapes first (the row shuffle's
+    skew/footprint behavior is pinned by two rounds of bench history).
+
     ``profile``: ``"balanced"`` (default — faster than a parquet/zstd
     write of the same table at near-identical footprint) or
     ``"archive"`` (high-volume string chunks compress at a higher zstd
@@ -1072,6 +1246,12 @@ def encode_table(
     if shuffle == "auto":
         shuffle = not detect_clustering(df, rows_per_bucket=rows_per_bucket)
     blob_mode = shuffle == "blob"
+    encoded_mode = shuffle == "encoded"
+    if encoded_mode and resume:
+        # stage-1 encodes map-side with no knowledge of which FINAL
+        # partitions already committed — a resume cannot skip work here
+        raise ValueError('resume is not supported with shuffle="encoded"; '
+                         "re-run the encode (or use the row shuffle)")
 
     skip: frozenset[int] = frozenset()
     mode = "overwrite"
@@ -1129,7 +1309,47 @@ def encode_table(
     codec_opts = {"archive": True} if profile == "archive" else None
     plan_stats: dict = {}
 
-    if blob_mode:
+    if encoded_mode:
+        # encoded shuffle (opt-in via shuffle="encoded"): encode map-side
+        # per target bucket, exchange the COMPRESSED chunk bytes
+        # (~0.25-0.3x of raw), renumber + fragment-commit post-shuffle.
+        # Wins when the input is unclustered and the network is the
+        # bottleneck (the 100-TB case); trades chunk granularity — each
+        # (split, bucket) intersection is its own chunk — so footprint
+        # is a few percent worse than the row shuffle on scattered keys.
+        bucketed, P = plan_partition_ids(
+            df, rows_per_bucket=rows_per_bucket, num_partitions=num_partitions,
+            key_counts=key_counts, stats_out=plan_stats, weight_col=weight_col,
+        )
+        bucketed = bucketed.select(
+            *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)],
+            "__pb",
+        )
+        tokens = partition_tokens(P)
+        sort_names = [
+            s for s, c in zip(safe_names, columns)
+            if c in ("repo", "path", "commit")
+        ]
+        try:
+            batch_rows = int(
+                spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+            )
+        except Exception:
+            from fhirflat_spark.session import ARROW_BATCH_ROWS as batch_rows
+        stage1 = bucketed.mapInArrow(
+            encoded_pack_kernel_factory(
+                safe_names, tokens, codec_overrides, name_map=name_map,
+                codec_opts=codec_opts, part_offset=part_offset,
+                sort_names=sort_names, batch_rows=batch_rows,
+                bloom_columns=bloom_set, ndv_columns=ndv_set,
+            ),
+            schema=encoded_shuffle_schema(len(columns)),
+        )
+        chunks = stage1.repartition(P, F.col("__tok")).mapInArrow(
+            encoded_merge_kernel_factory(len(columns), manifest_dir=frag_dir),
+            schema=chunk_schema(len(columns)),
+        )
+    elif blob_mode:
         # blob-shuffle path (experimental, opt-in via shuffle="blob" —
         # measured slower than the row exchange, kept as the columnar-
         # shuffle seam): bucket ids map-side, pre-pack each

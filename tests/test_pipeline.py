@@ -307,6 +307,64 @@ def test_blob_shuffle_roundtrip(spark, tmp_path):
     assert fails.count() == 0
 
 
+def test_encoded_shuffle_roundtrip_and_determinism(spark, tmp_path):
+    """shuffle="encoded" (map-side encode, exchange of final compressed
+    chunk bytes) must produce the same logical dataset as the row
+    shuffle — bit-identical rows — and its layout must be a pure
+    function of the input (same input twice -> same dataset checksum),
+    since chunk_seq order is (src_split, local_seq)."""
+    import json as _json
+
+    df = gen_spark(spark, 4000, seed=11)
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    res = encode_table(df, out1, rows_per_bucket=800, shuffle="encoded")
+    assert res.rows == 4000
+    decoded = decode_table(spark, out1)
+    assert decoded.count() == 4000
+    fails = verify_against_source(
+        df, decoded, ["repo", "path", "commit", "lang", "content"]
+    )
+    assert fails.count() == 0
+    encode_table(df, out2, rows_per_bucket=800, shuffle="encoded")
+    sha1 = _json.loads(open(f"{out1}/_SUMMARY.json").read())["dataset_sha256"]
+    sha2 = _json.loads(open(f"{out2}/_SUMMARY.json").read())["dataset_sha256"]
+    assert sha1 == sha2
+    # chunk_seq must be contiguous 0..n-1 per partition after the
+    # post-shuffle renumbering (fragment order = chunk order = sha input)
+    chunks = spark.read.parquet(f"{out1}/chunks").select(
+        "part_id", "chunk_seq"
+    ).collect()
+    by_part: dict[int, list[int]] = {}
+    for r in chunks:
+        by_part.setdefault(r["part_id"], []).append(r["chunk_seq"])
+    for pid, seqs in by_part.items():
+        assert sorted(seqs) == list(range(len(seqs))), (pid, sorted(seqs))
+
+
+def test_encoded_shuffle_append_and_stats(spark, tmp_path):
+    """Appends through shuffle="encoded" mint fresh part ids, keep zone/
+    bloom/ndv stats flowing into the manifest, and decode sees the whole
+    table; resume is refused loudly."""
+    import pytest as _pytest
+
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import aggregate_from_metadata
+
+    out = str(tmp_path / "eapp")
+    df = gen_spark(spark, 3000, seed=21)
+    encode_table(df, out, rows_per_bucket=600, shuffle="encoded")
+    delta = gen_spark(spark, 1000, seed=22)
+    append_table(delta, out, rows_per_bucket=600, shuffle="encoded")
+    assert decode_table(spark, out).count() == 4000
+    # stats v2 rode through both commits: the metadata-only aggregate
+    # can answer exactly (None would mean a chunk predated the rollups)
+    agg = aggregate_from_metadata(out, ["repo"])
+    assert agg is not None and agg["rows"] == 4000
+    with _pytest.raises(ValueError, match="resume"):
+        encode_table(df, out, rows_per_bucket=600, shuffle="encoded",
+                     resume=True)
+
+
 def test_literal_and_join_placement_agree(spark):
     """The literal-map placement fast path must assign every row the same
     target partition as the broadcast-join path (same bucket ordinals,

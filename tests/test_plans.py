@@ -183,6 +183,50 @@ def test_blob_encode_plan_single_fat_shuffle(spark):
     assert "hashpartitioning(__tok" in plan, plan
 
 
+def test_encoded_shuffle_plan_single_compressed_exchange(spark):
+    """shuffle="encoded": the ONE exchange must sit ABOVE the stage-1
+    encode kernel and hash on __tok — i.e. it moves the final compressed
+    chunk rows (~0.25-0.3x of raw), with both MapInArrow stages in the
+    plan and no data-row exchange anywhere."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.encode import (
+        chunk_schema,
+        encoded_merge_kernel_factory,
+        encoded_pack_kernel_factory,
+        encoded_shuffle_schema,
+        partition_tokens,
+        plan_partition_ids,
+    )
+
+    df = gen_spark(spark, 2000, seed=3)
+    cols = df.columns
+    safe = [f"__c{i}" for i in range(len(cols))]
+    bucketed, P = plan_partition_ids(df, rows_per_bucket=500)
+    bucketed = bucketed.select(
+        *[F.col(c).alias(s) for s, c in zip(safe, cols)], "__pb"
+    )
+    stage1 = bucketed.mapInArrow(
+        encoded_pack_kernel_factory(
+            safe, partition_tokens(P), None, name_map=dict(zip(safe, cols))
+        ),
+        schema=encoded_shuffle_schema(len(cols)),
+    )
+    chunks = stage1.repartition(P, F.col("__tok")).mapInArrow(
+        encoded_merge_kernel_factory(len(cols)), schema=chunk_schema(len(cols))
+    )
+    plan = chunks._sc._jvm.PythonSQLUtils.explainString(
+        chunks._jdf.queryExecution(), "formatted"
+    )
+    data_exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(data_exchanges) == 1, plan
+    assert "hashpartitioning(__tok" in plan, plan
+    assert plan.count("MapInArrow") >= 2, plan
+
+
 def test_cluster_collapse_pairs_stage_equi_join(spark):
     """near_dedup_clusters' candidate stage must stay a capped equi-join
     (the CC iterations run at execution time; here we pin the pair
