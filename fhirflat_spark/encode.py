@@ -997,15 +997,53 @@ def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
     return kernel
 
 
-def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None):
+def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None,
+                                 columns: list[str] | None = None,
+                                 codec_overrides: dict | None = None,
+                                 name_map: dict[str, str] | None = None,
+                                 codec_opts: dict | None = None,
+                                 batch_rows: int = 16384,
+                                 bloom_columns: frozenset[str] | None = None,
+                                 ndv_columns: frozenset[str] | None = None):
     """Stage 2 of ``shuffle="encoded"``: renumber this partition's
     chunklets into a deterministic chunk_seq order — (src_split,
     local_seq), a pure function of the input layout — and task-commit
-    the manifest fragment. No decode, no re-encode: the heavy bytes
-    pass through untouched; cost is O(#chunklets), never O(rows)."""
+    the manifest fragment.
+
+    Chunklets at/above ``batch_rows // 4`` rows pass through untouched
+    (no decode, no re-encode — cost O(#chunklets)); CONSECUTIVE runs of
+    smaller ones are decoded, concatenated in order, and re-encoded at
+    full chunk size. That consolidation is what keeps footprint stable
+    on scattered inputs: a fully random input makes every (split,
+    bucket) intersection tiny, and tiny chunks pay per-chunk overhead
+    plus short-buffer compression loss (measured 1.9x footprint at 300-
+    row chunklets). Clustered inputs — the common production shape —
+    skip it almost entirely. The merge rule is a pure function of the
+    ordered chunklet sizes, so layout determinism is preserved."""
     import pyarrow.compute as pc
 
+    from fhirflat_spark.codecs import decode_array
+
     strip = ["meta_json", "src_split", "local_seq", "__tok"]
+    min_rows = max(1, batch_rows // 4)
+    columns = columns or [f"__c{i}" for i in range(n_cols)]
+    name_map = name_map or {c: c for c in columns}
+    overrides = codec_overrides or {}
+    base_opts = codec_opts or {}
+    repo_batch_col = next((b for b, o in name_map.items() if o == "repo"), None)
+
+    def _decode_run(rows: pa.Table) -> pa.Table:
+        """Chunklet rows → the original data table (order-preserving)."""
+        cols: dict[str, list] = {c: [] for c in columns}
+        payload = rows.column("payload")
+        for i in range(rows.num_rows):
+            cell = payload[i]
+            for j, c in enumerate(columns):
+                blob = cell[f"__c{j}"]
+                cols[c].append(decode_array(memoryview(blob.as_buffer())))
+        return pa.table(
+            {c: pa.chunked_array(cols[c]).combine_chunks() for c in columns}
+        )
 
     def kernel(batches):
         parts = [b for b in batches if b.num_rows]
@@ -1018,29 +1056,75 @@ def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None):
                        ("local_seq", "ascending")],
         ))
         pids = tbl.column("part_id").to_pylist()
+        nrows = tbl.column("n_rows").to_pylist()
         metas = tbl.column("meta_json").to_pylist()
         out_tbl = tbl.drop_columns(strip)
-        frags: dict[int, list[dict]] = {}
-        seqs: list[int] = []
-        prev = None
+
+        # segment the partition-ordered chunklets: a "run" is a maximal
+        # stretch of consecutive small chunklets within one part_id
+        frag: list[dict] = []
         seq = 0
-        for pid, mj in zip(pids, metas):
-            if pid != prev:
-                seq = 0
-                prev = pid
-            meta = json.loads(mj)
+        prev_pid = None
+        run: list[int] = []
+        run_rows = 0
+
+        def _flush_run():
+            nonlocal seq, run, run_rows
+            if not run:
+                return
+            sub = out_tbl.take(pa.array(run, pa.int64()))
+            data = _decode_run(sub)
+            for off in range(0, data.num_rows, batch_rows):
+                sl = data.slice(off, batch_rows).combine_chunks()
+                for b in sl.to_batches():
+                    if b.num_rows == 0:
+                        continue
+                    meta, out = _encode_one_batch(
+                        b, prev_pid, seq, columns, name_map, overrides,
+                        base_opts, repo_batch_col, bloom_columns,
+                        ndv_columns,
+                    )
+                    frag.append(meta)
+                    # one canonical schema for every yielded batch: the
+                    # pass-through rows carry Spark's (non-null-marked)
+                    # field flavor, _encode_one_batch a nullable one —
+                    # Arrow's output writer rejects the mix
+                    yield out.cast(out_tbl.schema)
+                    seq += 1
+            run, run_rows = [], 0
+
+        def _flush_part():
+            nonlocal frag, seq
+            if prev_pid is not None and frag:
+                _write_fragment(manifest_dir, prev_pid, frag)
+            frag, seq = [], 0
+
+        for i in range(out_tbl.num_rows):
+            pid = pids[i]
+            if pid != prev_pid:
+                yield from _flush_run()
+                _flush_part()
+                prev_pid = pid
+            if nrows[i] < min_rows:
+                run.append(i)
+                run_rows += nrows[i]
+                if run_rows >= batch_rows:
+                    yield from _flush_run()
+                continue
+            yield from _flush_run()
+            meta = json.loads(metas[i])
             meta["chunk_seq"] = seq
-            frags.setdefault(pid, []).append(meta)
-            seqs.append(seq)
+            frag.append(meta)
+            row = out_tbl.slice(i, 1)
+            row = row.set_column(
+                row.schema.get_field_index("chunk_seq"),
+                out_tbl.schema.field("chunk_seq"),  # keep nullability flag
+                pa.array([seq], pa.int32()),
+            )
+            yield from row.to_batches()
             seq += 1
-        out_tbl = out_tbl.set_column(
-            out_tbl.schema.get_field_index("chunk_seq"),
-            pa.field("chunk_seq", pa.int32()),
-            pa.array(seqs, pa.int32()),
-        )
-        for pid, frag in frags.items():
-            _write_fragment(manifest_dir, pid, frag)
-        yield from out_tbl.to_batches()
+        yield from _flush_run()
+        _flush_part()
 
     return kernel
 
@@ -1164,19 +1248,19 @@ def encode_table(
     sorts each input split by (target bucket, key prefix), kernel-
     encodes every (split, bucket) slice into final chunk rows, and the
     one exchange ships those COMPRESSED bytes (~0.25-0.3x of raw);
-    stage 2 renumbers chunk_seq deterministically and commits the
-    fragments — no decode, no re-encode. Measured 2.8s vs 9.6s for the
-    row shuffle (1M rows, local[32], min-of-3 same-session) at +0.2%
-    footprint on this corpus, because the expensive work happens where
-    the no-shuffle path already proved the input conversion cheap, and
-    the post-shuffle row↔Arrow tax shrinks to the compressed bytes. At
-    cluster scale this is also a ~4x network-byte saving. The trade is
-    chunk granularity: every (split, bucket) intersection is its own
-    chunk, so a fully scattered input (splits × buckets ≫ rows/16k)
-    pays more per-chunk overhead — footprint-sensitive archival runs on
-    scattered inputs should keep the row shuffle. Not yet the default:
-    one round of soak across input shapes first (the row shuffle's
-    skew/footprint behavior is pinned by two rounds of bench history).
+    stage 2 renumbers chunk_seq deterministically, CONSOLIDATES runs of
+    small chunklets (decode+re-encode below batch_rows//4 rows — keeps
+    footprint stable on scattered inputs), and commits the fragments.
+    Measured 3.0s vs 9.55s for the row shuffle (1M rows, local[32],
+    min-of-3 same-session) at footprint parity, because the expensive
+    work happens where the no-shuffle path already proved the input
+    conversion cheap, and the post-shuffle row↔Arrow tax shrinks to the
+    compressed bytes. At cluster scale this is also a ~4x network-byte
+    saving. Layout is a pure function of the input (same input twice =
+    same dataset checksum). Kept opt-in: the row shuffle is the
+    golden-manifest-pinned default layout, and on the scattered extreme
+    (every chunklet tiny) stage-2 consolidation re-encodes everything,
+    approaching row-shuffle wall (SCALE.md has the measured envelope).
 
     ``profile``: ``"balanced"`` (default — faster than a parquet/zstd
     write of the same table at near-identical footprint) or
@@ -1346,7 +1430,12 @@ def encode_table(
             schema=encoded_shuffle_schema(len(columns)),
         )
         chunks = stage1.repartition(P, F.col("__tok")).mapInArrow(
-            encoded_merge_kernel_factory(len(columns), manifest_dir=frag_dir),
+            encoded_merge_kernel_factory(
+                len(columns), manifest_dir=frag_dir, columns=safe_names,
+                codec_overrides=codec_overrides, name_map=name_map,
+                codec_opts=codec_opts, batch_rows=batch_rows,
+                bloom_columns=bloom_set, ndv_columns=ndv_set,
+            ),
             schema=chunk_schema(len(columns)),
         )
     elif blob_mode:
