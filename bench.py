@@ -412,9 +412,19 @@ def main() -> None:
     # source table is already clustered by the salt key
     noshuffle = encode_run(CPUS, src, f"n{CPUS}_noshuffle", key_counts, shuffle=False)
     # encoded shuffle: map-side encode, exchange of the final compressed
-    # chunk bytes — the re-cluster path's answer to the row-exchange tax
+    # chunk bytes — the re-cluster path's answer to the row-exchange tax.
+    # Measured at the same N vs 4N pair as the headline so the north
+    # rule's scaling criterion covers the fast re-cluster path too.
+    encoded_low = encode_run(N_LOW, src, f"n{N_LOW}_encoded", key_counts,
+                             shuffle="encoded")
+    encoded_high = encode_run(N_HIGH, src, f"n{N_HIGH}_encoded", key_counts,
+                              shuffle="encoded")
     encoded = encode_run(CPUS, src, f"n{CPUS}_encoded", key_counts,
                          shuffle="encoded")
+    encoded_eff = (
+        round(encoded_high["gbps"] / (4 * encoded_low["gbps"]), 4)
+        if encoded_low["gbps"] else 0.0
+    )
     efficiency = round(high["gbps"] / (4 * low["gbps"]), 4) if low["gbps"] else 0.0
     efficiency_med = (
         round(high["gbps_median"] / (4 * low["gbps_median"]), 4)
@@ -434,7 +444,10 @@ def main() -> None:
             f"local[{N_HIGH}]": high,
             f"local[{CPUS}]": full,
             f"local[{CPUS}]_noshuffle": noshuffle,
+            f"local[{N_LOW}]_encoded_shuffle": encoded_low,
+            f"local[{N_HIGH}]_encoded_shuffle": encoded_high,
             f"local[{CPUS}]_encoded_shuffle": encoded,
+            "scaling_efficiency_n_to_4n_encoded": encoded_eff,
             "scaling_efficiency_n_to_4n": efficiency,
             "scaling_efficiency_n_to_4n_median": efficiency_med,
         },

@@ -98,6 +98,8 @@ def build_dedup_index(
     sigs.write.mode("overwrite").parquet(f"{index_dir}/v{v}")
     from fhirflat_spark.manifest import read_summary
 
+    from fhirflat_spark.manifest import snapshot_dataset_sha
+
     meta = {"snapshot": v, "key_col": key_col, "text_col": text_col,
             "hasher": hasher,
             # table identity at (or after) the pinned snapshot — lets
@@ -106,7 +108,12 @@ def build_dedup_index(
             # of mis-reading the new lineage as a delta
             "dataset_sha256": read_summary(spark, table_dir).get(
                 "dataset_sha256"
-            )}
+            ),
+            # content sha OF THE PINNED SNAPSHOT: catches the reset the
+            # summary sha can miss — a new lineage that reuses version
+            # number v (and then advances past it) never reproduces the
+            # old snapshot's checksum-of-checksums
+            "snapshot_sha": snapshot_dataset_sha(table_dir, v)}
     fsio.write_bytes_atomic(
         _meta_path(index_dir), json.dumps(meta).encode(),
         token=str(os.getpid()),
@@ -136,13 +143,23 @@ def refresh_dedup_index(
 
     from fhirflat_spark.manifest import read_summary
 
+    from fhirflat_spark.manifest import snapshot_dataset_sha
+
     meta = json.loads(fsio.read_bytes(_meta_path(index_dir)))
     key_col = meta["key_col"]
     frm, to = meta["snapshot"], current_snapshot(table_dir)
     cur_sha = read_summary(spark, table_dir).get("dataset_sha256")
     if to == frm and cur_sha == meta.get("dataset_sha256"):
         return meta
-    if to is None or to < frm or to == frm:
+    # lineage-identity check: the pinned snapshot must still BE the
+    # snapshot the index was built on — a reset that reused version
+    # numbers and then advanced past frm would otherwise read as a
+    # plausible delta window of the WRONG lineage
+    lineage_ok = (
+        "snapshot_sha" not in meta  # pre-guard index: legacy behavior
+        or meta["snapshot_sha"] == snapshot_dataset_sha(table_dir, frm)
+    )
+    if to is None or to < frm or to == frm or not lineage_ok:
         # history RESET, not a delta: a compaction swap (maintain_table)
         # or fresh re-encode renumbers snapshots from 1 — the recorded
         # version no longer names a manifest in this lineage. Rebuild
@@ -172,6 +189,7 @@ def refresh_dedup_index(
     )
     meta["snapshot"] = to
     meta["dataset_sha256"] = cur_sha
+    meta["snapshot_sha"] = snapshot_dataset_sha(table_dir, to)
     fsio.write_bytes_atomic(
         _meta_path(index_dir), json.dumps(meta).encode(),
         token=str(os.getpid()),

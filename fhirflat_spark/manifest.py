@@ -543,6 +543,24 @@ def _sha_of_partition_shas(part_ids, shas) -> str:
     return h.hexdigest()
 
 
+def snapshot_dataset_sha(out_dir: str, version: int) -> str | None:
+    """Checksum-of-checksums of one retained snapshot (None when the
+    manifest is gone) — the lineage-identity probe derived datasets
+    (rollups, dedup indexes) pin: a table whose history was RESET
+    (fresh re-encode, compaction swap) can reuse a version NUMBER, but
+    never reproduce the old content sha, so a stored (version, sha)
+    pair detects resets even after the new lineage advances past the
+    pinned version."""
+    try:
+        t = read_snapshot_manifest(out_dir, version,
+                                   columns=["part_id", "partition_sha"])
+    except FileNotFoundError:
+        return None
+    return _sha_of_partition_shas(
+        t["part_id"].to_pylist(), t["partition_sha"].to_pylist()
+    )
+
+
 def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     """Snapshot log as a queryable DataFrame: per version, partition
     count, row/byte totals and the dataset checksum-of-checksums —

@@ -82,12 +82,18 @@ def build_rollup(
             raise ValueError(
                 f"rollup column {c!r} not in table columns {df.columns}"
             )
+    from fhirflat_spark.manifest import snapshot_dataset_sha
+
     meta = {
         "snapshot": v,
         "ts_col": ts_col,
         "bucket": bucket,
         "group_cols": list(group_cols),
         "sum_cols": list(sum_cols),
+        # content sha of the pinned snapshot: refresh rebuilds instead
+        # of merging a delta computed on a RESET lineage that happens to
+        # reuse (and later pass) this version number
+        "snapshot_sha": snapshot_dataset_sha(table_dir, v),
     }
     _agg(df, meta).write.mode("overwrite").parquet(f"{rollup_dir}/v{v}")
     fsio.write_bytes_atomic(
@@ -108,14 +114,32 @@ def refresh_rollup(
 ) -> dict:
     """Advance the rollup to the table's current snapshot by merging the
     changelog's signed per-bucket deltas — never re-scanning data the
-    window didn't touch. No-op when already current. ``keep_old`` leaves
-    the previous state directory for time-travel reads."""
+    window didn't touch. No-op when already current. A history RESET
+    (rollback below the pinned version, compaction swap, fresh
+    re-encode — detected via snapshot regression or a changed content
+    sha at the pinned version) falls back to a full rebuild: the stored
+    state has no delta relationship to the new lineage. ``keep_old``
+    leaves the previous state directory for time-travel reads."""
     from fhirflat_spark.changes import CHANGE_COL, table_changes
-    from fhirflat_spark.manifest import current_snapshot
+    from fhirflat_spark.manifest import current_snapshot, snapshot_dataset_sha
 
     meta = json.loads(fsio.read_bytes(_meta_path(rollup_dir)))
     frm, to = meta["snapshot"], current_snapshot(table_dir)
     if to == frm:
+        return meta
+    lineage_ok = (
+        "snapshot_sha" not in meta
+        or meta["snapshot_sha"] == snapshot_dataset_sha(table_dir, frm)
+    )
+    if to is None or to < frm or not lineage_ok:
+        old = f"{rollup_dir}/v{frm}"
+        meta = build_rollup(
+            spark, table_dir, rollup_dir, meta["ts_col"],
+            bucket=meta["bucket"], group_cols=meta["group_cols"],
+            sum_cols=meta["sum_cols"],
+        )
+        if not keep_old and frm != meta["snapshot"]:
+            fsio.delete_dir(old)
         return meta
     ch = table_changes(spark, table_dir, frm, to).withColumn(
         "__sign",
@@ -137,7 +161,8 @@ def refresh_rollup(
         .where(F.col("n") > 0)
     )
     merged.write.mode("overwrite").parquet(f"{rollup_dir}/v{to}")
-    new_meta = {**meta, "snapshot": to}
+    new_meta = {**meta, "snapshot": to,
+                "snapshot_sha": snapshot_dataset_sha(table_dir, to)}
     fsio.write_bytes_atomic(
         _meta_path(rollup_dir), json.dumps(new_meta).encode(),
         token=str(os.getpid()),

@@ -126,3 +126,32 @@ def test_refresh_after_compaction_reset_rebuilds(spark, docs, tmp_path):
     after = read_dedup_index(spark, idx)
     assert _rows(after.drop("batch_snapshot")) == before
     assert after.where(F.col("batch_snapshot") != 1).count() == 0
+
+
+def test_refresh_detects_reset_past_pinned_version(spark, docs, tmp_path):
+    """The subtler reset: the new lineage ADVANCES PAST the pinned
+    version, so the (frm, to] window looks like a plausible delta of
+    the wrong history. The pinned snapshot's content sha disambiguates:
+    refresh must rebuild, landing signature-equal to a from-scratch
+    index of the new table."""
+    from fhirflat_spark.encode import append_table, encode_table
+
+    out, idx, idx2 = (str(tmp_path / n) for n in ("ds", "idx", "idx2"))
+    encode_table(docs.where(F.col("doc_id") < 200), out,
+                 rows_per_bucket=1000)
+    append_table(docs.where(F.col("doc_id").between(200, 299)), out,
+                 rows_per_bucket=1000)
+    build_dedup_index(spark, out, idx)  # pinned at snapshot 2
+    # history RESET: fresh re-encode of DIFFERENT rows, then appends
+    # push the new lineage past the pinned version (v3 > 2)
+    encode_table(docs.where(F.col("doc_id") >= 300), out,
+                 rows_per_bucket=1000)
+    append_table(docs.where(F.col("doc_id").between(100, 149)), out,
+                 rows_per_bucket=1000)
+    append_table(docs.where(F.col("doc_id").between(150, 199)), out,
+                 rows_per_bucket=1000)
+    meta = refresh_dedup_index(spark, out, idx)
+    assert meta["snapshot"] == 3
+    build_dedup_index(spark, out, idx2)
+    assert _rows(read_dedup_index(spark, idx).drop("batch_snapshot")) == \
+        _rows(read_dedup_index(spark, idx2).drop("batch_snapshot"))

@@ -112,6 +112,25 @@ def test_refresh_across_rollback_window(spark, table):
     )
 
 
+def test_refresh_rebuilds_after_history_reset(spark, table):
+    """A fresh re-encode resets the lineage; once new commits push the
+    version past the rollup's pinned one, the window looks like a
+    plausible delta of the WRONG history. The pinned snapshot's content
+    sha detects it: refresh rebuilds and matches the recompute."""
+    build_rollup(spark, table, f"{table}/r", ts_col="ts", bucket="hour",
+                 group_cols=("kind",), sum_cols=("cents",))
+    append_table(_events(spark, range(200, 260)), table, rows_per_bucket=50)
+    refresh_rollup(spark, table, f"{table}/r")  # pinned at v2 now
+    encode_table(_events(spark, range(500, 560)), table, rows_per_bucket=50)
+    append_table(_events(spark, range(560, 600)), table, rows_per_bucket=50)
+    append_table(_events(spark, range(600, 640)), table, rows_per_bucket=50)
+    meta = refresh_rollup(spark, table, f"{table}/r")
+    assert meta["snapshot"] == 3  # rebuilt against the new lineage
+    assert _rows(read_rollup(spark, f"{table}/r")) == _rows(
+        _recompute(spark, table)
+    )
+
+
 def test_old_state_kept_until_pointer_flip(spark, table, tmp_path):
     # keep_old preserves the previous version dir for time-travel reads
     append_table(_events(spark, range(200, 230)), table, rows_per_bucket=50)
