@@ -223,6 +223,16 @@ def _part_range_predicate(ids: list[int]):
     return pred
 
 
+# full-table decodes at or above this many rows route through the named
+# Python data source (pyarrow-direct chunk reads in the workers — no JVM
+# row materialization on the input side; measured ~2x the mapInArrow
+# path at 1M rows and far more run-to-run stable). Below it the
+# source's ~1s fixed planning overhead dominates, so small decodes keep
+# the mapInArrow path. Both paths read the same chunks with the same
+# kernels; equality is pinned by test_datasource.py.
+DATASOURCE_MIN_ROWS = 200_000
+
+
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  part_ids: list[int] | None = None,
@@ -230,7 +240,8 @@ def decode_table(spark: SparkSession, out_dir: str,
                  zone_filter: tuple | None = None,
                  point_filter: tuple | None = None,
                  snapshot: int | str | None = None,
-                 with_positions: bool = False) -> DataFrame:
+                 with_positions: bool = False,
+                 via: str = "auto") -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
 
     ``with_positions=True`` appends each row's stable physical address
@@ -266,6 +277,14 @@ def decode_table(spark: SparkSession, out_dir: str,
     O(appends), never O(partitions)). Chunk directories a rollback
     orphaned, or a crashed run half-wrote, are thereby invisible to
     readers even before ``vacuum`` reclaims them.
+
+    ``via`` picks the physical read path: ``"auto"`` (default) routes
+    plain full-table decodes — no explicit prune options, no positions —
+    of at least ``DATASOURCE_MIN_ROWS`` rows through the named data
+    source (task-side pyarrow chunk reads, no JVM input rows; ~2x
+    faster at 1M rows); everything else uses the ``mapInArrow`` kernel.
+    ``"datasource"`` / ``"arrow"`` force a path (``"datasource"`` still
+    requires the options it cannot express to be absent).
     """
     from fhirflat_spark.manifest import (
         read_summary,
@@ -277,6 +296,30 @@ def decode_table(spark: SparkSession, out_dir: str,
 
     summary = read_summary(spark, out_dir)
     _check_version(summary)
+    if via not in ("auto", "arrow", "datasource"):
+        raise ValueError(f"via={via!r}: expected auto | arrow | datasource")
+    plain = (
+        part_ids is None and key_range is None and zone_filter is None
+        and point_filter is None and not with_positions
+    )
+    if via == "datasource" and not plain:
+        raise ValueError(
+            'via="datasource" supports only columns/snapshot — part_ids, '
+            "key_range, zone_filter, point_filter and with_positions need "
+            'the kernel path (via="auto"/"arrow")'
+        )
+    if plain and via != "arrow" and (
+        via == "datasource" or int(summary.get("rows") or 0) >= DATASOURCE_MIN_ROWS
+    ):
+        from fhirflat_spark.sources.datasource import register
+
+        register(spark)
+        reader = spark.read.format("fhirflat").option("path", out_dir)
+        if columns is not None:
+            reader = reader.option("columns", ",".join(columns))
+        if snapshot is not None:
+            reader = reader.option("snapshot", str(snapshot))
+        return reader.load()
     if snapshot is not None:
         snapshot = resolve_snapshot(out_dir, snapshot)
         snap_ids = snapshot_part_ids(out_dir, snapshot)

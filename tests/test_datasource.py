@@ -58,6 +58,43 @@ def test_batch_read_matches_decode_table(spark, ds_dir):
     assert _rows(via_source) == _rows(via_decode)
 
 
+def test_decode_table_via_routes_agree(spark, ds_dir):
+    """decode_table's two physical read paths — the mapInArrow kernel and
+    the named-source pyarrow-direct read — must return identical rows and
+    schema (incl. merge-on-read deletes, upserts, column selection and
+    snapshot time travel), and "auto" must route through the source only
+    at/above the row gate."""
+    from fhirflat_spark import decode as dec
+
+    arrow = decode_table(spark, ds_dir, via="arrow")
+    direct = decode_table(spark, ds_dir, via="datasource")
+    assert direct.schema == arrow.schema
+    assert _rows(direct) == _rows(arrow)
+    a1 = decode_table(spark, ds_dir, columns=["doc_id", "lang"],
+                      snapshot=1, via="arrow")
+    d1 = decode_table(spark, ds_dir, columns=["doc_id", "lang"],
+                      snapshot=1, via="datasource")
+    assert d1.columns == a1.columns == ["doc_id", "lang"]
+    assert _rows(d1) == _rows(a1)
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # auto: this fixture is far below the gate → kernel path
+    assert "MapInArrow" in plan(decode_table(spark, ds_dir))
+    old = dec.DATASOURCE_MIN_ROWS
+    dec.DATASOURCE_MIN_ROWS = 0
+    try:
+        assert "MapInArrow" not in plan(decode_table(spark, ds_dir))
+    finally:
+        dec.DATASOURCE_MIN_ROWS = old
+    # options the source cannot express must be rejected, never dropped
+    with pytest.raises(ValueError, match="datasource"):
+        decode_table(spark, ds_dir, with_positions=True, via="datasource")
+
+
 def test_column_pruning_option(spark, ds_dir):
     df = (
         spark.read.format("fhirflat").option("path", ds_dir)
