@@ -308,8 +308,22 @@ def decode_table(spark: SparkSession, out_dir: str,
             "key_range, zone_filter, point_filter and with_positions need "
             'the kernel path (via="auto"/"arrow")'
         )
+    gate_rows = int(summary.get("rows") or 0)
+    if snapshot is not None:
+        # auto-route on the SELECTED snapshot's size, not the current
+        # table's: a tiny historical snapshot of a large table would
+        # otherwise pay the named source's ~1s fixed planning overhead
+        # for a read the kernel path finishes faster (round-4 advice)
+        from fhirflat_spark.manifest import read_snapshot_manifest
+
+        snapshot = resolve_snapshot(out_dir, snapshot)
+        gate_rows = sum(
+            read_snapshot_manifest(out_dir, snapshot, columns=["rows"])[
+                "rows"
+            ].to_pylist()
+        )
     if plain and via != "arrow" and (
-        via == "datasource" or int(summary.get("rows") or 0) >= DATASOURCE_MIN_ROWS
+        via == "datasource" or gate_rows >= DATASOURCE_MIN_ROWS
     ):
         from fhirflat_spark.sources.datasource import register
 

@@ -1377,13 +1377,32 @@ def encode_table(
         # snapshot references is exactly such a leftover (committed pids
         # are always snapshot-referenced; this run's fragments don't
         # exist yet) — delete them before the job starts.
+        # Below the offset, fragments must mirror the LIVE manifest: the
+        # reachable keep-set is the current head's part ids plus staged
+        # branch partitions. A crashed rollback (commit landed, its
+        # post-commit sweep didn't) leaves fragments for rolled-back
+        # pids that older retained snapshots still reference — merging
+        # them here would silently resurrect rolled-back data, so
+        # reachability-from-head is the right rule, not membership in
+        # any retained snapshot.
         from fhirflat_spark import fsio
-        from fhirflat_spark.manifest import all_snapshot_part_ids
+        from fhirflat_spark.manifest import (
+            _branch_staged_versions,
+            all_snapshot_part_ids,
+            current_snapshot,
+            snapshot_part_ids,
+        )
 
         committed = all_snapshot_part_ids(out_dir)
+        head = current_snapshot(out_dir)
+        live = set(snapshot_part_ids(out_dir, head)) if head else set()
+        for sv in _branch_staged_versions(out_dir):
+            live.update(snapshot_part_ids(out_dir, sv))
         for name in fsio.list_files(frag_dir, suffix=".json"):
             pid = int(name[: -len(".json")])
-            if pid >= part_offset and pid not in committed:
+            if (pid >= part_offset and pid not in committed) or (
+                pid < part_offset and pid not in live
+            ):
                 fsio.delete_file(f"{frag_dir}/{name}")
     # pyspark's mapInArrow resolves plain column names, which breaks on
     # dotted flat names (period.start) — feed it positional safe names and

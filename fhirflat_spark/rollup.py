@@ -125,13 +125,17 @@ def refresh_rollup(
 
     meta = json.loads(fsio.read_bytes(_meta_path(rollup_dir)))
     frm, to = meta["snapshot"], current_snapshot(table_dir)
-    if to == frm:
-        return meta
+    # lineage-identity check BEFORE the no-op fast path: a history reset
+    # (fresh re-encode / compaction swap) that advances to exactly the
+    # pinned version number would otherwise return the stale rollup —
+    # to == frm only proves the version NUMBER matches, not the content
     lineage_ok = (
         "snapshot_sha" not in meta
         or meta["snapshot_sha"] == snapshot_dataset_sha(table_dir, frm)
     )
-    if to is None or to < frm or not lineage_ok:
+    if to == frm and lineage_ok:
+        return meta
+    if to is None or to < frm or to == frm or not lineage_ok:
         old = f"{rollup_dir}/v{frm}"
         meta = build_rollup(
             spark, table_dir, rollup_dir, meta["ts_col"],

@@ -93,6 +93,16 @@ def test_decode_table_via_routes_agree(spark, ds_dir):
     # options the source cannot express must be rejected, never dropped
     with pytest.raises(ValueError, match="datasource"):
         decode_table(spark, ds_dir, with_positions=True, via="datasource")
+    # snapshot-aware gate: with the threshold between snap1's 250 rows
+    # and the current 350, a snapshot-1 read must stay on the kernel
+    # path (its size, not the current table's, pays the planning cost)
+    # while the plain read routes through the source (round-4 advice)
+    dec.DATASOURCE_MIN_ROWS = 300
+    try:
+        assert "MapInArrow" in plan(decode_table(spark, ds_dir, snapshot=1))
+        assert "MapInArrow" not in plan(decode_table(spark, ds_dir))
+    finally:
+        dec.DATASOURCE_MIN_ROWS = old
 
 
 def test_column_pruning_option(spark, ds_dir):

@@ -131,6 +131,21 @@ def test_refresh_rebuilds_after_history_reset(spark, table):
     )
 
 
+def test_refresh_rebuilds_when_reset_lands_on_pinned_version(spark, table):
+    """A history reset whose new lineage advances to EXACTLY the pinned
+    version number hits the ``to == frm`` fast path — which must check
+    the pinned snapshot's content sha before declaring a no-op, or it
+    silently returns the stale pre-reset rollup (round-4 advice)."""
+    # pinned at v1; fresh re-encode resets lineage back to v1 with
+    # entirely different content — version number matches, content can't
+    encode_table(_events(spark, range(700, 780)), table, rows_per_bucket=50)
+    meta = refresh_rollup(spark, table, f"{table}/r")
+    assert meta["snapshot"] == 1
+    assert _rows(read_rollup(spark, f"{table}/r")) == _rows(
+        _recompute(spark, table)
+    )
+
+
 def test_old_state_kept_until_pointer_flip(spark, table, tmp_path):
     # keep_old preserves the previous version dir for time-travel reads
     append_table(_events(spark, range(200, 230)), table, rows_per_bucket=50)

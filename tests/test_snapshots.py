@@ -104,6 +104,36 @@ def test_append_after_rollback_does_not_rewrite_history(spark, ds):
                       base.unionByName(delta))
 
 
+def test_append_heals_crashed_rollback_fragment_sweep(spark, ds):
+    """Rollback commits first, sweeps fragments second; a crash between
+    the two leaves fragments for rolled-back pids that OLDER retained
+    snapshots still reference (so the ≥offset/unreferenced rule never
+    catches them). The next append must sweep by reachability from the
+    current head, or the fragment merge silently resurrects the
+    rolled-back rows (round-4 advice, manifest.py rollback)."""
+    import glob
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import rollback
+
+    out, base, delta = ds
+    # snapshot every fragment, roll back, then restore the pre-rollback
+    # fragment set = exactly the on-disk state of a crashed sweep
+    frag_dir = f"{out}/manifest_parts"
+    saved = {
+        p: open(p, "rb").read() for p in glob.glob(f"{frag_dir}/*.json")
+    }
+    rollback(spark, out, 1)
+    for p, blob in saved.items():
+        with open(p, "wb") as f:
+            f.write(blob)
+    delta2 = delta.where(F.col("doc_id") < 100)
+    res = append_table(delta2, out, rows_per_bucket=500)
+    assert res.rows == base.count() + delta2.count()
+    assert _same_rows(decode_table(spark, out), base.unionByName(delta2))
+
+
 def test_expire_and_vacuum_reclaim_unreferenced_partitions(spark, ds):
     from fhirflat_spark.decode import decode_table
     from fhirflat_spark.manifest import (
