@@ -148,6 +148,10 @@ def q_asof_attribution(spark, sf_dir):
     click) keep nulls — an off-by-one in the inclusivity ordering, a
     missing-key leak, or a forward-looking match shifts rows and fails
     the hash."""
+    # the NTZ→timestamp reinterpretation inside asof_join/range_join is
+    # only a no-op under a UTC session; pin it here too so the DRIVER's
+    # session (not created by session.py) can never skew the comparison
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/{_EVENTS}")
     clicks = (
         ev.where(F.col("event_type") == "click")
@@ -190,6 +194,7 @@ def q_range_pairs(spark, sf_dir):
     via the banded equi-join — the oracle brute-forces the same
     predicate, so a band that drops an edge-of-window pair or
     double-emits a probe fails the row count and hash."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q_asof above
     ev = spark.read.parquet(f"{sf_dir}/{_EVENTS}").select(
         "event_id", "user_id", "ts", "event_type"
     )
