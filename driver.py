@@ -138,6 +138,25 @@ def main() -> None:
                      help="(build) comma-separated measure columns")
     rlp.add_argument("--show", type=int, default=10)
 
+    tix = sub.add_parser(
+        "index", help="build/refresh an inverted token index (search "
+        "without a scan)"
+    )
+    tix.add_argument("--out", required=True, help="chunk-store table dir")
+    tix.add_argument("--dest", required=True, help="index state dir")
+    tix.add_argument("--column", default="text", help="(build) text column")
+
+    sch = sub.add_parser(
+        "search", help="token search via the inverted index "
+        "(posting-pruned decode + exact residual predicate)"
+    )
+    sch.add_argument("--out", required=True, help="chunk-store table dir")
+    sch.add_argument("--dest", required=True, help="index state dir")
+    sch.add_argument("--token", required=True)
+    sch.add_argument("--columns", default="",
+                     help="comma-separated output columns (default: all)")
+    sch.add_argument("--show", type=int, default=10)
+
     args = p.parse_args()
 
     from fhirflat_spark.session import get_spark
@@ -311,6 +330,40 @@ def main() -> None:
             "bucket": meta["bucket"], "buckets": df.count(),
         }))
         df.orderBy("bucket").show(args.show, truncate=40)
+    elif args.cmd == "index":
+        from fhirflat_spark import fsio
+        from fhirflat_spark.text_index import (
+            build_token_index,
+            read_token_index,
+            refresh_token_index,
+        )
+
+        if fsio.exists(f"{args.dest}/text_index.json"):
+            meta = refresh_token_index(spark, args.out, args.dest)
+            action = "refresh"
+        else:
+            meta = build_token_index(spark, args.out, args.dest,
+                                     text_col=args.column)
+            action = "build"
+        idx = read_token_index(spark, args.dest)
+        print(json.dumps({
+            "action": action, "snapshot": meta["snapshot"],
+            "text_col": meta["text_col"],
+            "postings": idx.count(),
+            "tokens": idx.select("token").distinct().count(),
+        }))
+    elif args.cmd == "search":
+        from fhirflat_spark.text_index import lookup_parts, search_token
+
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        hits = search_token(spark, args.out, args.dest, args.token,
+                            columns=cols or None)
+        print(json.dumps({
+            "token": args.token,
+            "posting_partitions": len(lookup_parts(args.dest, args.token)),
+            "rows": hits.count(),
+        }))
+        hits.show(args.show, truncate=40)
     elif args.cmd == "transcode":
         from fhirflat_spark.decode import transcode_table
 

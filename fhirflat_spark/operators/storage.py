@@ -856,6 +856,41 @@ FROM toks GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_token_index_search(spark, sf_dir):
+    """Inverted token index (text_index.py) proven exact against a full
+    scan: build the posting index at snapshot 1 (even doc_ids), refresh
+    it incrementally to snapshot 2 (odds appended — new partitions only,
+    a pure posting union), then search a rare token through the
+    index-pruned decode + residual predicate. The oracle brute-force
+    scans the whole corpus with the same tokenizer: a posting missed by
+    the refresh (lost doc), a pruning false-negative, or tokenizer
+    drift between index and residual all mismatch."""
+    import tempfile
+
+    from fhirflat_spark.text_index import (
+        build_token_index,
+        refresh_token_index,
+        search_token,
+    )
+
+    out = _encoded_documents_versioned(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="fhirflat_spark_tokidx_") + "/idx"
+    build_token_index(spark, out, idx, snapshot=1)
+    refresh_token_index(spark, out, idx)
+    res = search_token(spark, out, idx, "dup",
+                       columns=["doc_id", "lang", "n_chars"])
+    return res.orderBy("doc_id")
+
+
+SQL_TOKEN_INDEX_SEARCH = r"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE list_contains(
+        regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]{2,}'), 'dup')
+ORDER BY doc_id
+"""
+
+
 def q_metadata_only_aggregate(spark, sf_dir):
     """count(*)/count(col)/min/max/sum answered from the snapshot
     manifest ALONE — no chunk payload is opened (the Iceberg
@@ -1106,6 +1141,7 @@ QUERIES = {
     "ndv_sketch_estimate": (q_ndv_sketch, SQL_NDV_SKETCH),
     "physical_dedup_positional": (q_physical_dedup, SQL_PHYSICAL_DEDUP),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
+    "token_index_search": (q_token_index_search, SQL_TOKEN_INDEX_SEARCH),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),
     "time_travel_snapshot": (q_time_travel, SQL_TIME_TRAVEL),
