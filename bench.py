@@ -132,6 +132,68 @@ def metadata_agg_stage(spark) -> dict:
     return st
 
 
+def token_index_stage(spark, src: str) -> dict:
+    """Needle-in-the-corpus search through the inverted token index vs
+    the same predicate as a full decode scan. The posting lookup is a
+    filtered read of the (metadata-sized) index — partitions that can't
+    contain the token are never decoded, so the gap GROWS with corpus
+    size; at 100 TB the scan side is a full corpus pass."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.text_index import (
+        build_token_index,
+        lookup_parts,
+        search_token,
+        token_matches,
+    )
+
+    out, idx = f"{SHM}/tokidx_ds", f"{SHM}/tokidx_idx"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    df = spark.read.parquet(src)
+    # ~25% sample keeps the stage bounded; one planted needle row makes
+    # the search selectivity representative of an identifier lookup
+    sample = df.where(F.abs(F.hash("path")) % 4 == 0)
+    needle = spark.createDataFrame(
+        [("needle_repo", "needle/path.py", "cafebabe", "py",
+          "def needle_fn_xq():\n    return 1\n")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    encode_table(sample.unionByName(needle), out,
+                 rows_per_bucket=ROWS_PER_BUCKET, shuffle=False)
+    t0 = time.time()
+    build_token_index(spark, out, idx, text_col="content")
+    build_s = time.time() - t0
+    t0 = time.time()
+    n_idx = search_token(spark, out, idx, "needle_fn_xq",
+                         columns=["repo", "path"]).count()
+    idx_s = time.time() - t0
+    t0 = time.time()
+    n_scan = (
+        decode_table(spark, out, columns=["repo", "path", "content"])
+        .where(token_matches("content", "needle_fn_xq"))
+        .count()
+    )
+    scan_s = time.time() - t0
+    assert n_idx == n_scan == 1
+    from fhirflat_spark.manifest import current_snapshot, snapshot_part_ids
+
+    st = {
+        "build_sec": round(build_s, 2),
+        "search_sec": round(idx_s, 3),
+        "scan_sec": round(scan_s, 3),
+        "speedup": round(scan_s / max(idx_s, 1e-6), 1),
+        "parts_read": len(lookup_parts(idx, "needle_fn_xq")),
+        "parts_total": len(
+            snapshot_part_ids(out, current_snapshot(out))
+        ),
+    }
+    print(f"  token_index: {st}", flush=True)
+    return st
+
+
 def ensure_source(spark) -> str:
     """Materialize the synthetic code table once (generation excluded from
     encode timing)."""
@@ -392,6 +454,7 @@ def main() -> None:
     queries = run_queries(spark)
     meta_agg = metadata_agg_stage(spark)
     src = ensure_source(spark)
+    tok_idx = token_index_stage(spark, src)
     key_counts = [
         (r[0], r["count"])
         for r in spark.read.parquet(src).groupBy("repo").count().collect()
@@ -469,6 +532,7 @@ def main() -> None:
             "ratio_vs_parquet_zstd_l9": round(archive["encoded_bytes"] / pz9_bytes, 4),
         },
         "metadata_agg": meta_agg,
+        "token_index": tok_idx,
         "bench_total_sec": total,
     }
     env_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
@@ -534,6 +598,7 @@ def _compact(result: dict) -> dict:
             "ratio_vs_parquet_zstd_l9": fp["ratio_vs_parquet_zstd_l9"],
         },
         "metadata_agg": result.get("metadata_agg"),
+        "token_index": result.get("token_index"),
         "bench_total_sec": result["bench_total_sec"],
         "details": "BENCH/DETAILS.json",
     }
