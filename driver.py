@@ -152,7 +152,8 @@ def main() -> None:
     )
     sch.add_argument("--out", required=True, help="chunk-store table dir")
     sch.add_argument("--dest", required=True, help="index state dir")
-    sch.add_argument("--token", required=True)
+    sch.add_argument("--token", required=True,
+                     help="token, or comma-separated tokens (AND search)")
     sch.add_argument("--columns", default="",
                      help="comma-separated output columns (default: all)")
     sch.add_argument("--show", type=int, default=10)
@@ -353,14 +354,18 @@ def main() -> None:
             "tokens": idx.select("token").distinct().count(),
         }))
     elif args.cmd == "search":
-        from fhirflat_spark.text_index import lookup_parts, search_token
+        from fhirflat_spark.text_index import lookup_parts, search_all_tokens
 
         cols = [c.strip() for c in args.columns.split(",") if c.strip()]
-        hits = search_token(spark, args.out, args.dest, args.token,
-                            columns=cols or None)
+        toks = [t.strip() for t in args.token.split(",") if t.strip()]
+        hits = search_all_tokens(spark, args.out, args.dest, toks,
+                                 columns=cols or None)
+        posting = set(lookup_parts(args.dest, toks[0]))
+        for t in toks[1:]:
+            posting &= set(lookup_parts(args.dest, t))
         print(json.dumps({
-            "token": args.token,
-            "posting_partitions": len(lookup_parts(args.dest, args.token)),
+            "tokens": toks,
+            "posting_partitions": len(posting),
             "rows": hits.count(),
         }))
         hits.show(args.show, truncate=40)

@@ -224,21 +224,45 @@ def search_token(
     """Exact search: posting lookup → partition-pruned decode → residual
     token predicate. Equal to filtering a full decode (pinned by test
     and oracle), at the IO cost of only the posting partitions."""
+    return search_all_tokens(spark, table_dir, index_dir, [token],
+                             columns=columns)
+
+
+def search_all_tokens(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    tokens: list[str],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Conjunctive (AND) search: rows containing EVERY token. The
+    pruning set is the INTERSECTION of the tokens' posting lists — each
+    extra term can only shrink the partitions decoded — and the residual
+    predicate re-checks every token exactly."""
     from fhirflat_spark.decode import decode_table
     from fhirflat_spark.manifest import read_summary
 
+    if not tokens:
+        raise ValueError("search needs at least one token")
     meta = json.loads(fsio.read_bytes(_meta_path(index_dir)))
     text_col = meta["text_col"]
     want = columns if columns is not None else list(
         read_summary(spark, table_dir)["columns"]
     )
     need = want if text_col in want else [*want, text_col]
-    parts = lookup_parts(index_dir, token)
+    parts: set[int] | None = None
+    for t in tokens:
+        parts = (set(lookup_parts(index_dir, t)) if parts is None
+                 else parts & set(lookup_parts(index_dir, t)))
+        if not parts:
+            break
+    pred = token_matches(text_col, tokens[0], meta["pattern"])
+    for t in tokens[1:]:
+        pred = pred & token_matches(text_col, t, meta["pattern"])
     if not parts:
         return decode_table(spark, table_dir, columns=need).where(
             F.lit(False)
         ).select(*want)
-    df = decode_table(spark, table_dir, columns=need, part_ids=parts)
-    return df.where(
-        token_matches(text_col, token, meta["pattern"])
-    ).select(*want)
+    df = decode_table(spark, table_dir, columns=need,
+                      part_ids=sorted(parts))
+    return df.where(pred).select(*want)

@@ -170,6 +170,25 @@ def test_refresh_reads_only_new_partitions(spark, corpus, tmp_path):
     )
 
 
+def test_multi_token_and_search(spark, corpus, table):
+    from fhirflat_spark.text_index import search_all_tokens
+
+    out, idx = table
+    got = search_all_tokens(spark, out, idx,
+                            ["rare_marker_tok", "customer"],
+                            columns=["doc_id"])
+    want = corpus.where(
+        token_matches("text", "rare_marker_tok")
+        & token_matches("text", "customer")
+    ).select("doc_id")
+    assert _rows(got) == _rows(want) and got.count() > 0
+    # conjunction with an absent token: empty, schema preserved
+    none = search_all_tokens(spark, out, idx,
+                             ["rare_marker_tok", "no_such_token_xyz"],
+                             columns=["doc_id"])
+    assert none.columns == ["doc_id"] and none.count() == 0
+
+
 def test_meta_records_lineage(spark, table):
     out, idx = table
     meta = json.loads(open(f"{idx}/text_index.json").read())
