@@ -600,7 +600,8 @@ def _compact(result: dict) -> dict:
         "metadata_agg": result.get("metadata_agg"),
         "token_index": result.get("token_index"),
         "bench_total_sec": result["bench_total_sec"],
-        "details": "BENCH/DETAILS.json",
+        "details": ("BENCH/DETAILS.json" if BENCH_ROWS >= 1_000_000
+                    else "BENCH/VERIFY_DETAILS.json"),
     }
     sf1 = result.get("sf1")
     if isinstance(sf1, dict):
@@ -677,9 +678,14 @@ def _sf1_report_lines(sf1: dict | None) -> list[str]:
 def _write_report(result: dict) -> None:
     bench_dir = os.path.join(_REPO_ROOT, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
+    # verify-scale runs (tiny BENCH_ROWS) must not clobber the committed
+    # full-scale record — they land in VERIFY.* instead
+    full_scale = BENCH_ROWS >= 1_000_000
+    md_name = "BASELINE.md" if full_scale else "VERIFY.md"
+    dj_name = "DETAILS.json" if full_scale else "VERIFY_DETAILS.json"
     # full (uncompacted) result — the single printed line is trimmed to the
     # driver's 2000-char stdout buffer, so this file is the round's record
-    with open(os.path.join(bench_dir, "DETAILS.json"), "w") as f:
+    with open(os.path.join(bench_dir, dj_name), "w") as f:
         json.dump(result, f, indent=1)
     enc = result["encode"]
     eff = enc["scaling_efficiency_n_to_4n"]
@@ -800,7 +806,22 @@ def _write_report(result: dict) -> None:
             "the gap grows linearly with data size — values asserted "
             "equal).",
         ]
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+    ti = result.get("token_index")
+    if ti:
+        lines += [
+            "",
+            "## Inverted-index token search vs full scan",
+            "",
+            f"Needle-token lookup through the posting index: "
+            f"{ti['search_sec']}s ({ti['parts_read']} of "
+            f"{ti['parts_total']} partitions decoded) vs {ti['scan_sec']}s "
+            f"for the identical predicate as a full decode scan "
+            f"({ti['speedup']}x; index build once: {ti['build_sec']}s). "
+            "The posting lookup is a metadata-sized pyarrow read — at "
+            "100 TB the scan side is a full corpus pass while the index "
+            "side stays proportional to the hit set.",
+        ]
+    with open(os.path.join(bench_dir, md_name), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
