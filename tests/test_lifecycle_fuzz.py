@@ -1,0 +1,142 @@
+"""Table-lifecycle fuzzer: a deterministic random interleaving of
+append / upsert / delete / rollback / maintain against a Python model
+of the expected row set. After EVERY operation the decoded table must
+equal the model; metadata-only counts must agree when servable; chunk
+checksums re-verify; and at the end every retained snapshot of the
+current lineage must time-travel back to the model state recorded when
+it was committed. Catches cross-feature interactions the per-feature
+suites can't (e.g. delete-scope vs rollback vs compaction ordering)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhirflat_spark.decode import decode_table, verify_table
+from fhirflat_spark.encode import append_table, encode_table, upsert_rows
+from fhirflat_spark.maintenance import maintain_table
+from fhirflat_spark.manifest import (
+    aggregate_from_metadata,
+    current_snapshot,
+    delete_rows,
+    list_snapshots,
+    rollback,
+)
+
+COLS = ["doc_id", "lang", "n"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), l, int(n)) for i, l, n in rows], COLS
+    )
+
+
+def _decode_rows(spark, out):
+    return sorted(
+        tuple(r) for r in decode_table(spark, out).select(*COLS).collect()
+    )
+
+
+def _model_rows(model):
+    return sorted(model.values())
+
+
+def _mk_rows(rng, ids):
+    return [(i, rng.choice(["en", "fr", "de"]), rng.randrange(1000))
+            for i in ids]
+
+
+_SEEDS = [
+    int(s) for s in __import__("os").environ.get(
+        "SPARK_GRAFT_FUZZ_SEEDS", "7,23"
+    ).split(",")
+]
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+def test_lifecycle_fuzz(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    out = str(tmp_path / f"fz{seed}")
+
+    next_id = 200
+    base = _mk_rows(rng, range(next_id))
+    model = {r[0]: r for r in base}
+    encode_table(_df(spark, base), out, rows_per_bucket=50)
+    # history of (version, model snapshot) for the CURRENT lineage
+    history = [(current_snapshot(out), dict(model))]
+
+    def record():
+        history.append((current_snapshot(out), dict(model)))
+
+    ops = ["append", "upsert", "delete", "rollback", "maintain"]
+    weights = [4, 3, 3, 1, 1]
+    trace = []
+    for step in range(14):
+        op = rng.choices(ops, weights)[0]
+        trace.append(op)
+        if op == "append":
+            ids = range(next_id, next_id + rng.randrange(20, 60))
+            next_id = ids.stop
+            rows = _mk_rows(rng, ids)
+            append_table(_df(spark, rows), out, rows_per_bucket=50)
+            model.update({r[0]: r for r in rows})
+            record()
+        elif op == "upsert":
+            live = sorted(model)
+            touch = rng.sample(live, min(len(live), rng.randrange(10, 40)))
+            fresh = range(next_id, next_id + rng.randrange(0, 15))
+            next_id = fresh.stop
+            rows = _mk_rows(rng, [*touch, *fresh])
+            upsert_rows(_df(spark, rows), out, "doc_id", rows_per_bucket=50)
+            model.update({r[0]: r for r in rows})
+            record()
+        elif op == "delete":
+            live = sorted(model)
+            doomed = rng.sample(live, min(len(live), rng.randrange(5, 30)))
+            doomed.append(next_id + 10_000)  # non-existent key: no-op
+            delete_rows(spark, out, "doc_id", doomed)
+            for k in doomed:
+                model.pop(k, None)
+            record()
+        elif op == "rollback":
+            v, snap = rng.choice(history)
+            rollback(spark, out, v)
+            model = dict(snap)
+            record()
+        elif op == "maintain":
+            maintain_table(spark, out, rows_per_bucket=50,
+                           keep_snapshots=2)
+            # compaction swap / expiry may reset or trim history — the
+            # recorded lineage is no longer addressable; re-pin
+            history = [(current_snapshot(out), dict(model))]
+        assert _decode_rows(spark, out) == _model_rows(model), (
+            f"seed={seed} step={step} trace={trace}"
+        )
+        agg = aggregate_from_metadata(out, ["doc_id"])
+        if agg is not None:
+            assert agg["rows"] == len(model), (
+                f"seed={seed} step={step} trace={trace}"
+            )
+        if step % 5 == 4:
+            bad = verify_table(spark, out).where(~F.col("ok")).count()
+            assert bad == 0, f"seed={seed} step={step} trace={trace}"
+
+    # time travel: every recorded snapshot of the current lineage must
+    # reproduce the model state at its commit
+    retained = {
+        int(r["version"]) for r in list_snapshots(spark, out).collect()
+    }
+    for v, snap in history:
+        if v not in retained:
+            continue  # expired by maintain
+        got = sorted(
+            tuple(r)
+            for r in decode_table(spark, out, snapshot=v)
+            .select(*COLS).collect()
+        )
+        assert got == sorted(snap.values()), (
+            f"seed={seed} snapshot={v} trace={trace}"
+        )
