@@ -676,6 +676,8 @@ def _sf1_report_lines(sf1: dict | None) -> list[str]:
 
 
 def _write_report(result: dict) -> None:
+    from fhirflat_spark.session import ARROW_BATCH_ROWS
+
     bench_dir = os.path.join(_REPO_ROOT, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
     # verify-scale runs (tiny BENCH_ROWS) must not clobber the committed
@@ -806,6 +808,27 @@ def _write_report(result: dict) -> None:
             "the gap grows linearly with data size — values asserted "
             "equal).",
         ]
+    lines += [
+        "",
+        "## Exact Spark configs (per BASELINE.md contract)",
+        "",
+        "Each encode level runs a FRESH session: "
+        f"`master=local[N]` (N per table row), "
+        f"`spark.sql.shuffle.partitions = 2*N`, and the engine defaults "
+        "from `fhirflat_spark/session.py::get_spark`: AQE on "
+        "(+coalescePartitions +skewJoin), Arrow transport on with "
+        f"`maxRecordsPerBatch={ARROW_BATCH_ROWS}` (= chunk row "
+        "granularity), `spark.sql.parquet.compression.codec=zstd`, "
+        "`spark.io.compression.codec=lz4`, file-committer algorithm v2, "
+        "driver memory 48g, UTC session timezone. Bench overrides "
+        "(`bench.py::_EXTRA`): `spark.local.dir` on tmpfs and "
+        "`spark.shuffle.compress=false` + "
+        "`spark.shuffle.spill.compress=false` (shuffle files live on "
+        "tmpfs here — compression only burns CPU; a multi-node cluster "
+        "keeps the lz4 default). Encode calls: "
+        f"`rows_per_bucket={ROWS_PER_BUCKET}`, `num_partitions=64`, "
+        "key_counts precomputed once and passed in.",
+    ]
     ti = result.get("token_index")
     if ti:
         lines += [
