@@ -1338,6 +1338,7 @@ def encode_table(
                          "re-run the encode (or use the row shuffle)")
 
     skip: frozenset[int] = frozenset()
+    frag_live: set[int] | None = None  # append: head-reachable pid filter
     mode = "overwrite"
     if append:
         # incremental append: new data lands in NEW part_id directories
@@ -1377,14 +1378,15 @@ def encode_table(
         # snapshot references is exactly such a leftover (committed pids
         # are always snapshot-referenced; this run's fragments don't
         # exist yet) — delete them before the job starts.
-        # Below the offset, fragments must mirror the LIVE manifest: the
-        # reachable keep-set is the current head's part ids plus staged
-        # branch partitions. A crashed rollback (commit landed, its
-        # post-commit sweep didn't) leaves fragments for rolled-back
-        # pids that older retained snapshots still reference — merging
-        # them here would silently resurrect rolled-back data, so
-        # reachability-from-head is the right rule, not membership in
-        # any retained snapshot.
+        # Below the offset, the new manifest must mirror the LIVE head:
+        # the keep-set is the current head's part ids plus staged branch
+        # partitions. Pids outside it (rolled-back appends — including
+        # the stale files a CRASHED rollback sweep leaves behind) are
+        # filtered out at merge time (frag_live below) rather than
+        # deleted: their fragments are the only chunk-level metadata for
+        # those partitions, and a later rollback BACK onto one of their
+        # snapshots must still find them (fragments for pids in any
+        # retained snapshot stay on disk until the snapshot expires).
         from fhirflat_spark import fsio
         from fhirflat_spark.manifest import (
             _branch_staged_versions,
@@ -1395,14 +1397,12 @@ def encode_table(
 
         committed = all_snapshot_part_ids(out_dir)
         head = current_snapshot(out_dir)
-        live = set(snapshot_part_ids(out_dir, head)) if head else set()
+        frag_live = set(snapshot_part_ids(out_dir, head)) if head else set()
         for sv in _branch_staged_versions(out_dir):
-            live.update(snapshot_part_ids(out_dir, sv))
+            frag_live.update(snapshot_part_ids(out_dir, sv))
         for name in fsio.list_files(frag_dir, suffix=".json"):
             pid = int(name[: -len(".json")])
-            if (pid >= part_offset and pid not in committed) or (
-                pid < part_offset and pid not in live
-            ):
+            if pid >= part_offset and pid not in committed:
                 fsio.delete_file(f"{frag_dir}/{name}")
     # pyspark's mapInArrow resolves plain column names, which breaks on
     # dotted flat names (period.start) — feed it positional safe names and
@@ -1539,6 +1539,14 @@ def encode_table(
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.partitionBy("part_id").parquet(f"{out_dir}/chunks")
     meta_rows = load_fragments(frag_dir)
+    if frag_live is not None:
+        # append commit = head-reachable history + this run's range.
+        # Fragments of rolled-back pids stay on disk for rollback-forward
+        # but must not merge into the new manifest (silent resurrection).
+        meta_rows = [
+            r for r in meta_rows
+            if r["part_id"] >= part_offset or r["part_id"] in frag_live
+        ]
     new_deletes = None
     if delete_keys is not None:
         # upsert: shadow-delete matching keys in PRE-EXISTING partitions

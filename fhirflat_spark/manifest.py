@@ -1320,14 +1320,16 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     _write_snapshot_deletes(out_dir, new_version, restored_deletes, token)
     _advance_current(out_dir, new_version, t, token)
     # fragment sweep AFTER the commit landed (a crash before this point
-    # leaves stale fragments — detectable resurrection at the next
-    # append — never the silent partition loss a pre-commit sweep risks
-    # if the commit then fails). Fragments of rolled-back partitions
-    # would otherwise re-merge into the next append's manifest; staged
-    # branch partitions keep theirs (their snapshots remain retained).
-    keep_ids = set(restored_ids)
-    for sv in _branch_staged_versions(out_dir):
-        keep_ids.update(snapshot_part_ids(out_dir, sv))
+    # changes nothing — appends filter to head-reachable pids at merge
+    # time). Only fragments referenced by NO retained snapshot are
+    # deleted: a fragment is the sole chunk-level metadata for its
+    # partition, and a later rollback FORWARD onto a retained snapshot
+    # must find the fragments of that snapshot's partitions intact
+    # (deleting by not-in-restored here lost partitions on the next
+    # append after a rollback-forward — caught by the lifecycle fuzzer).
+    # The next append never merges the rolled-back ones anyway: its
+    # keep-set is head-reachable pids ∪ its own new range (encode.py).
+    keep_ids = all_snapshot_part_ids(out_dir)
     frag_dir = f"{out_dir}/manifest_parts"
     for name in fsio.list_files(frag_dir, suffix=".json"):
         if int(name[:-len(".json")]) not in keep_ids:
@@ -1409,6 +1411,14 @@ def vacuum(spark: SparkSession, out_dir: str) -> list[int]:
         if pid not in live:
             fsio.delete_dir(f"{out_dir}/chunks/{name}")
             removed.append(pid)
+    # manifest fragments live exactly as long as some retained snapshot
+    # references their partition (rollback-forward needs them); once the
+    # last such snapshot expires they are garbage — reclaim with the
+    # chunks so manifest_parts/ doesn't grow without bound
+    frag_dir = f"{out_dir}/manifest_parts"
+    for name in fsio.list_files(frag_dir, suffix=".json"):
+        if int(name[: -len(".json")]) not in live:
+            fsio.delete_file(f"{frag_dir}/{name}")
     # delete files no retained snapshot references go the same way —
     # both forms: single files (list-valued deletes) and Spark-written
     # DIRECTORIES (DataFrame key sets, every upsert)

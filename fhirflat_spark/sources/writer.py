@@ -464,6 +464,22 @@ def _commit_snapshot(plan: dict, by_part: dict[int, list],
     for pid in sorted(by_part):
         _write_fragment(frag_dir, pid, by_part[pid])
     meta_rows = load_fragments(frag_dir)
+    if not replace:
+        # append commit = head-reachable history + this job's partitions
+        # (fragments of rolled-back pids stay on disk for rollback-
+        # forward but must not re-merge — same rule as encode.py)
+        from fhirflat_spark.manifest import (
+            _branch_staged_versions,
+            current_snapshot,
+            snapshot_part_ids,
+        )
+
+        head = current_snapshot(path)
+        live = set(snapshot_part_ids(path, head)) if head else set()
+        for sv in _branch_staged_versions(path):
+            live.update(snapshot_part_ids(path, sv))
+        live.update(int(p) for p in by_part)
+        meta_rows = [r for r in meta_rows if r["part_id"] in live]
     stats = write_manifest(None, path, meta_rows,
                            new_deletes=new_deletes,
                            carry_deletes=not replace,

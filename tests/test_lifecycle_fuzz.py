@@ -71,8 +71,8 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
     def record():
         history.append((current_snapshot(out), dict(model)))
 
-    ops = ["append", "upsert", "delete", "rollback", "maintain"]
-    weights = [4, 3, 3, 1, 1]
+    ops = ["append", "upsert", "delete", "rollback", "maintain", "wap"]
+    weights = [4, 3, 3, 1, 1, 2]
     trace = []
     for step in range(14):
         op = rng.choices(ops, weights)[0]
@@ -106,6 +106,33 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             rollback(spark, out, v)
             model = dict(snap)
             record()
+        elif op == "wap":
+            # write-audit-publish: stage on a branch (main must not move),
+            # audit the staged view, then publish or abandon
+            from fhirflat_spark.manifest import drop_branch, publish_branch
+
+            ids = range(next_id, next_id + rng.randrange(10, 30))
+            next_id = ids.stop
+            rows = _mk_rows(rng, ids)
+            append_table(_df(spark, rows), out, rows_per_bucket=50,
+                         branch="audit")
+            assert _decode_rows(spark, out) == _model_rows(model), (
+                f"seed={seed} step={step} staged commit moved main"
+            )
+            staged = sorted(
+                tuple(r)
+                for r in decode_table(spark, out, snapshot="audit")
+                .select(*COLS).collect()
+            )
+            assert staged == sorted([*model.values(), *rows]), (
+                f"seed={seed} step={step} audit view wrong"
+            )
+            if rng.random() < 0.6:
+                publish_branch(out, "audit")
+                model.update({r[0]: r for r in rows})
+                record()
+            else:
+                drop_branch(out, "audit")  # abandoned: model unchanged
         elif op == "maintain":
             maintain_table(spark, out, rows_per_bucket=50,
                            keep_snapshots=2)

@@ -104,6 +104,62 @@ def test_append_after_rollback_does_not_rewrite_history(spark, ds):
                       base.unionByName(delta))
 
 
+def test_vacuum_reclaims_expired_fragments(spark, ds):
+    """Fragments outlive rollbacks (rollback-forward needs them) but not
+    their last referencing snapshot: expire + vacuum must reclaim them
+    with the chunk dirs."""
+    import glob
+
+    from fhirflat_spark.manifest import (
+        expire_snapshots,
+        rollback,
+        snapshot_part_ids,
+        vacuum,
+    )
+
+    out, base, delta = ds
+    dropped = set(snapshot_part_ids(out, 2)) - set(snapshot_part_ids(out, 1))
+    rollback(spark, out, 1)
+    # rolled back but still retained → fragments must survive
+    frags = {int(p.split("/")[-1][:-5])
+             for p in glob.glob(f"{out}/manifest_parts/*.json")}
+    assert dropped <= frags
+    expire_snapshots(out, keep_last=1)
+    vacuum(spark, out)
+    frags = {int(p.split("/")[-1][:-5])
+             for p in glob.glob(f"{out}/manifest_parts/*.json")}
+    assert not (dropped & frags)  # expired with their snapshot
+    assert frags == set(snapshot_part_ids(out, 3))  # current head intact
+
+
+def test_append_after_rollback_forward_preserves_partitions(spark, ds):
+    """Rollback BACK then FORWARD, then append: the append's fragment
+    merge must reproduce the forward-restored snapshot's partitions.
+    Found by the lifecycle fuzzer: the old rollback sweep deleted the
+    fragments of every partition outside the restored set, so a later
+    rollback onto a retained snapshot left its unique partitions with
+    no chunk-level metadata and the next append silently dropped them.
+    Fragments now live as long as ANY retained snapshot references
+    them; appends filter to head-reachable pids at merge time."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import rollback
+
+    out, base, delta = ds  # v1 = base, v2 = base+delta
+    rollback(spark, out, 1)   # v3: back to base
+    rollback(spark, out, 2)   # v4: FORWARD onto base+delta
+    assert _same_rows(decode_table(spark, out), base.unionByName(delta))
+    delta2 = delta.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    res = append_table(delta2, out, rows_per_bucket=500)
+    assert res.rows == base.count() + delta.count() + delta2.count()
+    assert _same_rows(
+        decode_table(spark, out),
+        base.unionByName(delta).unionByName(delta2),
+    )
+
+
 def test_append_heals_crashed_rollback_fragment_sweep(spark, ds):
     """Rollback commits first, sweeps fragments second; a crash between
     the two leaves fragments for rolled-back pids that OLDER retained
