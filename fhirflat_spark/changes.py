@@ -114,19 +114,44 @@ def table_changes(spark: SparkSession, out_dir: str,
         keys = spark.read.parquet(
             *[f"{out_dir}/deletes/{f}" for f in files]
         ).distinct()
-        # snapshot=a visibility: rows already deleted before the window
-        # must not be re-reported as deleted by it
-        view = decode_table(spark, out_dir, part_ids=scoped,
-                            snapshot=from_snapshot)
         dal, kal = f"__ca{i}", f"__ck{i}"
-        hit = (
-            view.alias(dal)
-            .join(
-                keys.alias(kal),
-                on=F.col(f"{dal}.`{col}`") == F.col(f"{kal}.`{col}`"),
-                how="left_semi",
+        if col is None:
+            # positional delete (column=None): the keys file carries the
+            # physical row address — semi-join on it, not a value column.
+            # snapshot=a visibility still applies: a position already
+            # dead at `a` never decodes, so it can't be re-reported.
+            view = decode_table(spark, out_dir, part_ids=scoped,
+                                snapshot=from_snapshot,
+                                with_positions=True)
+            hit = (
+                view.alias(dal)
+                .join(
+                    keys.alias(kal),
+                    on=(
+                        (F.col(f"{dal}.__part_id")
+                         == F.col(f"{kal}.part_id"))
+                        & (F.col(f"{dal}.__chunk_seq")
+                           == F.col(f"{kal}.chunk_seq"))
+                        & (F.col(f"{dal}.__row_idx")
+                           == F.col(f"{kal}.row_idx"))
+                    ),
+                    how="left_semi",
+                )
+                .drop("__part_id", "__chunk_seq", "__row_idx")
             )
-        )
+        else:
+            # snapshot=a visibility: rows already deleted before the
+            # window must not be re-reported as deleted by it
+            view = decode_table(spark, out_dir, part_ids=scoped,
+                                snapshot=from_snapshot)
+            hit = (
+                view.alias(dal)
+                .join(
+                    keys.alias(kal),
+                    on=F.col(f"{dal}.`{col}`") == F.col(f"{kal}.`{col}`"),
+                    how="left_semi",
+                )
+            )
         deletes = hit if deletes is None else deletes.unionByName(hit)
     if deletes is not None:
         # two delete files can name the same row (idempotent re-deletes):

@@ -1,11 +1,15 @@
 """Table-lifecycle fuzzer: a deterministic random interleaving of
-append / upsert / delete / rollback / maintain against a Python model
-of the expected row set. After EVERY operation the decoded table must
-equal the model; metadata-only counts must agree when servable; chunk
-checksums re-verify; and at the end every retained snapshot of the
-current lineage must time-travel back to the model state recorded when
-it was committed. Catches cross-feature interactions the per-feature
-suites can't (e.g. delete-scope vs rollback vs compaction ordering)."""
+append / named-sink append / upsert / equality delete / position delete
+/ rollback / maintain / WAP / tag against a Python model of the
+expected row set. After EVERY operation the decoded table must equal
+the model; metadata-only counts must agree when servable; every
+recorded commit's CDF (``table_changes``) must replay the previous
+model state into the new one; chunk checksums re-verify; and at the end
+every retained snapshot AND surviving tag of the current lineage must
+time-travel back to the model state recorded when it was committed.
+Catches cross-feature interactions the per-feature suites can't (e.g.
+delete-scope vs rollback vs compaction ordering — this file caught the
+fragment-lifetime bug the per-feature suites missed)."""
 
 from __future__ import annotations
 
@@ -14,13 +18,17 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
+from fhirflat_spark.changes import table_changes
 from fhirflat_spark.decode import decode_table, verify_table
 from fhirflat_spark.encode import append_table, encode_table, upsert_rows
 from fhirflat_spark.maintenance import maintain_table
 from fhirflat_spark.manifest import (
     aggregate_from_metadata,
+    create_tag,
     current_snapshot,
     delete_rows,
+    delete_rows_at,
+    list_refs,
     list_snapshots,
     rollback,
 )
@@ -58,6 +66,9 @@ _SEEDS = [
 
 @pytest.mark.parametrize("seed", _SEEDS)
 def test_lifecycle_fuzz(spark, tmp_path, seed):
+    from fhirflat_spark.sources.datasource import register
+
+    register(spark)
     rng = random.Random(seed)
     out = str(tmp_path / f"fz{seed}")
 
@@ -67,14 +78,38 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
     encode_table(_df(spark, base), out, rows_per_bucket=50)
     # history of (version, model snapshot) for the CURRENT lineage
     history = [(current_snapshot(out), dict(model))]
+    tags: dict[str, dict] = {}
 
     def record():
+        prev_v, prev_m = history[-1]
         history.append((current_snapshot(out), dict(model)))
+        cur_v, cur_m = history[-1]
+        if cur_v <= prev_v:
+            return
+        # CDF replay: the net changes between the two commits, applied
+        # to the previous model state, must land exactly on the new one
+        # (exercises both the append-only fast path and the rewritten-
+        # history exceptAll path — rollback records trigger the latter)
+        rows = {tuple(r) for r in prev_m.values()}
+        ch = (
+            table_changes(spark, out, prev_v, cur_v)
+            .select(*COLS, "_change_type").collect()
+        )
+        for r in ch:
+            if r["_change_type"] == "delete":
+                rows.discard((r["doc_id"], r["lang"], r["n"]))
+        for r in ch:
+            if r["_change_type"] == "insert":
+                rows.add((r["doc_id"], r["lang"], r["n"]))
+        assert sorted(rows) == _model_rows(cur_m), (
+            f"CDF replay {prev_v}->{cur_v} diverged from the model"
+        )
 
-    ops = ["append", "upsert", "delete", "rollback", "maintain", "wap"]
-    weights = [4, 3, 3, 1, 1, 2]
+    ops = ["append", "sink", "upsert", "delete", "posdelete",
+           "rollback", "maintain", "wap", "tag"]
+    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1]
     trace = []
-    for step in range(14):
+    for step in range(16):
         op = rng.choices(ops, weights)[0]
         trace.append(op)
         if op == "append":
@@ -84,6 +119,38 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             append_table(_df(spark, rows), out, rows_per_bucket=50)
             model.update({r[0]: r for r in rows})
             record()
+        elif op == "sink":
+            # the named Spark sink commits through the same snapshot
+            # layer as append_table — interleaving the two is the seam
+            ids = range(next_id, next_id + rng.randrange(15, 45))
+            next_id = ids.stop
+            rows = _mk_rows(rng, ids)
+            (_df(spark, rows).repartition(rng.randrange(1, 4))
+             .write.format("fhirflat").mode("append").save(out))
+            model.update({r[0]: r for r in rows})
+            record()
+        elif op == "posdelete":
+            live = sorted(model)
+            doomed = rng.sample(live, min(len(live), rng.randrange(3, 12)))
+            if not doomed:
+                continue  # empty table: nothing addressable
+            pos = (
+                decode_table(spark, out, with_positions=True)
+                .where(F.col("doc_id").isin([int(d) for d in doomed]))
+                .select(
+                    F.col("__part_id").alias("part_id"),
+                    F.col("__chunk_seq").alias("chunk_seq"),
+                    F.col("__row_idx").alias("row_idx"),
+                )
+            )
+            delete_rows_at(spark, out, pos)
+            for k in doomed:
+                model.pop(k, None)
+            record()
+        elif op == "tag":
+            name = f"t{step}"
+            create_tag(out, name)
+            tags[name] = dict(model)
         elif op == "upsert":
             live = sorted(model)
             touch = rng.sample(live, min(len(live), rng.randrange(10, 40)))
@@ -139,6 +206,9 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             # compaction swap / expiry may reset or trim history — the
             # recorded lineage is no longer addressable; re-pin
             history = [(current_snapshot(out), dict(model))]
+            # a compaction swap resets refs too (history traded for
+            # layout); tags that survived expiry must still resolve
+            tags = {n: m for n, m in tags.items() if n in list_refs(out)}
         assert _decode_rows(spark, out) == _model_rows(model), (
             f"seed={seed} step={step} trace={trace}"
         )
@@ -166,4 +236,15 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
         )
         assert got == sorted(snap.values()), (
             f"seed={seed} snapshot={v} trace={trace}"
+        )
+    # surviving tags must still decode the state they were minted on,
+    # through any interleaving of deletes / rollbacks / expiry
+    for name, snap in tags.items():
+        got = sorted(
+            tuple(r)
+            for r in decode_table(spark, out, snapshot=name)
+            .select(*COLS).collect()
+        )
+        assert got == sorted(snap.values()), (
+            f"seed={seed} tag={name} trace={trace}"
         )

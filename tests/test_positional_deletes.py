@@ -180,3 +180,49 @@ def test_collapse_rejects_non_unique_id(spark, docs, tmp_path):
 
     with pytest.raises(ValueError, match="UNIQUE id column"):
         collapse_near_duplicates(spark, out)
+
+
+def test_table_changes_reports_position_deletes(spark, ds, docs):
+    """CDF fast path over a positional-delete commit: the entry has no
+    key column (column=None) — the diff must semi-join on the physical
+    address, not a value column (caught by the lifecycle fuzzer)."""
+    from fhirflat_spark.changes import table_changes
+    from fhirflat_spark.manifest import current_snapshot
+
+    v0 = current_snapshot(ds)
+    doomed = [3, 57, 111]
+    pos = (
+        decode_table(spark, ds, with_positions=True)
+        .where(F.col("doc_id").isin(doomed))
+        .select(
+            F.col("__part_id").alias("part_id"),
+            F.col("__chunk_seq").alias("chunk_seq"),
+            F.col("__row_idx").alias("row_idx"),
+        )
+    )
+    delete_rows_at(spark, ds, pos)
+    v1 = current_snapshot(ds)
+    ch = table_changes(spark, ds, v0, v1)
+    rows = ch.select("doc_id", "_change_type").collect()
+    assert sorted(r["doc_id"] for r in rows) == doomed
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    # net CDF across a mixed window: an append AND a positional delete
+    append_table(
+        docs.where(F.col("doc_id").between(200, 219)), ds,
+        rows_per_bucket=50,
+    )
+    pos2 = (
+        decode_table(spark, ds, with_positions=True)
+        .where(F.col("doc_id") == 120)
+        .select(
+            F.col("__part_id").alias("part_id"),
+            F.col("__chunk_seq").alias("chunk_seq"),
+            F.col("__row_idx").alias("row_idx"),
+        )
+    )
+    delete_rows_at(spark, ds, pos2)
+    ch2 = table_changes(spark, ds, v1, current_snapshot(ds))
+    got = {(r["doc_id"], r["_change_type"])
+           for r in ch2.select("doc_id", "_change_type").collect()}
+    assert got == ({(i, "insert") for i in range(200, 220)}
+                   | {(120, "delete")})
