@@ -61,6 +61,14 @@ def _is_specialized(t: pa.DataType) -> bool:
     return any(p(t) for p in _SPECIALIZED)
 
 
+def _is_list_type(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    )
+
+
 def encode_array(
     arr: pa.Array | pa.ChunkedArray,
     codec: str = "auto",
@@ -81,6 +89,37 @@ def encode_array(
             "nullable", n, logical_token, {"valid": int(valid.sum())},
             [bitmap.tobytes(), inner],
         )
+
+    if _is_list_type(arr.type):
+        # Specialized list codec: split into a lengths stream and a
+        # flattened values stream, each recursively encoded — so an
+        # embedding column (array<float>) gets the float codecs (bss /
+        # alp) on its values and a constant/RLE lengths stream, instead
+        # of the opaque IPC fallback. Nested lists and element nulls
+        # compose for free through the recursion (the nullable wrapper
+        # and this branch re-apply at each level).
+        import pyarrow.compute as pc
+
+        child = arr.type.value_field
+        vals = arr.flatten()
+        meta = {"field": child.name, "item_nullable": child.nullable}
+        if pa.types.is_fixed_size_list(arr.type):
+            meta["kind"] = "fixed"
+            meta["dim"] = arr.type.list_size
+            sections_in = []
+        else:
+            meta["kind"] = (
+                "large_list" if pa.types.is_large_list(arr.type) else "list"
+            )
+            lengths = pc.list_value_length(arr).cast(pa.int32())
+            sections_in = [
+                encode_array(lengths, codec="auto", depth=depth + 1)
+            ]
+        val_codec = codec if len(vals) else "arrowz"
+        sections_in.append(
+            encode_array(vals, codec=val_codec, opts=opts, depth=depth + 1)
+        )
+        return pack_chunk("list", n, logical_token, meta, sections_in)
 
     phys = to_physical(arr)
     if not _is_specialized(phys.type):
@@ -111,6 +150,24 @@ def decode_array(blob: bytes | memoryview) -> pa.Array:
         take_idx[np.flatnonzero(valid)] = np.arange(meta["valid"], dtype=np.int64)
         idx = pa.array(take_idx, mask=~valid)
         return values.take(idx)
+    if codec == "list":
+        values = decode_array(sections[-1])
+        field = pa.field(
+            meta["field"], values.type, nullable=meta["item_nullable"]
+        )
+        if meta["kind"] == "fixed":
+            built = pa.FixedSizeListArray.from_arrays(values, meta["dim"])
+            return built.cast(pa.list_(field, meta["dim"]))
+        lengths = decode_array(sections[0]).to_numpy(zero_copy_only=False)
+        if meta["kind"] == "large_list":
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            built = pa.LargeListArray.from_arrays(pa.array(offsets), values)
+            return built.cast(pa.large_list(field))
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        built = pa.ListArray.from_arrays(pa.array(offsets), values)
+        return built.cast(pa.list_(field))
     _, dec = CODECS[codec]
     if codec == "arrowz":
         # IPC preserves the logical type exactly (incl. nested types whose
