@@ -194,6 +194,86 @@ def token_index_stage(spark, src: str) -> dict:
     return st
 
 
+def vector_index_stage(spark) -> dict:
+    """ANN top-k through the persistent IVF index vs a brute-force cosine
+    scan, on a cell-clustered synthetic embedding corpus (planted
+    clusters — the regime a real embedding table lives in). The probe
+    decodes only the posted partitions of the nearest cell, so the gap
+    grows with corpus size; at 10^9 vectors the scan side is a full pass."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import current_snapshot, snapshot_part_ids
+    from fhirflat_spark.operators.similarity import _cosine, assign_cells
+    from fhirflat_spark.vector_index import (
+        build_vector_index,
+        load_centroids,
+        lookup_parts,
+        probe_cells,
+        search_vectors,
+    )
+
+    out, idx = f"{SHM}/vecidx_ds", f"{SHM}/vecidx_idx"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    n, dim, kc = max(2_000, BENCH_ROWS // 20), 64, 16
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(kc, dim)) * 3.0
+    X = centers[np.arange(n) % kc] + rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    # production layout: cluster the table by coarse cell, then index it
+    tmp_idx = f"{SHM}/vecidx_boot"
+    shutil.rmtree(tmp_idx, ignore_errors=True)
+    encode_table(df.repartition(CPUS), out, rows_per_bucket=max(500, n // 16),
+                 shuffle=False)
+    build_vector_index(spark, out, tmp_idx, k=kc, iters=2)
+    clustered = (
+        assign_cells(df, load_centroids(tmp_idx))
+        .repartitionByRange(16, "cell", "vec_id")
+        .sortWithinPartitions("cell", "vec_id")
+        .drop("cell")
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(clustered, out, rows_per_bucket=max(500, n // 16),
+                 shuffle=False)
+    t0 = time.time()
+    build_vector_index(spark, out, idx, k=kc, iters=2)
+    build_s = time.time() - t0
+    q = [float(v) for v in X[0]]
+    t0 = time.time()
+    top = search_vectors(spark, out, idx, q, top_k=10, nprobe=1).collect()
+    idx_s = time.time() - t0
+    assert top and top[0]["vec_id"] == 0  # self is always reachable
+    qlit = F.array(*[F.lit(v) for v in q])
+    t0 = time.time()
+    brute = (
+        decode_table(spark, out, columns=["vec_id", "embedding"])
+        .select("vec_id",
+                F.round(_cosine(F.col("embedding"), qlit), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10).collect()
+    )
+    scan_s = time.time() - t0
+    recall = len({r["vec_id"] for r in top}
+                 & {r["vec_id"] for r in brute}) / 10.0
+    st = {
+        "n_vectors": n,
+        "build_sec": round(build_s, 2),
+        "search_sec": round(idx_s, 3),
+        "scan_sec": round(scan_s, 3),
+        "speedup": round(scan_s / max(idx_s, 1e-6), 1),
+        "recall_at10_nprobe1": recall,
+        "parts_read": len(lookup_parts(idx, probe_cells(idx, q, 1))),
+        "parts_total": len(snapshot_part_ids(out, current_snapshot(out))),
+    }
+    print(f"  vector_index: {st}", flush=True)
+    return st
+
+
 def ensure_source(spark) -> str:
     """Materialize the synthetic code table once (generation excluded from
     encode timing)."""
@@ -455,6 +535,7 @@ def main() -> None:
     meta_agg = metadata_agg_stage(spark)
     src = ensure_source(spark)
     tok_idx = token_index_stage(spark, src)
+    vec_idx = vector_index_stage(spark)
     key_counts = [
         (r[0], r["count"])
         for r in spark.read.parquet(src).groupBy("repo").count().collect()
@@ -533,6 +614,7 @@ def main() -> None:
         },
         "metadata_agg": meta_agg,
         "token_index": tok_idx,
+        "vector_index": vec_idx,
         "bench_total_sec": total,
     }
     env_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
@@ -599,6 +681,15 @@ def _compact(result: dict) -> dict:
         },
         "metadata_agg": result.get("metadata_agg"),
         "token_index": result.get("token_index"),
+        "vector_index": (
+            {
+                k: result["vector_index"].get(k)
+                for k in ("search_sec", "scan_sec", "speedup",
+                          "recall_at10_nprobe1", "parts_read", "parts_total")
+            }
+            if result.get("vector_index")
+            else None
+        ),
         "bench_total_sec": result["bench_total_sec"],
         "details": ("BENCH/DETAILS.json" if BENCH_ROWS >= 1_000_000
                     else "BENCH/VERIFY_DETAILS.json"),
@@ -843,6 +934,23 @@ def _write_report(result: dict) -> None:
             "The posting lookup is a metadata-sized pyarrow read — at "
             "100 TB the scan side is a full corpus pass while the index "
             "side stays proportional to the hit set.",
+        ]
+    vi = result.get("vector_index")
+    if vi:
+        lines += [
+            "",
+            "## IVF vector search vs brute-force cosine scan",
+            "",
+            f"ANN top-10 at nprobe=1 over {vi['n_vectors']} cell-clustered "
+            f"vectors: {vi['search_sec']}s ({vi['parts_read']} of "
+            f"{vi['parts_total']} partitions decoded, recall@10 "
+            f"{vi['recall_at10_nprobe1']}) vs {vi['scan_sec']}s for the "
+            f"brute-force scan ({vi['speedup']}x; index build once: "
+            f"{vi['build_sec']}s). The centroid probe is driver-side "
+            "(K rows) and the posting lookup is a metadata-sized pyarrow "
+            "read; recall reaches 1.0 at nprobe=K, where the result "
+            "equals brute force exactly (driver oracle "
+            "`vector_index_topk`).",
         ]
     with open(os.path.join(bench_dir, md_name), "w") as f:
         f.write("\n".join(lines) + "\n")

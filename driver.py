@@ -158,6 +158,30 @@ def main() -> None:
                      help="comma-separated output columns (default: all)")
     sch.add_argument("--show", type=int, default=10)
 
+    vix = sub.add_parser(
+        "vindex", help="build/refresh an IVF vector index (ANN search "
+        "without a scan)"
+    )
+    vix.add_argument("--out", required=True, help="chunk-store table dir")
+    vix.add_argument("--dest", required=True, help="index state dir")
+    vix.add_argument("--column", default="embedding",
+                     help="(build) vector column")
+    vix.add_argument("--id-column", default="vec_id", help="(build) id column")
+    vix.add_argument("--k", type=int, default=16,
+                     help="(build) number of coarse cells")
+
+    vse = sub.add_parser(
+        "vsearch", help="ANN top-k via the IVF index (centroid probe → "
+        "posting-pruned decode → exact cosine rescore)"
+    )
+    vse.add_argument("--out", required=True, help="chunk-store table dir")
+    vse.add_argument("--dest", required=True, help="index state dir")
+    vse.add_argument("--query-id", type=int, required=True,
+                     help="vec_id of the query vector (looked up in the table)")
+    vse.add_argument("--top-k", type=int, default=10)
+    vse.add_argument("--nprobe", type=int, default=4)
+    vse.add_argument("--show", type=int, default=10)
+
     args = p.parse_args()
 
     from fhirflat_spark.session import get_spark
@@ -369,6 +393,62 @@ def main() -> None:
             "rows": hits.count(),
         }))
         hits.show(args.show, truncate=40)
+    elif args.cmd == "vindex":
+        from fhirflat_spark import fsio
+        from fhirflat_spark.vector_index import (
+            build_vector_index,
+            read_vector_index,
+            refresh_vector_index,
+        )
+
+        if fsio.exists(f"{args.dest}/vector_index.json"):
+            meta = refresh_vector_index(spark, args.out, args.dest)
+            action = "refresh"
+        else:
+            meta = build_vector_index(spark, args.out, args.dest,
+                                      vector_col=args.column,
+                                      id_col=args.id_column, k=args.k)
+            action = "build"
+        idx = read_vector_index(spark, args.dest)
+        print(json.dumps({
+            "action": action, "snapshot": meta["snapshot"],
+            "vector_col": meta["vector_col"], "k": meta["k"],
+            "dim": meta["dim"], "postings": idx.count(),
+        }))
+    elif args.cmd == "vsearch":
+        from pyspark.sql import functions as F
+
+        from fhirflat_spark import fsio
+        from fhirflat_spark.decode import decode_table
+        from fhirflat_spark.manifest import read_summary
+        from fhirflat_spark.vector_index import (
+            lookup_parts,
+            probe_cells,
+            search_vectors,
+        )
+
+        meta = json.loads(
+            fsio.read_bytes(f"{args.dest}/vector_index.json")
+        )
+        qrow = (
+            decode_table(spark, args.out,
+                         columns=[meta["id_col"], meta["vector_col"]])
+            .where(F.col(meta["id_col"]) == args.query_id)
+            .collect()
+        )
+        if not qrow:
+            raise SystemExit(f"query id {args.query_id} not in table")
+        qvec = qrow[0][meta["vector_col"]]
+        parts = lookup_parts(args.dest, probe_cells(args.dest, qvec,
+                                                    args.nprobe))
+        res = search_vectors(spark, args.out, args.dest, qvec,
+                             top_k=args.top_k, nprobe=args.nprobe)
+        print(json.dumps({
+            "query_id": args.query_id, "nprobe": args.nprobe,
+            "parts_probed": len(parts),
+            "parts_total": read_summary(spark, args.out)["num_partitions"],
+        }))
+        res.show(args.show, truncate=40)
     elif args.cmd == "transcode":
         from fhirflat_spark.decode import transcode_table
 

@@ -891,6 +891,55 @@ ORDER BY doc_id
 """
 
 
+def _encoded_embeddings_versioned(spark, sf_dir: str) -> str:
+    """Two-snapshot embeddings dataset (even vec_ids, then odds appended)
+    — the vector-index build/refresh fixture."""
+    from fhirflat_spark.encode import append_table, encode_table
+
+    def build(path):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        encode_table(emb.where(F.col("vec_id") % 2 == 0), path,
+                     rows_per_bucket=100)
+        append_table(emb.where(F.col("vec_id") % 2 == 1), path,
+                     rows_per_bucket=100)
+
+    return _cached_dataset(spark, sf_dir, "embver", build)
+
+
+def q_vector_index_topk(spark, sf_dir):
+    """Persistent IVF vector index (vector_index.py) proven exact at
+    full probe: encode the embeddings table as two snapshots, train +
+    build the index at snapshot 1, refresh it to snapshot 2 (frozen
+    centroids, new partitions only — a pure posting union), then search
+    with nprobe=K. Probing every cell decodes every posted partition, so
+    the result must EQUAL the brute-force cosine top-k the oracle
+    computes over the raw table — a lost posting, a wrong refresh merge,
+    or a scoring drift all mismatch. (Pruning economics are pinned by
+    tests/test_vector_index.py on a cell-clustered layout; the oracle
+    pins exactness.)"""
+    import tempfile
+
+    from fhirflat_spark.operators.similarity import QUERY_VEC_ID, TOP_K
+    from fhirflat_spark.vector_index import (
+        build_vector_index,
+        refresh_vector_index,
+        search_vectors,
+    )
+
+    out = _encoded_embeddings_versioned(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="fhirflat_spark_vecidx_") + "/idx"
+    k = 8
+    build_vector_index(spark, out, idx, k=k, snapshot=1)
+    refresh_vector_index(spark, out, idx)
+    q = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") == QUERY_VEC_ID)
+        .collect()[0]["embedding"]
+    )
+    return search_vectors(spark, out, idx, q, top_k=TOP_K, nprobe=k,
+                          exclude_id=QUERY_VEC_ID)
+
+
 def q_metadata_only_aggregate(spark, sf_dir):
     """count(*)/count(col)/min/max/sum answered from the snapshot
     manifest ALONE — no chunk payload is opened (the Iceberg
@@ -1131,6 +1180,10 @@ FROM documents
 """
 
 
+from fhirflat_spark.operators.similarity import (  # noqa: E402
+    SQL_COSINE_TOPK as _SQL_COSINE_TOPK,
+)
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
     "metadata_only_aggregate": (
@@ -1142,6 +1195,9 @@ QUERIES = {
     "physical_dedup_positional": (q_physical_dedup, SQL_PHYSICAL_DEDUP),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "token_index_search": (q_token_index_search, SQL_TOKEN_INDEX_SEARCH),
+    # exactness-at-full-probe oracle: the IVF-index search must return
+    # the identical answer to the brute-force cosine top-k SQL
+    "vector_index_topk": (q_vector_index_topk, _SQL_COSINE_TOPK),
     "decode_key_range": (q_decode_key_range, SQL_DECODE_KEY_RANGE),
     "manifest_lineage": (q_manifest_lineage, SQL_MANIFEST_LINEAGE),
     "time_travel_snapshot": (q_time_travel, SQL_TIME_TRAVEL),
