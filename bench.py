@@ -221,10 +221,39 @@ def vector_index_stage(spark) -> dict:
     n, dim, kc = max(2_000, BENCH_ROWS // 20), 64, 16
     rng = np.random.default_rng(7)
     centers = rng.normal(size=(kc, dim)) * 3.0
-    X = centers[np.arange(n) % kc] + rng.normal(size=(n, dim))
-    df = spark.createDataFrame(
-        [(int(i), [float(v) for v in row]) for i, row in enumerate(X)],
-        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    bc = spark.sparkContext.broadcast(centers)
+
+    def _gen(batches):
+        # planted-cluster vectors as a pure function of the id: center
+        # (id mod K) + splitmix64-hash noise — distributed and
+        # deterministic under any partitioning (no driver-side matrix)
+        import pyarrow as pa
+
+        from fhirflat_spark.bloom import _splitmix64_np
+
+        C = bc.value
+        kcl, d = C.shape
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            flat_ids = (
+                ids[:, None].astype(np.uint64) * np.uint64(d)
+                + np.arange(d, dtype=np.uint64)[None, :]
+            ).ravel()
+            noise = (
+                _splitmix64_np(flat_ids).astype(np.float64)
+                / float(2**63) - 1.0
+            ).reshape(len(ids), d)
+            V = C[ids % kcl] + noise
+            emb = pa.FixedSizeListArray.from_arrays(
+                pa.array(V.ravel(), type=pa.float64()), d
+            ).cast(pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids.astype("int64")), emb],
+                ["vec_id", "embedding"],
+            )
+
+    df = spark.range(n).mapInArrow(
+        _gen, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
     )
     # production layout: cluster the table by coarse cell, then index it
     tmp_idx = f"{SHM}/vecidx_boot"
@@ -244,7 +273,13 @@ def vector_index_stage(spark) -> dict:
     t0 = time.time()
     build_vector_index(spark, out, idx, k=kc, iters=2)
     build_s = time.time() - t0
-    q = [float(v) for v in X[0]]
+    from fhirflat_spark.bloom import _splitmix64_np as _smx
+
+    noise0 = (
+        _smx(np.arange(dim, dtype=np.uint64)).astype(np.float64)
+        / float(2**63) - 1.0
+    )
+    q = [float(v) for v in centers[0] + noise0]  # == row vec_id=0
     t0 = time.time()
     top = search_vectors(spark, out, idx, q, top_k=10, nprobe=1).collect()
     idx_s = time.time() - t0
