@@ -11,6 +11,7 @@ from __future__ import annotations
 from fhirflat_spark.operators import (
     decontam,
     dedup,
+    media,
     multimodal,
     packing,
     relational,
@@ -22,7 +23,7 @@ from fhirflat_spark.operators import (
 )
 
 _ALL: dict[str, tuple] = {}
-for mod in (relational, textops, dedup, similarity, multimodal, storage,
+for mod in (relational, textops, dedup, similarity, multimodal, media, storage,
             temporal, sampling, packing, decontam):
     _ALL.update(mod.QUERIES)
 
@@ -34,7 +35,9 @@ for mod in (relational, textops, dedup, similarity, multimodal, storage,
 # engine: snapshots, deletes, upsert, WAP, CDF, datasource, metadata-only
 # aggregates; plus temporal/sampling/packing/decontam/multimodal), then 18
 # load-bearing repeats — the union of the two rounds' CORRECTNESS files
-# covers all 79 oracles. The full 83 are mirrored locally every run by
+# covers all 79 oracles that existed then (r5 adds image_decode_real +
+# audio_decode_real below the fold: 85 queries / 81 oracles total). The
+# full registry is mirrored locally every run by
 # tests/test_oracles.py regardless of position.
 _FIRST_50 = [
     # storage engine (21) — never driver-checked before round 5

@@ -2,11 +2,17 @@
 processed by Arrow-batched pandas kernels via ``mapInPandas``.
 
 The image/audio libraries aren't in this container, so the *decode* step
-is a deterministic stand-in (sha256-derived pseudo-dimensions), clearly
+here is a deterministic stand-in (sha256-derived pseudo-dimensions), clearly
 marked where a real decoder (PIL/libsndfile/ffmpeg) would plug in. The
 Spark-side plumbing — binary schema, batch iteration, UDF signature,
 partition behavior — is real and oracle-checked (the stand-in features
 are reproducible in SQL from the same sha256).
+
+For PNG and PCM16-WAV payloads the decode is REAL with no external deps:
+``operators/media.py`` ships pure zlib+numpy / stdlib-``wave`` codecs and
+the ``image_decode_real`` / ``audio_decode_real`` oracle queries. This
+module remains the generic plumbing + the env-gated PIL path for formats
+that do need external decoders (JPEG, MP4, ...).
 """
 
 from __future__ import annotations
