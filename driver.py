@@ -50,6 +50,9 @@ def main() -> None:
                      help="comma-separated string columns to Bloom-index per chunk")
     enc.add_argument("--ndv-columns", dest="ndv_columns",
                      help="comma-separated string/int columns to HLL-sketch per chunk")
+    enc.add_argument("--quantile-columns", dest="quantile_columns",
+                     help="comma-separated numeric columns to DDSketch-sketch "
+                          "per chunk (metadata-only approx percentiles)")
 
     app = sub.add_parser("append", help="incrementally append rows to an existing dataset")
     app.add_argument("--rows", type=int, default=100_000, help="synthetic rows (ignored with --src)")
@@ -117,6 +120,9 @@ def main() -> None:
     sta.add_argument("--columns", required=True,
                      help="comma-separated columns for count/min/max/sum")
     sta.add_argument("--ndv", help="comma-separated sketched columns for approx COUNT(DISTINCT)")
+    sta.add_argument("--quantile",
+                     help="col:q[,col:q...] approx percentiles from DDSketch "
+                          "metadata (e.g. n_chars:0.5,n_chars:0.99)")
     sta.add_argument("--snapshot", help="version, tag, or branch (default: current)")
 
     chg = sub.add_parser("changes", help="net row-level changelog between two snapshots")
@@ -204,7 +210,8 @@ def main() -> None:
                            resume=args.resume, profile=args.profile,
                            shuffle=shuffle, weight_col=args.weight_col,
                            bloom_columns=split(args.bloom_columns),
-                           ndv_columns=split(args.ndv_columns))
+                           ndv_columns=split(args.ndv_columns),
+                           quantile_columns=split(args.quantile_columns))
         print(json.dumps({
             "rows": res.rows, "raw_bytes": res.raw_bytes,
             "encoded_bytes": res.encoded_bytes, "ratio": round(res.ratio, 4),
@@ -311,6 +318,18 @@ def main() -> None:
                                              snapshot=snap)
                 for c in args.ndv.split(",") if c.strip()
             }
+        if args.quantile:
+            from fhirflat_spark.quantiles import quantile_from_metadata
+
+            out["quantile"] = {}
+            for spec in args.quantile.split(","):
+                spec = spec.strip()
+                if not spec:
+                    continue
+                col, _, qtxt = spec.partition(":")
+                out["quantile"][spec] = quantile_from_metadata(
+                    args.out, col, float(qtxt), snapshot=snap
+                )
         print(json.dumps(out))
     elif args.cmd == "changes":
         from pyspark.sql import functions as F

@@ -763,6 +763,10 @@ def transcode_table(spark: SparkSession, src_dir: str, dst_dir: str,
                     name: s["hll"] for name, s in stats.items()
                     if "hll" in s
                 }
+                row["ddqs"] = {
+                    name: s["ddq"] for name, s in stats.items()
+                    if "ddq" in s
+                }
                 frag.append(row)
                 yield pa.RecordBatch.from_pydict(
                     {
@@ -942,8 +946,12 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
         df, dst_dir, columns=summary["columns"],
         rows_per_bucket=rows_per_bucket, profile=profile, shuffle=shuffle,
         # a maintenance rewrite must not silently drop the dataset's
-        # point-lookup capability
+        # point-lookup or sketch capabilities (the rewrite recomputes
+        # sketches from the SURVIVING rows, which is also what makes
+        # delete materialization honest for them)
         bloom_columns=summary.get("bloom_columns"),
+        ndv_columns=summary.get("ndv_columns"),
+        quantile_columns=summary.get("quantile_columns"),
     )
     if res.rows != expected:
         raise RuntimeError(

@@ -169,7 +169,8 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
                       overrides: dict, base_opts: dict,
                       repo_batch_col: str | None,
                       bloom_cols: frozenset[str] | None = None,
-                      ndv_cols: frozenset[str] | None = None):
+                      ndv_cols: frozenset[str] | None = None,
+                      qsk_cols: frozenset[str] | None = None):
     """Encode ONE Arrow batch into a (fragment-meta, chunk-row batch) pair.
 
     Shared by the legacy row-shuffle kernel and the blob-shuffle unpack
@@ -227,6 +228,13 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
             regs = _ndv.hll_registers(arr)
             if regs is not None:  # all-null chunk contributes no values
                 stats[out_name]["hll"] = regs.hex()
+        if qsk_cols and out_name in qsk_cols:
+            from fhirflat_spark import quantiles as _q
+
+            sk = _q.ddq_sketch(arr)
+            if sk is not None:  # all-null contributes nothing; NaN/inf
+                stats[out_name]["ddq"] = sk  # poisoning also omits (nulls
+                # cross-check refuses service rather than lying)
         raw_total += raw_bytes
         enc_total += len(blob)
     repo_col = (
@@ -269,6 +277,11 @@ def _encode_one_batch(batch: pa.RecordBatch, part_id: int, seq: int,
         meta["hlls"] = {
             name: stats[name]["hll"] for name in stats
             if "hll" in stats[name]
+        }
+    if qsk_cols:
+        meta["ddqs"] = {
+            name: stats[name]["ddq"] for name in stats
+            if "ddq" in stats[name]
         }
     payload_type = pa.struct(
         [(f"__c{i}", pa.binary()) for i in range(len(columns))]
@@ -366,7 +379,8 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
                           codec_opts: dict | None = None,
                           part_offset: int = 0,
                           bloom_columns: frozenset[str] | None = None,
-                          ndv_columns: frozenset[str] | None = None):
+                          ndv_columns: frozenset[str] | None = None,
+                          qsk_columns: frozenset[str] | None = None):
     overrides = codec_overrides or {}
     base_opts = codec_opts or {}
     skip = skip_parts or frozenset()
@@ -387,6 +401,7 @@ def encode_kernel_factory(columns: list[str], codec_overrides: dict | None,
             meta, out = _encode_one_batch(
                 batch, part_id, seq, columns, name_map, overrides,
                 base_opts, repo_batch_col, bloom_columns, ndv_columns,
+                qsk_columns,
             )
             frag.append(meta)
             yield out
@@ -828,7 +843,8 @@ def unpack_encode_kernel_factory(columns: list[str],
                                  from_blobs: bool = True,
                                  part_offset: int = 0,
                                  bloom_columns: frozenset[str] | None = None,
-                                 ndv_columns: frozenset[str] | None = None):
+                                 ndv_columns: frozenset[str] | None = None,
+                                 qsk_columns: frozenset[str] | None = None):
     """Post-shuffle encode kernel: materialize the partition (from
     Arrow-IPC blob rows when ``from_blobs``, else directly from the data
     batches), sort rows IN THE KERNEL (numpy/Arrow sort — replaces a JVM
@@ -879,7 +895,7 @@ def unpack_encode_kernel_factory(columns: list[str],
                 meta, out = _encode_one_batch(
                     b, part_id, seq, columns, name_map, overrides,
                     base_opts, repo_batch_col, bloom_columns,
-                    ndv_columns,
+                    ndv_columns, qsk_columns,
                 )
                 frag.append(meta)
                 yield out
@@ -912,7 +928,8 @@ def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
                                 sort_names: list[str] | None = None,
                                 batch_rows: int = 16384,
                                 bloom_columns: frozenset[str] | None = None,
-                                ndv_columns: frozenset[str] | None = None):
+                                ndv_columns: frozenset[str] | None = None,
+                                qsk_columns: frozenset[str] | None = None):
     """Stage 1 of ``shuffle="encoded"``: encode THIS input split's rows
     per target partition BEFORE the exchange, so the shuffle moves the
     final compressed chunk bytes (~0.25-0.3x of raw on this corpus)
@@ -970,7 +987,7 @@ def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
                     meta, out = _encode_one_batch(
                         b, part_id, local, columns, name_map, overrides,
                         base_opts, repo_batch_col, bloom_columns,
-                        ndv_columns,
+                        ndv_columns, qsk_columns,
                     )
                     extra = pa.RecordBatch.from_pydict(
                         {
@@ -1004,7 +1021,8 @@ def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None,
                                  codec_opts: dict | None = None,
                                  batch_rows: int = 16384,
                                  bloom_columns: frozenset[str] | None = None,
-                                 ndv_columns: frozenset[str] | None = None):
+                                 ndv_columns: frozenset[str] | None = None,
+                                 qsk_columns: frozenset[str] | None = None):
     """Stage 2 of ``shuffle="encoded"``: renumber this partition's
     chunklets into a deterministic chunk_seq order — (src_split,
     local_seq), a pure function of the input layout — and task-commit
@@ -1082,7 +1100,7 @@ def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None,
                     meta, out = _encode_one_batch(
                         b, prev_pid, seq, columns, name_map, overrides,
                         base_opts, repo_batch_col, bloom_columns,
-                        ndv_columns,
+                        ndv_columns, qsk_columns,
                     )
                     frag.append(meta)
                     # one canonical schema for every yielded batch: the
@@ -1208,6 +1226,7 @@ def encode_table(
     max_new_partitions: int | None = None,
     bloom_columns: list[str] | None = None,
     ndv_columns: list[str] | None = None,
+    quantile_columns: list[str] | None = None,
     delete_keys: tuple | None = None,
     weight_col: str | None = None,
     branch: str | None = None,
@@ -1288,7 +1307,8 @@ def encode_table(
     # (e.g. the streaming sink) would write unbloomed chunks AND
     # rewrite the summary without the key, silently killing the
     # point-lookup capability
-    if append and (bloom_columns is None or ndv_columns is None):
+    if append and (bloom_columns is None or ndv_columns is None
+                   or quantile_columns is None):
         from fhirflat_spark.manifest import read_summary as _read_summary
 
         try:
@@ -1304,6 +1324,11 @@ def encode_table(
         if ndv_columns is None:
             ndv_columns = [
                 c for c in _summary.get("ndv_columns", ()) if c in columns
+            ]
+        if quantile_columns is None:
+            quantile_columns = [
+                c for c in _summary.get("quantile_columns", ())
+                if c in columns
             ]
     bloom_set = frozenset(bloom_columns or ())
     for c in bloom_set:
@@ -1323,6 +1348,17 @@ def encode_table(
                            T.ShortType, T.IntegerType, T.LongType)):
             raise ValueError(
                 f"ndv column {c!r} must be a string/binary/integer column "
+                f"(got {df.schema[c].dataType})"
+            )
+    qsk_set = frozenset(quantile_columns or ())
+    for c in qsk_set:
+        if c not in columns:
+            raise ValueError(f"quantile column {c!r} not in encoded columns")
+        if not isinstance(df.schema[c].dataType,
+                          (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.FloatType, T.DoubleType)):
+            raise ValueError(
+                f"quantile column {c!r} must be a numeric column "
                 f"(got {df.schema[c].dataType})"
             )
     t0 = time.time()
@@ -1445,6 +1481,7 @@ def encode_table(
                 codec_opts=codec_opts, part_offset=part_offset,
                 sort_names=sort_names, batch_rows=batch_rows,
                 bloom_columns=bloom_set, ndv_columns=ndv_set,
+                qsk_columns=qsk_set,
             ),
             schema=encoded_shuffle_schema(len(columns)),
         )
@@ -1454,6 +1491,7 @@ def encode_table(
                 codec_overrides=codec_overrides, name_map=name_map,
                 codec_opts=codec_opts, batch_rows=batch_rows,
                 bloom_columns=bloom_set, ndv_columns=ndv_set,
+                qsk_columns=qsk_set,
             ),
             schema=chunk_schema(len(columns)),
         )
@@ -1490,7 +1528,7 @@ def encode_table(
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
             sort_names=sort_names, batch_rows=batch_rows,
             part_offset=part_offset, bloom_columns=bloom_set,
-            ndv_columns=ndv_set,
+            ndv_columns=ndv_set, qsk_columns=qsk_set,
         )
         chunks = packed.repartition(P, F.col("__tok")).mapInArrow(
             kernel, schema=chunk_schema(len(columns))
@@ -1519,7 +1557,7 @@ def encode_table(
             safe_names, codec_overrides, skip_parts=skip,
             manifest_dir=frag_dir, name_map=name_map, codec_opts=codec_opts,
             part_offset=part_offset, bloom_columns=bloom_set,
-            ndv_columns=ndv_set,
+            ndv_columns=ndv_set, qsk_columns=qsk_set,
         )
         chunks = salted.mapInArrow(kernel, schema=chunk_schema(len(columns)))
     if max_new_partitions is not None and P > max_new_partitions:
@@ -1608,6 +1646,7 @@ def encode_table(
         extra=(
             ({"bloom_columns": sorted(bloom_set)} if bloom_set else {})
             | ({"ndv_columns": sorted(ndv_set)} if ndv_set else {})
+            | ({"quantile_columns": sorted(qsk_set)} if qsk_set else {})
         ) or None,
     )
     return result
@@ -1625,6 +1664,7 @@ def append_table(
     weight_col: str | None = None,
     branch: str | None = None,
     ndv_columns: list[str] | None = None,
+    quantile_columns: list[str] | None = None,
 ) -> EncodeResult:
     """Incrementally append ``df`` to an EXISTING encoded dataset — the
     daily-ingest pattern at 100 TB: new rows become NEW partitions
@@ -1737,6 +1777,7 @@ def append_table(
         delete_keys=delete_keys,
         branch=branch,
         ndv_columns=ndv_columns,
+        quantile_columns=quantile_columns,
         # byte-weighted delta placement: the planner runs its own
         # count+sum scan; row-count stats are NOT persisted for weighted
         # appends (equivalent-row weights would pollute merged row totals)

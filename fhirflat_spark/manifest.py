@@ -66,6 +66,10 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         # ndv_columns datasets; NULL = untracked (pre-ndv chunks or no
         # sketched columns). Register-wise max merge is exact.
         ("col_hlls", pa.string()),
+        # per-partition merged DDSketch quantile sketches (JSON
+        # {col: {z,po,pc,no,nc}}) for quantile_columns datasets; NULL =
+        # untracked. Bucket-count addition merge is exact.
+        ("col_ddqs", pa.string()),
     ]
 )
 
@@ -173,6 +177,31 @@ def _merge_chunk_hlls(chunks: list[dict]) -> dict | None:
     return out or None
 
 
+def _merge_chunk_ddqs(chunks: list[dict]) -> dict | None:
+    """Partition-level merged quantile sketches ({col: sketch dict}) via
+    bucket-count addition, or None when any chunk predates sketching. A
+    column absent from a chunk's map had no non-null finite values there
+    — all-null contributes nothing (exact); NaN/inf poisoning is caught
+    by the reader's null-count cross-check (quantiles.py)."""
+    if any("ddqs" not in c for c in chunks):
+        return None
+    from fhirflat_spark import quantiles as _q
+
+    cols: set[str] = set()
+    for c in chunks:
+        cols.update(c["ddqs"])
+    out = {}
+    for k in cols:
+        merged = None
+        for c in chunks:
+            sk = c["ddqs"].get(k)
+            if sk:
+                merged = _q.ddq_merge(merged, sk)
+        if merged is not None:
+            out[k] = merged
+    return out or None
+
+
 def coerce_zone_bound(dt, value):
     """Coerce a zone bound / filter constant into the comparison family
     of a Spark type (zones round-trip through JSON). None = not
@@ -271,6 +300,7 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         zones = _merge_chunk_zones(chunks)
         nulls, sums = _merge_chunk_rollups(chunks)
         hlls = _merge_chunk_hlls(chunks)
+        ddqs = _merge_chunk_ddqs(chunks)
         for c in chunks:
             h.update(c["content_sha"].encode())
             rows += c["n_rows"]
@@ -305,6 +335,10 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
         cols["col_hlls"].append(
             json.dumps(hlls, separators=(",", ":"))
             if hlls is not None else None
+        )
+        cols["col_ddqs"].append(
+            json.dumps(ddqs, separators=(",", ":"))
+            if ddqs is not None else None
         )
         totals["rows"] += rows
         totals["raw_bytes"] += raw
@@ -455,6 +489,7 @@ def build_manifest(chunk_df: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("col_nulls"),
             F.lit(None).cast("string").alias("col_sums"),
             F.lit(None).cast("string").alias("col_hlls"),
+            F.lit(None).cast("string").alias("col_ddqs"),
         )
     )
 

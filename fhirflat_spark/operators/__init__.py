@@ -35,9 +35,10 @@ for mod in (relational, textops, dedup, similarity, multimodal, media, storage,
 # engine: snapshots, deletes, upsert, WAP, CDF, datasource, metadata-only
 # aggregates; plus temporal/sampling/packing/decontam/multimodal), then 18
 # load-bearing repeats — the union of the two rounds' CORRECTNESS files
-# covers all 79 oracles that existed then (r5 adds image_decode_real +
-# audio_decode_real below the fold: 85 queries / 81 oracles total). The
-# full registry is mirrored locally every run by
+# covers all 79 oracles that existed then (r5 adds image_decode_real,
+# audio_decode_real + quantile_sketch_estimate below the fold: 86
+# queries / 82 oracles total). The full registry is mirrored locally
+# every run by
 # tests/test_oracles.py regardless of position.
 _FIRST_50 = [
     # storage engine (21) — never driver-checked before round 5

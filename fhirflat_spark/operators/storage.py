@@ -1023,6 +1023,70 @@ ORDER BY column_name
 """
 
 
+QSK_COLS = ("doc_id", "n_chars")
+QSK_QS = (0.01, 0.25, 0.5, 0.9, 0.99)
+
+
+def _encoded_documents_qsk(spark, sf_dir: str) -> str:
+    """Quantile fixture: documents encoded with per-chunk DDSketch
+    quantile sketches on two integer columns."""
+    from fhirflat_spark.encode import encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs, path, rows_per_bucket=2000,
+                     quantile_columns=list(QSK_COLS))
+
+    return _cached_dataset(spark, sf_dir, "qskq", build)
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Metadata-only approximate percentiles (per-chunk DDSketch, merged
+    bucket-wise up the manifest — the quantile companion to the HLL NDV
+    story): the oracle pins each estimate within ALPHA (2%) + slack of
+    the EXACT ranked element at floor(q*(n-1)) (the sketch's documented
+    convention). Deterministic — the sketch is a pure function of the
+    value multiset, so a passing dataset passes forever; a broken bucket
+    mapping, merge, or walk flips the booleans."""
+    from fhirflat_spark.quantiles import ALPHA, quantile_from_metadata
+
+    out = _encoded_documents_qsk(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    rows = []
+    for col in QSK_COLS:
+        # exact floor-rank elements in ONE pass (metadata-scale array agg
+        # at test sf; the production answer is the sketch itself)
+        exacts = docs.agg(*[
+            F.expr(f"sort_array(collect_list({col}))"
+                   f"[{int(q * (n - 1))}]").alias(f"q{i}")
+            for i, q in enumerate(QSK_QS)
+        ]).first()
+        for i, q in enumerate(QSK_QS):
+            est = quantile_from_metadata(out, col, q)
+            if est is None:
+                raise RuntimeError(
+                    f"quantile unservable for {col!r} on a clean table"
+                )
+            exact = exacts[f"q{i}"]
+            ok = (
+                abs(est - exact) <= (ALPHA + 0.001) * abs(exact)
+                if exact else abs(est) < 1e-9
+            )
+            rows.append((col, float(q), bool(ok)))
+    return spark.createDataFrame(
+        sorted(rows), "column STRING, q DOUBLE, within_alpha BOOLEAN"
+    )
+
+
+SQL_QSK_SKETCH = """
+SELECT c AS column, CAST(q AS DOUBLE) AS q, TRUE AS within_alpha
+FROM (VALUES ('doc_id'), ('n_chars')) AS t(c)
+CROSS JOIN (VALUES (0.01), (0.25), (0.5), (0.9), (0.99)) AS u(q)
+ORDER BY c, q
+"""
+
+
 def _encoded_documents_pos_deduped(spark, sf_dir: str) -> str:
     """Physical-dedup fixture: documents augmented with duplicate copies
     (every 10th doc re-inserted under a shifted id), then deduped by
@@ -1192,6 +1256,7 @@ QUERIES = {
     "wap_branch_isolation": (q_wap_branch, SQL_WAP_BRANCH),
     "runtime_semi_probe": (q_runtime_semi_probe, SQL_RUNTIME_SEMI_PROBE),
     "ndv_sketch_estimate": (q_ndv_sketch, SQL_NDV_SKETCH),
+    "quantile_sketch_estimate": (q_quantile_sketch, SQL_QSK_SKETCH),
     "physical_dedup_positional": (q_physical_dedup, SQL_PHYSICAL_DEDUP),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
     "token_index_search": (q_token_index_search, SQL_TOKEN_INDEX_SEARCH),

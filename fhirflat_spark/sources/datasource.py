@@ -451,7 +451,8 @@ METADATA_DDL = {
         "part_id INT, n_chunks INT, rows BIGINT, raw_bytes BIGINT, "
         "encoded_bytes BIGINT, partition_sha STRING, repo_min STRING, "
         "repo_max STRING, status STRING, col_zones STRING, "
-        "col_nulls STRING, col_sums STRING, col_hlls STRING"
+        "col_nulls STRING, col_sums STRING, col_hlls STRING, "
+        "col_ddqs STRING"
     ),
     "chunks": (
         "part_id INT, chunk_seq INT, n_rows BIGINT, column STRING, "
@@ -504,7 +505,7 @@ class FhirflatMetadataReader(DataSourceReader):
              ("repo_min", pa.string()), ("repo_max", pa.string()),
              ("status", pa.string()), ("col_zones", pa.string()),
              ("col_nulls", pa.string()), ("col_sums", pa.string()),
-             ("col_hlls", pa.string())]
+             ("col_hlls", pa.string()), ("col_ddqs", pa.string())]
         ),
         "chunks": pa.schema(
             [("part_id", pa.int32()), ("chunk_seq", pa.int32()),

@@ -157,6 +157,7 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
     merged_fields = list(schema.fields)
     bloom: list[str] = []
     ndv: list[str] = []
+    qsk: list[str] = []
     history_compatible = False
     if exists and not overwrite:
         mode = "append"
@@ -181,7 +182,23 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
         # appended chunks keep indexing the columns the dataset blooms
         bloom = [c for c in summary.get("bloom_columns", ()) if c in in_cols]
         ndv = [c for c in summary.get("ndv_columns", ()) if c in in_cols]
+        qsk = [c for c in summary.get("quantile_columns", ())
+               if c in in_cols]
     else:
+        opt_qsk = options.get("quantile_columns")
+        if opt_qsk:
+            qsk = [c.strip() for c in opt_qsk.split(",") if c.strip()]
+            for c in qsk:
+                if c not in in_cols:
+                    raise ValueError(
+                        f"quantile column {c!r} not in {in_cols}"
+                    )
+                if not isinstance(schema[c].dataType,
+                                  (T.ByteType, T.ShortType, T.IntegerType,
+                                   T.LongType, T.FloatType, T.DoubleType)):
+                    raise ValueError(
+                        f"quantile column {c!r} must be numeric"
+                    )
         opt_ndv = options.get("ndv_columns")
         if opt_ndv:
             ndv = [c.strip() for c in opt_ndv.split(",") if c.strip()]
@@ -298,6 +315,7 @@ def _write_plan(options, schema, overwrite: bool, streaming: bool) -> dict:
         "schema_json": schema_json,
         "bloom": bloom,
         "ndv": ndv,
+        "qsk": qsk,
         "upsert_key": upsert,
         "branch": branch,
         "codec_opts": {"archive": True} if profile == "archive" else {},
@@ -354,6 +372,7 @@ def _encode_partition(plan: dict, part_id: int, batches, out_path: str,
     name_map = dict(zip(safe, columns))
     bloom = frozenset(plan["bloom"])
     ndv = frozenset(plan.get("ndv") or ())
+    qsk = frozenset(plan.get("qsk") or ())
     file_schema = _chunk_file_schema(len(columns))
     key_col = plan["upsert_key"] if keys_path else None
     key_idx = columns.index(key_col) if key_col else None
@@ -387,7 +406,7 @@ def _encode_partition(plan: dict, part_id: int, batches, out_path: str,
                 plan["codec_opts"], next(
                     (s for s, c in zip(safe, columns) if c == "repo"), None
                 ),
-                bloom, ndv,
+                bloom, ndv, qsk,
             )
             metas.append(meta)
             if writer is None:
@@ -506,6 +525,8 @@ def _commit_snapshot(plan: dict, by_part: dict[int, list],
              if plan["bloom"] else {})
             | ({"ndv_columns": sorted(plan.get("ndv") or ())}
                if plan.get("ndv") else {})
+            | ({"quantile_columns": sorted(plan.get("qsk") or ())}
+               if plan.get("qsk") else {})
         ) or None,
     )
 

@@ -2,7 +2,11 @@
 append / named-sink append / upsert / equality delete / position delete
 / rollback / maintain / WAP / tag against a Python model of the
 expected row set. After EVERY operation the decoded table must equal
-the model; metadata-only counts must agree when servable; every
+the model; metadata-only counts must agree when servable; the NDV and
+DDSketch-quantile metadata answers, WHEN served, must sit within their
+guaranteed error of the model (they may refuse — deletes, staged
+history — but must never lie, and compaction must restore service
+with the deletes materialized); every
 recorded commit's CDF (``table_changes``) must replay the previous
 model state into the new one; chunk checksums re-verify; and at the end
 every retained snapshot AND surviving tag of the current lineage must
@@ -72,10 +76,33 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
     rng = random.Random(seed)
     out = str(tmp_path / f"fz{seed}")
 
+    from fhirflat_spark.ndv import ndv_from_metadata
+    from fhirflat_spark.quantiles import ALPHA, quantile_from_metadata
+
     next_id = 200
     base = _mk_rows(rng, range(next_id))
     model = {r[0]: r for r in base}
-    encode_table(_df(spark, base), out, rows_per_bucket=50)
+    encode_table(_df(spark, base), out, rows_per_bucket=50,
+                 ndv_columns=["doc_id"], quantile_columns=["n"])
+    # non-vacuous from step 0: both sketches serve on a clean table
+    assert ndv_from_metadata(out, "doc_id") is not None
+    assert quantile_from_metadata(out, "n", 0.5) is not None
+
+    def check_sketches(where):
+        """Sketch answers may refuse under deletes/mixed history, but a
+        SERVED answer must sit within its guarantee of the model."""
+        nd = ndv_from_metadata(out, "doc_id")
+        if nd is not None:
+            exact = len(model)
+            assert abs(nd - exact) <= max(1, 0.05 * exact), (
+                f"{where} ndv={nd} exact={exact}")
+        for q in (0.1, 0.5, 0.9):
+            est = quantile_from_metadata(out, "n", q)
+            if est is not None and model:
+                vals = sorted(v[2] for v in model.values())
+                true = vals[int(q * (len(vals) - 1))]
+                assert abs(est - true) <= ALPHA * abs(true) + 1e-9, (
+                    f"{where} q={q} est={est} true={true}")
     # history of (version, model snapshot) for the CURRENT lineage
     history = [(current_snapshot(out), dict(model))]
     tags: dict[str, dict] = {}
@@ -217,6 +244,7 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             assert agg["rows"] == len(model), (
                 f"seed={seed} step={step} trace={trace}"
             )
+        check_sketches(f"seed={seed} step={step} trace={trace}")
         if step % 5 == 4:
             bad = verify_table(spark, out).where(~F.col("ok")).count()
             assert bad == 0, f"seed={seed} step={step} trace={trace}"
