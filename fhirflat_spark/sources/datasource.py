@@ -284,7 +284,8 @@ class _ReadMixin:
     decode → delete masks → Arrow batches in the output schema."""
 
     def _read_part(self, plan: dict, pid: int, zones: list, points: list,
-                   seq_range: tuple[int, int] | None = None):
+                   seq_range: tuple[int, int] | None = None,
+                   rows: list | None = None):
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
@@ -334,6 +335,19 @@ class _ReadMixin:
         arrow_of = dict(zip(out_schema.names, out_schema.types))
         for c in extra:
             arrow_of[c] = to_arrow_type(plan["type_of"][c])
+        # row-level application of pushed filters (=, <, <=, >, >=, IN):
+        # Spark re-applies the full predicate as the exact residual, so
+        # filtering here only has to never drop a row Spark would keep.
+        # Restricted to types whose comparison semantics match Spark's
+        # exactly (binary-collated strings, integers, booleans — floats
+        # excluded: Spark orders NaN above everything, IEEE does not).
+        # Filter columns decode FIRST so an all-miss chunk (e.g. a Bloom
+        # false positive) skips decompressing every other column.
+        col_set = set(columns)
+        row_filters = [
+            (c, op, v) for (c, op, v) in (rows or [])
+            if c in col_set and _row_filterable(arrow_of[c])
+        ]
         key_sets = {
             d["file"]: _delete_keys(path, d["file"]) for d in deletes
         }
@@ -363,20 +377,35 @@ class _ReadMixin:
                         _bloom_keeps(stats, c, vals) for c, vals in points
                     ):
                         continue
-                arrays = {}
-                for c in read_cols:
+                def _cell(c):
                     if c in absent:  # partition predates the column
-                        arrays[c] = pa.nulls(nrs[i].as_py(), type=arrow_of[c])
-                        continue
+                        return pa.nulls(nrs[i].as_py(), type=arrow_of[c])
                     cell = batch.column(field_of[c])[i]
                     if not cell.is_valid:  # chunk predates the column
-                        arrays[c] = pa.nulls(nrs[i].as_py(), type=arrow_of[c])
-                    else:
-                        arr = decode_array(memoryview(cell.as_buffer()))
-                        if arr.type != arrow_of[c]:
-                            arr = arr.cast(arrow_of[c])
-                        arrays[c] = arr
+                        return pa.nulls(nrs[i].as_py(), type=arrow_of[c])
+                    arr = decode_array(memoryview(cell.as_buffer()))
+                    if arr.type != arrow_of[c]:
+                        arr = arr.cast(arrow_of[c])
+                    return arr
+
+                arrays = {}
                 mask = None
+                all_miss = False
+                for c, op, v in row_filters:
+                    if c not in arrays:
+                        arrays[c] = _cell(c)
+                    hit = _pred_mask(arrays[c], op, v)
+                    if hit is None:  # type-mismatched literal: keep rows
+                        continue
+                    mask = hit if mask is None else pc.and_(mask, hit)
+                    if not pc.any(mask).as_py():
+                        all_miss = True
+                        break
+                if all_miss:
+                    continue  # remaining columns never decompressed
+                for c in read_cols:
+                    if c not in arrays:
+                        arrays[c] = _cell(c)
                 for d in deletes:
                     hit = pc.is_in(
                         arrays[d["column"]], value_set=key_sets[d["file"]]
@@ -400,6 +429,47 @@ class _ReadMixin:
                     out = out.filter(mask)
                 if out.num_rows:
                     yield out
+
+
+def _row_filterable(t: pa.DataType) -> bool:
+    """Types where pyarrow comparison semantics equal Spark's: binary
+    collation strings, two's-complement integers, booleans. Floats are
+    excluded (Spark: NaN > everything and NaN = NaN; IEEE: neither), and
+    date/timestamp literals arrive as Python objects whose coercion is
+    not worth the edge cases — zones already prune those at chunk level."""
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+    )
+
+
+_PC_OP = {
+    "eq": "equal",
+    "gt": "greater",
+    "ge": "greater_equal",
+    "lt": "less",
+    "le": "less_equal",
+}
+
+
+def _pred_mask(arr: pa.Array, op: str, v):
+    """Boolean keep-mask for one pushed predicate, or None when the
+    literal does not coerce to the column type (keep every row — Spark's
+    residual is the exact answer either way). Null comparisons fill to
+    False, matching Spark's null-rejecting WHERE semantics."""
+    import pyarrow.compute as pc
+
+    try:
+        if op == "in":
+            hit = pc.is_in(arr, value_set=pa.array(list(v), type=arr.type))
+        else:
+            hit = getattr(pc, _PC_OP[op])(arr, v)
+        return pc.fill_null(hit, False)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+            TypeError, OverflowError):
+        return None
 
 
 def _delete_positions(path: str, name: str, pid: int) -> pa.Table:
@@ -658,6 +728,7 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
             self._plan_state["schema"] = schema
         self._zones: list[tuple] = []  # (col, lo, hi) — None = unbounded
         self._points: list[tuple] = []  # (col, [values])
+        self._rows: list[tuple] = []  # (col, op, value) row-level masks
 
     def pushFilters(self, filters):
         """Record zone/Bloom pruning opportunities; return EVERY filter
@@ -674,18 +745,31 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
             col = attr[0]
             if isinstance(f, EqualTo):
                 self._zones.append((col, f.value, f.value))
+                self._rows.append((col, "eq", f.value))
                 if col in bloomed:
                     self._points.append((col, [f.value]))
             elif isinstance(f, GreaterThan) or isinstance(f, GreaterThanOrEqual):
                 # zone test is inclusive-overlap: > vs >= both prune only
-                # chunks wholly below the bound (conservative for >)
+                # chunks wholly below the bound (conservative for >);
+                # the row mask keeps the strict/inclusive distinction
                 self._zones.append((col, f.value, None))
+                self._rows.append(
+                    (col, "gt" if isinstance(f, GreaterThan) else "ge",
+                     f.value)
+                )
             elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
                 self._zones.append((col, None, f.value))
+                self._rows.append(
+                    (col, "lt" if isinstance(f, LessThan) else "le", f.value)
+                )
             elif isinstance(f, In):
+                # null literals dropped: `x IN (v, NULL)` is TRUE only on
+                # a non-null v match (else NULL → row rejected) — same
+                # rows either way
                 vals = [v for v in f.value if v is not None]
                 if vals:
                     self._zones.append((col, min(vals), max(vals)))
+                    self._rows.append((col, "in", tuple(vals)))
                     if col in bloomed:
                         self._points.append((col, vals))
         return filters
@@ -727,7 +811,7 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
         )
         yield from self._read_part(
             self._plan_state, partition.part_id, self._zones, self._points,
-            seq_range=rng,
+            seq_range=rng, rows=self._rows,
         )
 
 
@@ -797,6 +881,198 @@ class FhirflatStreamReader(DataSourceStreamReader, _ReadMixin):
         pass
 
 
+_CHANGE_COL = "_change_type"  # mirrors changes.CHANGE_COL
+
+
+class ChangeFeedPartition(InputPartition):
+    """One unit of change-feed work: either the insert rows of one NEW
+    part-id (``kind='insert'``) or the delete hits of one snapshot-``a``
+    part-id against the window's new equality-delete files
+    (``kind='delete'``). ``vis_deletes`` carries the delete-entry dicts
+    that define row visibility for the read (snapshot-``b``'s full set
+    for inserts, snapshot-``a``'s for deletes) so executors never
+    re-resolve window metadata."""
+
+    def __init__(self, kind: str, part_id: int, vis_deletes=(),
+                 groups=()):
+        self.kind = kind
+        self.part_id = int(part_id)
+        self.vis_deletes = tuple(
+            tuple(sorted(d.items())) for d in vis_deletes
+        )  # picklable, hashable form
+        self.groups = tuple(groups)  # ((column, (files...)), ...)
+
+
+class FhirflatChangeFeedReader(FhirflatStreamReader):
+    """Streaming change data feed: each micro-batch (a, b] emits the
+    table's columns plus ``_change_type`` ('insert' | 'delete') — the
+    per-window increments whose composition is ``changes.table_changes``
+    over the same span. Enable with ``.option("changefeed", "true")`` on
+    ``spark.readStream.format("fhirflat")``.
+
+    Scope (the streamable fast path): windows that only APPEND partitions
+    and ADD equality-delete files — the shape every library write op
+    (append, named-sink append, upsert, delete_rows, WAP publish)
+    produces. A window that rewrote history (rollback, compaction) or
+    added POSITIONAL deletes (physical dedup maintenance) raises with
+    instructions to reconcile via the batch ``table_changes`` and restart
+    from a fresh checkpoint — silent wrong deltas are never emitted.
+
+    Delete rows are reported per surviving physical copy (multiset);
+    the batch fast path reports them set-wise (see changes.py caveat) —
+    consumers applying "remove all copies matching this row" semantics
+    see identical results.
+
+    Reference parity: the reference library has no incremental surface
+    at all (fhirflat/ingest.py re-reads whole datasets); the CDF stream
+    is the cluster-native equivalent of re-running its pipeline on just
+    the changed rows."""
+
+    def __init__(self, options, schema, plan: dict | None = None):
+        # Spark hands back our own CDF schema (table columns +
+        # _change_type); the base reader's column-override must see only
+        # the table columns — the change column is synthesized per batch
+        if schema is not None and _CHANGE_COL in schema.names:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [f for f in schema.fields if f.name != _CHANGE_COL]
+            )
+        super().__init__(options, schema, plan)
+
+    def partitions(self, start, end):
+        from fhirflat_spark.manifest import (
+            active_delete_files,
+            snapshot_part_ids,
+        )
+
+        a, b = int(start["snapshot"]), int(end["snapshot"])
+        if b <= a:
+            return [ChangeFeedPartition("none", -1)]
+        path = self._plan_state["path"]
+        try:
+            a_parts = set(snapshot_part_ids(path, a)) if a > 0 else set()
+            b_parts = set(snapshot_part_ids(path, b))
+            a_del = active_delete_files(path, a) if a > 0 else []
+            b_del = active_delete_files(path, b)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"changefeed window ({a}, {b}] references an expired "
+                f"snapshot manifest ({e}); keep retention beyond every "
+                "active stream checkpoint or restart with a fresh one"
+            ) from e
+        names_a = [e["file"] for e in a_del]
+        names_b = [e["file"] for e in b_del]
+        if not (a_parts <= b_parts
+                and names_b[: len(names_a)] == names_a):
+            raise RuntimeError(
+                f"changefeed window ({a}, {b}] rewrote table history "
+                "(rollback or compaction): per-window deltas are not "
+                "derivable incrementally — reconcile with "
+                "changes.table_changes and restart the stream from a "
+                "fresh checkpoint at the rewritten snapshot"
+            )
+        new_entries = b_del[len(a_del):]
+        if any(e.get("positional") for e in new_entries):
+            raise RuntimeError(
+                f"changefeed window ({a}, {b}] added positional deletes "
+                "(physical-dedup maintenance): not streamable — "
+                "reconcile with changes.table_changes and restart from "
+                "a fresh checkpoint"
+            )
+        b_vis = [
+            {
+                "file": e["file"],
+                "column": e.get("column"),
+                "below_part": e.get("below_part"),
+                "positional": bool(e.get("positional")),
+            }
+            for e in b_del
+        ]
+        a_vis = b_vis[: len(a_del)]
+        parts: list[ChangeFeedPartition] = [
+            ChangeFeedPartition("insert", p, vis_deletes=b_vis)
+            for p in sorted(b_parts - a_parts)
+        ]
+        # group new delete files by (column, fence): each snapshot-a
+        # part-id gets ONE delete task covering every group that scopes
+        # it, so a row hit by several groups is still emitted once
+        groups: dict[tuple, list[str]] = {}
+        for e in new_entries:
+            key = (e["column"], e.get("below_part"))
+            groups.setdefault(key, []).append(e["file"])
+        by_pid: dict[int, list] = {}
+        for (col, below), files in groups.items():
+            for p in a_parts:
+                if below is None or p < below:
+                    by_pid.setdefault(p, []).append((col, tuple(files)))
+        parts.extend(
+            ChangeFeedPartition("delete", p, vis_deletes=a_vis,
+                                groups=gs)
+            for p, gs in sorted(by_pid.items())
+        )
+        return parts or [ChangeFeedPartition("none", -1)]
+
+    def _emit(self, rb: pa.RecordBatch, kind: str, keep: int):
+        arrays = [rb.column(i) for i in range(keep)]
+        arrays.append(pa.array([kind] * rb.num_rows, type=pa.string()))
+        fields = [rb.schema.field(i) for i in range(keep)]
+        fields.append(pa.field(_CHANGE_COL, pa.string()))
+        return pa.RecordBatch.from_arrays(
+            arrays, schema=pa.schema(fields)
+        )
+
+    def read(self, partition: ChangeFeedPartition):
+        if partition is None or partition.part_id < 0:
+            return
+        import pyarrow.compute as pc
+
+        vis = [dict(items) for items in partition.vis_deletes]
+        plan = dict(self._plan_state, deletes=vis)
+        n_out = len(plan["columns"])
+        if partition.kind == "insert":
+            for rb in self._read_part(plan, partition.part_id, [], []):
+                yield self._emit(rb, "insert", n_out)
+            return
+        # delete task: snapshot-a visibility, then keep only rows whose
+        # group column matches the group's (unioned) delete keys
+        from pyspark.sql import types as T
+
+        need = sorted(
+            {c for c, _ in partition.groups} - set(plan["columns"])
+        )
+        if need:
+            plan = dict(
+                plan,
+                columns=list(plan["columns"]) + need,
+                schema=T.StructType(
+                    list(plan["schema"].fields)
+                    + [T.StructField(c, plan["type_of"][c], True)
+                       for c in need]
+                ),
+            )
+        path = plan["path"]
+        keys_of = {
+            files: pa.concat_arrays(
+                [_delete_keys(path, f) for f in files]
+            )
+            for _, files in partition.groups
+        }
+        idx_of = {c: plan["columns"].index(c) for c, _ in partition.groups}
+        for rb in self._read_part(plan, partition.part_id, [], []):
+            mask = None
+            for col, files in partition.groups:
+                ks = keys_of[files]
+                arr = rb.column(idx_of[col])
+                if ks.type != arr.type:
+                    ks = ks.cast(arr.type)
+                hit = pc.fill_null(pc.is_in(arr, value_set=ks), False)
+                mask = hit if mask is None else pc.or_(mask, hit)
+            out = rb.filter(mask)
+            if out.num_rows:
+                yield self._emit(out, "delete", n_out)
+
+
 class FhirflatDataSource(DataSource):
     """Register with ``spark.dataSource.register(FhirflatDataSource)``."""
 
@@ -822,19 +1098,41 @@ class FhirflatDataSource(DataSource):
             )
         return meta
 
+    def _changefeed(self) -> bool:
+        v = self.options.get("changefeed")
+        return str(v).lower() in ("true", "1", "yes") if v is not None else False
+
     def schema(self):
         meta = self._metadata_table()
         if meta:
             return METADATA_DDL[meta]
-        return self._plan_once()["schema"]
+        schema = self._plan_once()["schema"]
+        if self._changefeed():
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(_CHANGE_COL, T.StringType(), True)]
+            )
+        return schema
 
     def reader(self, schema):
         meta = self._metadata_table()
         if meta:
             return FhirflatMetadataReader(self.options, meta)
+        if self._changefeed():
+            raise ValueError(
+                "changefeed is a streaming option — use "
+                "spark.readStream.format('fhirflat'), or "
+                "changes.table_changes for a batch window"
+            )
         return FhirflatBatchReader(self.options, schema, self._plan_once())
 
     def streamReader(self, schema):
+        if self._changefeed():
+            return FhirflatChangeFeedReader(
+                self.options, schema, self._plan_once()
+            )
         return FhirflatStreamReader(self.options, schema, self._plan_once())
 
     def writer(self, schema, overwrite: bool):

@@ -405,3 +405,82 @@ def test_metadata_refs_table(spark, ds_dir, docs, tmp_path):
     assert refs["v1"]["type"] == "tag" and refs["v1"]["snapshot"] == 1
     assert refs["audit"]["type"] == "branch"
     assert refs["audit"]["staged_commits"] == 1 and refs["audit"]["base"] == 1
+
+
+def test_row_filter_exact_rows_cross_boundary(spark, ds_dir):
+    """Pushed =/>/IN predicates are applied ROW-level inside the reader
+    (filter column decoded first, misses never decompress the rest), so
+    only matching rows cross the Python->JVM boundary. Spark still owns
+    the residual, so this must be exact-or-superset; for int/string ops
+    it is exact — including the strict-> vs inclusive-zone distinction."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    cur = decode_table(spark, ds_dir)
+    want_gt = sorted(
+        r[0] for r in cur.where(F.col("doc_id") > 340)
+        .select("doc_id").collect()
+    )
+    rdr = FhirflatBatchReader({"path": ds_dir}, None)
+    rdr.pushFilters([GreaterThan(("doc_id",), 340)])
+    got = sorted(
+        v.as_py() for p in rdr.partitions() for b in rdr.read(p)
+        for v in b.column(0)
+    )
+    assert got == want_gt and len(got) > 0  # strict >, not the zone blur
+
+    want_in = sorted(
+        r[0] for r in cur.where(F.col("lang").isin("es", "zh"))
+        .select("doc_id").collect()
+    )
+    rdr2 = FhirflatBatchReader({"path": ds_dir}, None)
+    rdr2.pushFilters([In(("lang",), ("es", "zh"))])
+    got_in = sorted(
+        v.as_py() for p in rdr2.partitions() for b in rdr2.read(p)
+        for v in b.column(0)
+    )
+    assert got_in == want_in and 0 < len(got_in) < cur.count()
+
+    # point lookup: bloom prunes chunks, the row mask then drops every
+    # non-matching row of surviving (incl. false-positive) chunks
+    probe = cur.where(F.col("doc_id") == 42).select("text").collect()[0][0]
+    n_match = cur.where(F.col("text") == probe).count()
+    rdr3 = FhirflatBatchReader({"path": ds_dir}, None)
+    rdr3.pushFilters([EqualTo(("text",), probe)])
+    n = sum(b.num_rows for p in rdr3.partitions() for b in rdr3.read(p))
+    assert n == n_match
+
+
+def test_row_filter_float_gate_nan_semantics(spark, tmp_path):
+    """Float predicates must NOT be row-filtered: Spark orders NaN above
+    every value (NaN > 50 is TRUE), IEEE comparison says false — a
+    pyarrow mask would drop rows Spark keeps. The type gate leaves float
+    filtering entirely to Spark's residual; end-to-end answers (incl.
+    the NaN rows) must match the decode path exactly."""
+    import math
+
+    from pyspark.sql.datasource import GreaterThan
+
+    out = str(tmp_path / "fl")
+    rows = [(i, float("nan") if i % 7 == 0 else float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, score double")
+    encode_table(df, out, rows_per_bucket=25)
+    register(spark)
+
+    rdr = FhirflatBatchReader({"path": out}, None)
+    rdr.pushFilters([GreaterThan(("score",), 50.0)])
+    got = {
+        v.as_py() for p in rdr.partitions() for b in rdr.read(p)
+        for v in b.column(0)
+    }
+    nan_ids = {i for i, s in rows if math.isnan(s)}
+    assert nan_ids <= got  # the reader must keep every NaN row
+
+    via_src = (
+        spark.read.format("fhirflat").option("path", out).load()
+        .where(F.col("score") > 50.0)
+    )
+    exp = df.where(F.col("score") > 50.0)
+    assert sorted(r[0] for r in via_src.select("id").collect()) == sorted(
+        r[0] for r in exp.select("id").collect()
+    )
+    assert nan_ids <= {r[0] for r in via_src.select("id").collect()}
