@@ -309,6 +309,85 @@ def vector_index_stage(spark) -> dict:
     return st
 
 
+def selective_scan_stage(spark, src: str) -> dict:
+    """One-repo read through the named source vs the same predicate over
+    a full decode scan, on a repo-clustered layout (the engine's default
+    salt-key layout). The source stacks partition-level zone pruning,
+    chunk-level zone pruning, and ROW-level pushed-filter masking — only
+    matching rows cross the Python→JVM boundary and an all-miss chunk
+    never decompresses its other columns — so cost is ∝ selectivity,
+    not table size. Values asserted equal (also a correctness probe)."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.sources.datasource import (
+        FhirflatBatchReader,
+        register,
+    )
+
+    out = f"{SHM}/selscan_ds"
+    shutil.rmtree(out, ignore_errors=True)
+    df = spark.read.parquet(src)
+    clustered = (
+        df.repartitionByRange(32, "repo", "path")
+        .sortWithinPartitions("repo", "path")
+    )
+    encode_table(clustered, out, rows_per_bucket=ROWS_PER_BUCKET,
+                 shuffle=False)
+    register(spark)
+    counts = sorted(
+        (r["count"], r["repo"])
+        for r in df.groupBy("repo").count().collect()
+    )
+    n = sum(c for c, _ in counts)
+    target = counts[len(counts) // 2][1]  # median-sized repo
+    pred = F.col("repo") == target
+
+    def _sel():  # full rows incl. content — "fetch this repo's files"
+        return (
+            spark.read.format("fhirflat").option("path", out).load()
+            .where(pred).collect()
+        )
+
+    def _scan():
+        return (
+            decode_table(spark, out, via="arrow").where(pred).collect()
+        )
+
+    _sel()  # warmup: python-source registration + worker pool spin-up
+    sel_s, scan_s = [], []
+    for _ in range(3):  # min-of-reps, same as every other stage
+        t0 = time.time()
+        got = _sel()
+        sel_s.append(time.time() - t0)
+        t0 = time.time()
+        exp = _scan()
+        scan_s.append(time.time() - t0)
+    sel_s, scan_s = min(sel_s), min(scan_s)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(got) == counts[len(counts) // 2][0]
+    # boundary evidence: rows the reader yields under pushdown (the
+    # residual re-check happens JVM-side on exactly these rows)
+    from pyspark.sql.datasource import EqualTo
+
+    rdr = FhirflatBatchReader({"path": out}, None)
+    rdr.pushFilters([EqualTo(("repo",), target)])
+    boundary = sum(
+        b.num_rows for p in rdr.partitions() for b in rdr.read(p)
+    )
+    st = {
+        "rows_total": n,
+        "rows_selected": len(got),
+        "rows_crossing_boundary": boundary,
+        "selective_sec": round(sel_s, 3),
+        "scan_sec": round(scan_s, 3),
+        "speedup": round(scan_s / max(sel_s, 1e-6), 1),
+    }
+    print(f"  selective_scan: {st}", flush=True)
+    return st
+
+
 def ensure_source(spark) -> str:
     """Materialize the synthetic code table once (generation excluded from
     encode timing)."""
@@ -571,6 +650,7 @@ def main() -> None:
     src = ensure_source(spark)
     tok_idx = token_index_stage(spark, src)
     vec_idx = vector_index_stage(spark)
+    sel_scan = selective_scan_stage(spark, src)
     key_counts = [
         (r[0], r["count"])
         for r in spark.read.parquet(src).groupBy("repo").count().collect()
@@ -650,6 +730,7 @@ def main() -> None:
         "metadata_agg": meta_agg,
         "token_index": tok_idx,
         "vector_index": vec_idx,
+        "selective_scan": sel_scan,
         "bench_total_sec": total,
     }
     env_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
@@ -725,6 +806,15 @@ def _compact(result: dict) -> dict:
             if result.get("vector_index")
             else None
         ),
+        "selective_scan": (
+            {
+                k: result["selective_scan"].get(k)
+                for k in ("selective_sec", "scan_sec", "speedup",
+                          "rows_crossing_boundary", "rows_selected")
+            }
+            if result.get("selective_scan")
+            else None
+        ),
         "bench_total_sec": result["bench_total_sec"],
         "details": ("BENCH/DETAILS.json" if BENCH_ROWS >= 1_000_000
                     else "BENCH/VERIFY_DETAILS.json"),
@@ -749,6 +839,7 @@ def _compact(result: dict) -> dict:
     line = json.dumps(out)
     if len(line) > 1900:  # hard guard: never regress past the driver buffer
         out.pop("metadata_agg", None)
+        out.pop("selective_scan", None)
         out["queries"] = dict(list(result["queries"].items())[:6])
     return out
 
@@ -969,6 +1060,21 @@ def _write_report(result: dict) -> None:
             "The posting lookup is a metadata-sized pyarrow read — at "
             "100 TB the scan side is a full corpus pass while the index "
             "side stays proportional to the hit set.",
+        ]
+    ss = result.get("selective_scan")
+    if ss:
+        lines += [
+            "",
+            "## Selective range scan through the named source",
+            "",
+            f"doc_id range ({ss['rows_selected']} of {ss['rows_total']} "
+            f"rows, clustered layout): {ss['selective_sec']}s via the "
+            f"named source (partition+chunk zone pruning + row-level "
+            f"pushed-filter masking — {ss['rows_crossing_boundary']} rows "
+            f"crossed the Python→JVM boundary) vs {ss['scan_sec']}s as a "
+            f"full decode scan + filter ({ss['speedup']}x). Cost is "
+            "∝ selectivity: at 100 TB the scan side is a table pass, the "
+            "source side stays proportional to the hit range.",
         ]
     vi = result.get("vector_index")
     if vi:

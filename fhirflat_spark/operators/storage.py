@@ -21,6 +21,7 @@ import os
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # doc_id range chosen to span multiple chunks but prune most at any sf
 ZONE_LO, ZONE_HI = 100, 500
@@ -811,6 +812,42 @@ FROM ch GROUP BY _change_type, lang ORDER BY _change_type, lang
 """
 
 
+def q_changefeed_stream(spark, sf_dir):
+    """The STREAMING change-feed surface (readStream
+    .option("changefeed","true") → FhirflatChangeFeedReader) read over
+    the same (1, 2] upsert window as ``snapshot_changelog`` and
+    aggregated identically — hash-checked against the identical SQL
+    twin, so the stream reader's per-window deltas (insert AND delete
+    side, pre/post-image values) are driver-oracle-verified, not just
+    parity-tested against the batch path. The reader is exercised
+    directly (partitions + read, all driver-side python on a
+    metadata-sized window) because the gate compares DataFrames."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.sources.datasource import FhirflatChangeFeedReader
+
+    out = _encoded_documents_upserted(spark, sf_dir)
+    rdr = FhirflatChangeFeedReader({"path": out}, None)
+    rows = []
+    for p in rdr.partitions({"snapshot": 1}, {"snapshot": 2}):
+        for rb in rdr.read(p):
+            rows.extend(rb.to_pylist())
+    schema = T.StructType(
+        list(decode_table(spark, out).schema.fields)
+        + [T.StructField("_change_type", T.StringType(), True)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    return (
+        df.groupBy("_change_type", "lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("_change_type", "lang")
+    )
+
+
 def q_dedup_index_refresh(spark, sf_dir):
     """Incremental dedup-index maintenance (dedup_index.py) proven
     equal to a full recompute: build the MinHash index at snapshot 1
@@ -1276,4 +1313,5 @@ QUERIES = {
     "continuous_rollup": (q_continuous_rollup, SQL_CONTINUOUS_ROLLUP),
     "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
+    "changefeed_stream": (q_changefeed_stream, SQL_SNAPSHOT_CHANGELOG),
 }

@@ -131,6 +131,38 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
         assert sorted(rows) == _model_rows(cur_m), (
             f"CDF replay {prev_v}->{cur_v} diverged from the model"
         )
+        # streaming-CDF parity: every streamable window's reader output
+        # must match the batch fast path (inserts multiset-equal,
+        # deletes set-equal); non-streamable windows (rollback rewrite,
+        # positional deletes) must refuse — never emit wrong deltas
+        from fhirflat_spark.sources.datasource import (
+            FhirflatChangeFeedReader,
+        )
+
+        try:
+            rdr = FhirflatChangeFeedReader({"path": out}, None)
+            srows = []
+            for p in rdr.partitions({"snapshot": prev_v},
+                                    {"snapshot": cur_v}):
+                for rb in rdr.read(p):
+                    srows.extend(
+                        tuple(r.values()) for r in rb.to_pylist()
+                    )
+        except RuntimeError:
+            return  # batch-only window shape, refused loudly
+        s_ins = sorted(r[:-1] for r in srows if r[-1] == "insert")
+        s_del = {r[:-1] for r in srows if r[-1] == "delete"}
+        b_ins = sorted(
+            (r["doc_id"], r["lang"], r["n"]) for r in ch
+            if r["_change_type"] == "insert"
+        )
+        b_del = {
+            (r["doc_id"], r["lang"], r["n"]) for r in ch
+            if r["_change_type"] == "delete"
+        }
+        assert s_ins == b_ins and s_del == b_del, (
+            f"streaming CDF {prev_v}->{cur_v} diverged from batch"
+        )
 
     ops = ["append", "sink", "upsert", "delete", "posdelete",
            "rollback", "maintain", "wap", "tag"]
