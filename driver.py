@@ -188,6 +188,17 @@ def main() -> None:
     vse.add_argument("--nprobe", type=int, default=4)
     vse.add_argument("--show", type=int, default=10)
 
+    rpl = sub.add_parser(
+        "replicate", help="advance a mirror table to the source's "
+        "current snapshot (changelog-applied; full sync on first call "
+        "or after a source history reset)"
+    )
+    rpl.add_argument("--out", required=True, help="source chunk-store dir")
+    rpl.add_argument("--dest", required=True, help="mirror table dir")
+    rpl.add_argument("--key-column", dest="key_column", required=True,
+                     help="unique row key (upsert_rows contract)")
+    rpl.add_argument("--rows-per-bucket", type=int, default=250_000)
+
     args = p.parse_args()
 
     from fhirflat_spark.session import get_spark
@@ -468,6 +479,12 @@ def main() -> None:
             "parts_total": read_summary(spark, args.out)["num_partitions"],
         }))
         res.show(args.show, truncate=40)
+    elif args.cmd == "replicate":
+        from fhirflat_spark.replicate import replicate_table
+
+        info = replicate_table(spark, args.out, args.dest, args.key_column,
+                               rows_per_bucket=args.rows_per_bucket)
+        print(json.dumps(info))
     elif args.cmd == "transcode":
         from fhirflat_spark.decode import transcode_table
 

@@ -1285,6 +1285,87 @@ from fhirflat_spark.operators.similarity import (  # noqa: E402
     SQL_COSINE_TOPK as _SQL_COSINE_TOPK,
 )
 
+def _replicated_documents(spark, sf_dir: str) -> str:
+    """Replication fixture: a source table driven through append /
+    delete / upsert commits with ``replicate_table`` advancing a mirror
+    after each epoch — the dataset the query reads is the MIRROR, which
+    only ever saw the changelog, never the source rows directly."""
+    from fhirflat_spark.encode import append_table, encode_table, upsert_rows
+    from fhirflat_spark.manifest import delete_rows
+    from fhirflat_spark.replicate import replicate_table
+
+    def build(path):
+        src, dst = f"{path}/src", f"{path}/mirror"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        encode_table(docs.where(F.col("doc_id") < 300), src,
+                     rows_per_bucket=2000)
+        info = replicate_table(spark, src, dst, "doc_id",
+                               rows_per_bucket=2000)
+        assert info["mode"] == "full", info
+        append_table(docs.where(F.col("doc_id") >= 300), src,
+                     rows_per_bucket=2000)
+        delete_rows(spark, src, "doc_id",
+                    docs.where(F.col("doc_id") % 10 == 3).select("doc_id"))
+        upsert_rows(
+            docs.where(F.col("doc_id").between(100, 199))
+            .withColumn("n_chars", F.col("n_chars") + 1000),
+            src, "doc_id", rows_per_bucket=2000,
+        )
+        info = replicate_table(spark, src, dst, "doc_id",
+                               rows_per_bucket=2000)
+        assert info["mode"] == "incremental", info
+        # the cache-validity probe checks the dataset root — the mirror
+        # is what the query decodes, so its summary must sit there
+        import shutil
+
+        for name in ("_SUMMARY.json", "snapshots"):
+            s = os.path.join(dst, name)
+            d = os.path.join(path, name)
+            (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, d)
+
+    return _cached_dataset(spark, sf_dir, "repl", build)
+
+
+def q_replicated_mirror(spark, sf_dir):
+    """CDF-driven replication (replicate.py): the mirror advanced from
+    the source's changelog alone — one full sync, then one incremental
+    window covering an append, a row-level delete and an upsert. The
+    oracle reconstructs the source's final view in SQL and aggregates
+    it; a missed delete, a double-applied upsert, or a stale pin that
+    skipped the window shifts the counts/sums and fails the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _replicated_documents(spark, sf_dir)
+    return (
+        decode_table(spark, f"{out}/mirror")
+        .groupBy("lang", (F.col("doc_id") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+SQL_REPLICATED_MIRROR = """
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 10 <> 3 OR doc_id BETWEEN 100 AND 199
+)
+SELECT lang, doc_id % 7 AS bucket, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM final GROUP BY 1, 2 ORDER BY lang, bucket
+"""
+
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
     "metadata_only_aggregate": (
@@ -1314,4 +1395,5 @@ QUERIES = {
     "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
     "changefeed_stream": (q_changefeed_stream, SQL_SNAPSHOT_CHANGELOG),
+    "replicated_mirror": (q_replicated_mirror, SQL_REPLICATED_MIRROR),
 }
