@@ -388,6 +388,71 @@ def selective_scan_stage(spark, src: str) -> dict:
     return st
 
 
+def replication_stage(spark, src: str) -> dict:
+    """Changelog-applied mirror maintenance (replicate.py): one full
+    sync of the table, then a ~1.2% delta window (1% upsert + 0.2%
+    delete) applied incrementally. The claim under test is the scale
+    one: incremental cost ∝ delta, not table — at 100 TB the full
+    resync is impossible and the delta apply is routine. Mirror
+    equality is asserted by row count + full-row hash-sum."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import encode_table, upsert_rows
+    from fhirflat_spark.manifest import delete_rows
+    from fhirflat_spark.replicate import replicate_table
+
+    out, dst = f"{SHM}/repl_src", f"{SHM}/repl_dst"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    # a replication key must uniquely identify rows; the code table has
+    # none, so mint one (stable once encoded)
+    df = spark.read.parquet(src).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    encode_table(df, out, rows_per_bucket=ROWS_PER_BUCKET)
+
+    t0 = time.time()
+    info_full = replicate_table(spark, out, dst, "rid",
+                                rows_per_bucket=ROWS_PER_BUCKET)
+    full_sec = time.time() - t0
+    n = info_full["rows"]
+
+    cur = decode_table(spark, out)
+    upsert_rows(
+        cur.where(F.col("rid") % 100 == 0).withColumn("lang", F.lit("xx")),
+        out, "rid", rows_per_bucket=ROWS_PER_BUCKET,
+    )
+    delete_rows(spark, out, "rid",
+                cur.where(F.col("rid") % 500 == 1).select("rid"))
+    t0 = time.time()
+    info_inc = replicate_table(spark, out, dst, "rid",
+                               rows_per_bucket=ROWS_PER_BUCKET)
+    incr_sec = time.time() - t0
+    assert info_inc["mode"] == "incremental", info_inc
+
+    def _sig(path):
+        # bit_xor, not sum: order-independent and overflow-free under
+        # ANSI mode (sum of 64-bit hashes overflows long)
+        d = decode_table(spark, path)
+        return d.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*sorted(d.columns))).alias("h"),
+        ).collect()[0]
+    a, b = _sig(out), _sig(dst)
+    assert (a["n"], a["h"]) == (b["n"], b["h"]), (a, b)
+
+    st = {
+        "rows": n,
+        "delta_rows": info_inc["inserts"] + info_inc["deletes"],
+        "full_sync_sec": round(full_sec, 2),
+        "incremental_sec": round(incr_sec, 2),
+        "speedup": round(full_sec / max(incr_sec, 1e-6), 1),
+    }
+    print(f"  replication: {st}", flush=True)
+    return st
+
+
 def ensure_source(spark) -> str:
     """Materialize the synthetic code table once (generation excluded from
     encode timing)."""
@@ -651,6 +716,7 @@ def main() -> None:
     tok_idx = token_index_stage(spark, src)
     vec_idx = vector_index_stage(spark)
     sel_scan = selective_scan_stage(spark, src)
+    repl = replication_stage(spark, src)
     key_counts = [
         (r[0], r["count"])
         for r in spark.read.parquet(src).groupBy("repo").count().collect()
@@ -731,6 +797,7 @@ def main() -> None:
         "token_index": tok_idx,
         "vector_index": vec_idx,
         "selective_scan": sel_scan,
+        "replication": repl,
         "bench_total_sec": total,
     }
     env_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "")
@@ -815,6 +882,15 @@ def _compact(result: dict) -> dict:
             if result.get("selective_scan")
             else None
         ),
+        "replication": (
+            {
+                k: result["replication"].get(k)
+                for k in ("full_sync_sec", "incremental_sec",
+                          "delta_rows", "speedup")
+            }
+            if result.get("replication")
+            else None
+        ),
         "bench_total_sec": result["bench_total_sec"],
         "details": ("BENCH/DETAILS.json" if BENCH_ROWS >= 1_000_000
                     else "BENCH/VERIFY_DETAILS.json"),
@@ -840,6 +916,7 @@ def _compact(result: dict) -> dict:
     if len(line) > 1900:  # hard guard: never regress past the driver buffer
         out.pop("metadata_agg", None)
         out.pop("selective_scan", None)
+        out.pop("replication", None)
         out["queries"] = dict(list(result["queries"].items())[:6])
     return out
 
@@ -1075,6 +1152,22 @@ def _write_report(result: dict) -> None:
             f"full decode scan + filter ({ss['speedup']}x). Cost is "
             "∝ selectivity: at 100 TB the scan side is a table pass, the "
             "source side stays proportional to the hit range.",
+        ]
+    rp = result.get("replication")
+    if rp:
+        lines += [
+            "",
+            "## Changelog-applied replication vs full resync",
+            "",
+            f"Mirror maintenance over a {rp['rows']}-row table: a "
+            f"~{round(100 * rp['delta_rows'] / max(rp['rows'], 1), 1)}% "
+            f"delta window (upsert + delete) applied incrementally in "
+            f"{rp['incremental_sec']}s vs {rp['full_sync_sec']}s for the "
+            f"full sync ({rp['speedup']}x), mirror equality asserted by "
+            "row count + full-row hash-sum. Incremental cost is ∝ the "
+            "delta (changelog read + delta encode), never the table — "
+            "at 100 TB a full resync is a cluster-day, the delta apply "
+            "stays minutes.",
         ]
     vi = result.get("vector_index")
     if vi:

@@ -198,6 +198,11 @@ def main() -> None:
     rpl.add_argument("--key-column", dest="key_column", required=True,
                      help="unique row key (upsert_rows contract)")
     rpl.add_argument("--rows-per-bucket", type=int, default=250_000)
+    rpl.add_argument("--where", default=None,
+                     help="SQL predicate — mirror only matching rows "
+                     "(incremental materialized view)")
+    rpl.add_argument("--columns", default="",
+                     help="comma-separated projection (must keep the key)")
 
     args = p.parse_args()
 
@@ -482,8 +487,10 @@ def main() -> None:
     elif args.cmd == "replicate":
         from fhirflat_spark.replicate import replicate_table
 
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
         info = replicate_table(spark, args.out, args.dest, args.key_column,
-                               rows_per_bucket=args.rows_per_bucket)
+                               rows_per_bucket=args.rows_per_bucket,
+                               where=args.where, columns=cols or None)
         print(json.dumps(info))
     elif args.cmd == "transcode":
         from fhirflat_spark.decode import transcode_table

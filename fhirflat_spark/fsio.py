@@ -240,6 +240,16 @@ def read_parquet(path: str, columns: list[str] | None = None) -> pa.Table:
     return pq.read_table(inner, columns=columns, filesystem=fs)
 
 
+def count_parquet_rows(path: str) -> int:
+    """Row count of a parquet file or directory from FOOTER metadata
+    only — no column data read (pyarrow dataset discovery skips
+    ``_``/``.``-prefixed sidecars like Spark's ``_SUCCESS``)."""
+    import pyarrow.dataset as pads
+
+    fs, inner = resolve(path)
+    return pads.dataset(inner, filesystem=fs, format="parquet").count_rows()
+
+
 def read_parquet_schema(path: str) -> pa.Schema:
     """Schema (incl. key-value metadata) of one parquet file — a footer
     read, no data pages."""

@@ -1090,12 +1090,14 @@ def write_delete_keys(spark: SparkSession, out_dir: str, column: str,
         raise ValueError(f"delete column {column!r} not in {summary['columns']}")
     if isinstance(values, _DF):
         keys_df = values.select(column).distinct()
-        n = keys_df.count()
+        dest = f"{_deletes_dir(out_dir)}/{name}"
+        keys_df.write.mode("overwrite").parquet(dest)
+        # count from the written footers (metadata-only) — one Spark job
+        # for write+count instead of two evaluations of the key lineage
+        n = fsio.count_parquet_rows(dest)
         if n == 0:
+            fsio.delete_dir(dest)
             raise ValueError("delete requires a non-empty key set")
-        keys_df.write.mode("overwrite").parquet(
-            f"{_deletes_dir(out_dir)}/{name}"
-        )
         return name, n
     if not values:
         raise ValueError("delete requires a non-empty key set")

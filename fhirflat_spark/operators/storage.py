@@ -1296,6 +1296,10 @@ def _replicated_documents(spark, sf_dir: str) -> str:
 
     def build(path):
         src, dst = f"{path}/src", f"{path}/mirror"
+        # filtered+projected mirror maintained through the SAME epochs:
+        # the upsert's +1000 pushes rows whose original n_chars >= 500
+        # OUT of the predicate — the delta apply must delete them
+        vkw = dict(where="n_chars < 1500", columns=["doc_id", "n_chars"])
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "lang", "n_chars"
         )
@@ -1303,6 +1307,9 @@ def _replicated_documents(spark, sf_dir: str) -> str:
                      rows_per_bucket=2000)
         info = replicate_table(spark, src, dst, "doc_id",
                                rows_per_bucket=2000)
+        assert info["mode"] == "full", info
+        info = replicate_table(spark, src, f"{path}/mirror_view",
+                               "doc_id", rows_per_bucket=2000, **vkw)
         assert info["mode"] == "full", info
         append_table(docs.where(F.col("doc_id") >= 300), src,
                      rows_per_bucket=2000)
@@ -1316,6 +1323,9 @@ def _replicated_documents(spark, sf_dir: str) -> str:
         info = replicate_table(spark, src, dst, "doc_id",
                                rows_per_bucket=2000)
         assert info["mode"] == "incremental", info
+        info = replicate_table(spark, src, f"{path}/mirror_view",
+                               "doc_id", rows_per_bucket=2000, **vkw)
+        assert info["mode"] == "incremental", info
         # the cache-validity probe checks the dataset root — the mirror
         # is what the query decodes, so its summary must sit there
         import shutil
@@ -1325,7 +1335,7 @@ def _replicated_documents(spark, sf_dir: str) -> str:
             d = os.path.join(path, name)
             (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, d)
 
-    return _cached_dataset(spark, sf_dir, "repl", build)
+    return _cached_dataset(spark, sf_dir, "repl2", build)
 
 
 def q_replicated_mirror(spark, sf_dir):
@@ -1366,6 +1376,46 @@ FROM final GROUP BY 1, 2 ORDER BY lang, bucket
 """
 
 
+def q_replicated_view_mirror(spark, sf_dir):
+    """Incremental MATERIALIZED-VIEW maintenance (replicate.py
+    where=/columns=): the mirror holds ``SELECT doc_id, n_chars FROM
+    src WHERE n_chars < 1500`` and advanced through the same
+    append/delete/upsert window as ``replicated_mirror`` — the upsert's
+    +1000 pushed some rows OUT of the predicate, so the delta apply had
+    to delete keys the window never explicitly deleted. The oracle
+    reconstructs the filtered final view in SQL; a surviving flipped-out
+    row (the classic MV staleness bug) shifts the aggregates."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _replicated_documents(spark, sf_dir)
+    return (
+        decode_table(spark, f"{out}/mirror_view")
+        .groupBy((F.col("doc_id") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_REPLICATED_VIEW_MIRROR = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id % 10 <> 3 OR doc_id BETWEEN 100 AND 199
+)
+SELECT doc_id % 7 AS bucket, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM final WHERE n_chars < 1500 GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
     "metadata_only_aggregate": (
@@ -1396,4 +1446,7 @@ QUERIES = {
     "snapshot_changelog": (q_snapshot_changelog, SQL_SNAPSHOT_CHANGELOG),
     "changefeed_stream": (q_changefeed_stream, SQL_SNAPSHOT_CHANGELOG),
     "replicated_mirror": (q_replicated_mirror, SQL_REPLICATED_MIRROR),
+    "replicated_view_mirror": (
+        q_replicated_view_mirror, SQL_REPLICATED_VIEW_MIRROR,
+    ),
 }

@@ -171,6 +171,122 @@ def test_replicate_crash_retry_converges(spark, tmp_path, monkeypatch):
     assert replicate_table(spark, src, dst, "doc_id")["mode"] == "noop"
 
 
+def _view_rows(spark, src, where, cols):
+    df = decode_table(spark, src).where(where).select(*cols)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_replicate_filtered_view_with_flips(spark, tmp_path):
+    """where= mirror: updates that flip rows OUT of the predicate must
+    delete them from the mirror, flips IN must appear, and the
+    projection drops the non-selected columns."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    rows = [(i, "en" if i % 2 else "fr", i * 10) for i in range(40)]
+    encode_table(_df(spark, rows), src, rows_per_bucket=50)
+    kw = dict(where="n < 200", columns=["doc_id", "n"])
+    info = replicate_table(spark, src, dst, "doc_id",
+                           rows_per_bucket=50, **kw)
+    assert info["mode"] == "full" and info["rows"] == 20
+    assert _rows_sel(spark, dst) == _view_rows(spark, src, "n < 200",
+                                               ["doc_id", "n"])
+
+    # flip OUT: 5,6 jump above the bar; flip IN: 30 drops below it;
+    # plain update inside the view: 7 stays; delete: 3 (in view), 25
+    # (outside it); fresh inserts on both sides of the bar
+    upsert_rows(_df(spark, [(5, "en", 900), (6, "fr", 950),
+                            (30, "en", 50), (7, "en", 111)]),
+                src, "doc_id", rows_per_bucket=50)
+    delete_rows(spark, src, "doc_id", [3, 25])
+    append_table(_df(spark, [(100, "en", 42), (101, "fr", 4200)]), src,
+                 rows_per_bucket=50)
+    info = replicate_table(spark, src, dst, "doc_id",
+                           rows_per_bucket=50, **kw)
+    assert info["mode"] == "incremental"
+    assert info["deletes"] >= 3          # 3 (deleted), 5, 6 (flipped out)
+    got = _rows_sel(spark, dst)
+    assert got == _view_rows(spark, src, "n < 200", ["doc_id", "n"])
+    ids = {r[0] for r in got}
+    assert {30, 7, 100} <= ids and not {5, 6, 3, 25, 101} & ids
+
+
+def _rows_sel(spark, out):
+    df = decode_table(spark, out)
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_replicate_projection_must_keep_key(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    encode_table(_df(spark, _mk(random.Random(1), range(10))), src,
+                 rows_per_bucket=50)
+    with pytest.raises(ValueError, match="retain the key"):
+        replicate_table(spark, src, dst, "doc_id", columns=["lang"])
+
+
+def test_replicate_view_definition_change_resyncs(spark, tmp_path):
+    """A different where=/columns= is a different view — the stored
+    state must not be treated as a delta base."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    rows = [(i, "en", i) for i in range(30)]
+    encode_table(_df(spark, rows), src, rows_per_bucket=50)
+    replicate_table(spark, src, dst, "doc_id", where="n < 10")
+    info = replicate_table(spark, src, dst, "doc_id", where="n < 20")
+    assert info["mode"] == "full" and info["rows"] == 20
+    # same definition again = noop
+    assert replicate_table(spark, src, dst, "doc_id",
+                           where="n < 20")["mode"] == "noop"
+
+
+def test_replicate_append_delete_window_skips_changelog(spark, tmp_path,
+                                                        monkeypatch):
+    """The metadata-fast window path: append + equality-delete + upsert
+    windows must replicate WITHOUT the general changelog (delete keys
+    read from the key files, inserts from the new partitions only) —
+    proven by making table_changes unreachable."""
+    import fhirflat_spark.changes as C
+
+    rng = random.Random(11)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    encode_table(_df(spark, _mk(rng, range(60))), src, rows_per_bucket=50)
+    replicate_table(spark, src, dst, "doc_id", rows_per_bucket=50)
+
+    append_table(_df(spark, _mk(rng, range(60, 90))), src,
+                 rows_per_bucket=50)
+    delete_rows(spark, src, "doc_id", [2, 4, 61])
+    upsert_rows(_df(spark, _mk(rng, range(50, 70))), src, "doc_id",
+                rows_per_bucket=50)
+
+    def boom(*a, **k):
+        raise AssertionError("general changelog invoked on a fast window")
+
+    monkeypatch.setattr(C, "table_changes", boom)
+    info = replicate_table(spark, src, dst, "doc_id", rows_per_bucket=50)
+    assert info["mode"] == "incremental"
+    _assert_mirrored(spark, src, dst)
+
+
+def test_replicate_positional_delete_falls_back(spark, tmp_path):
+    """Positional deletes carry no key values — the key-file path must
+    bail and the general changelog still produce a correct mirror."""
+    from fhirflat_spark.manifest import delete_rows_at
+
+    rng = random.Random(12)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    encode_table(_df(spark, _mk(rng, range(50))), src, rows_per_bucket=50)
+    replicate_table(spark, src, dst, "doc_id", rows_per_bucket=50)
+
+    pos = (
+        decode_table(spark, src, with_positions=True)
+        .where(F.col("doc_id").isin([5, 6, 7]))
+        .select("__part_id", "__chunk_seq", "__row_idx")
+        .toDF("part_id", "chunk_seq", "row_idx")
+    )
+    delete_rows_at(spark, src, pos)
+    info = replicate_table(spark, src, dst, "doc_id", rows_per_bucket=50)
+    assert info["mode"] == "incremental"
+    _assert_mirrored(spark, src, dst)
+    assert not {5, 6, 7} & {r[0] for r in _rows(spark, dst)}
+
+
 def test_replicate_fuzz(spark, tmp_path):
     """Random op interleavings on the source; replicate every couple of
     steps — the mirror must always equal the source afterwards."""
