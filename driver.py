@@ -74,6 +74,9 @@ def main() -> None:
     dec.add_argument("--columns", help="comma-separated subset (IO-pruned selective decode)")
     dec.add_argument("--snapshot",
                      help="time-travel to this snapshot version or tag name")
+    dec.add_argument("--as-of", dest="as_of",
+                     help="time-travel by wall clock: epoch seconds or "
+                          "ISO-8601 (resolves to the snapshot current then)")
 
     dlt = sub.add_parser("delete", help="row-level delete by key equality (no chunk rewrite)")
     dlt.add_argument("--out", required=True)
@@ -268,7 +271,8 @@ def main() -> None:
         from fhirflat_spark.decode import decode_table
 
         cols = _parse_columns(args.columns)
-        df = decode_table(spark, args.out, columns=cols, snapshot=args.snapshot)
+        df = decode_table(spark, args.out, columns=cols,
+                          snapshot=args.snapshot, as_of=args.as_of)
         print(json.dumps({"rows": df.count()}))
         df.show(args.show, truncate=60)
     elif args.cmd == "delete":

@@ -240,6 +240,7 @@ def decode_table(spark: SparkSession, out_dir: str,
                  zone_filter: tuple | None = None,
                  point_filter: tuple | None = None,
                  snapshot: int | str | None = None,
+                 as_of=None,
                  with_positions: bool = False,
                  via: str = "auto") -> DataFrame:
     """Read + decode an encoded dataset back to its original schema.
@@ -269,7 +270,9 @@ def decode_table(spark: SparkSession, out_dir: str,
     snapshot committed are read (partition-directory pruning — committed
     partitions are immutable, so the old part-id set IS the old table).
     A string ``snapshot`` that is not an int resolves as a TAG name
-    (``manifest.create_tag``).
+    (``manifest.create_tag``). ``as_of=ts`` (epoch seconds or ISO-8601
+    string) time-travels by wall clock instead: the snapshot whose
+    commit instant was latest at ``ts`` (``manifest.snapshot_as_of``).
 
     The table IS what the manifest says: decode always prunes to the
     manifest's ok partitions (as contiguous part-id ranges — a handful
@@ -298,6 +301,14 @@ def decode_table(spark: SparkSession, out_dir: str,
     _check_version(summary)
     if via not in ("auto", "arrow", "datasource"):
         raise ValueError(f"via={via!r}: expected auto | arrow | datasource")
+    if as_of is not None:
+        # AS-OF-timestamp time travel: resolve the wall-clock instant to
+        # the snapshot that was current then (epoch seconds or ISO-8601)
+        if snapshot is not None:
+            raise ValueError("pass snapshot= or as_of=, not both")
+        from fhirflat_spark.manifest import snapshot_as_of
+
+        snapshot = snapshot_as_of(out_dir, as_of)
     plain = (
         part_ids is None and key_range is None and zone_filter is None
         and point_filter is None and not with_positions

@@ -401,7 +401,8 @@ def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
     # commits, main head otherwise) rides in the manifest's metadata —
     # what fast-forward publish and history inspection walk
     meta = {**(table.schema.metadata or {}),
-            _PARENT_META_KEY: str(prev or 0).encode()}
+            _PARENT_META_KEY: str(prev or 0).encode(),
+            _COMMITTED_AT_META_KEY: _now_us_bytes()}
     if branch is not None:
         # staged snapshots self-identify: a crash between the exclusive
         # snapshot write and the refs update must not leave an orphan
@@ -613,15 +614,19 @@ def list_snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
             int(meta[_PARENT_META_KEY]) or None
             if _PARENT_META_KEY in meta else None
         )
+        committed = (
+            int(meta[_COMMITTED_AT_META_KEY])
+            if _COMMITTED_AT_META_KEY in meta else None
+        )
         rows.append((v, t.num_rows, sum(t["rows"].to_pylist()),
                      sum(t["raw_bytes"].to_pylist()),
                      sum(t["encoded_bytes"].to_pylist()),
-                     sha, v == cur, parent))
+                     sha, v == cur, parent, committed))
     return spark.createDataFrame(
         rows,
         "version INT, n_partitions BIGINT, rows BIGINT, raw_bytes BIGINT, "
         "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN, "
-        "parent INT",
+        "parent INT, committed_at_us BIGINT",
     )
 
 
@@ -886,6 +891,10 @@ def publish_branch(out_dir: str, name: str) -> int:
         meta = dict(tv.schema.metadata or {})
         if _STAGED_META_KEY in meta:
             del meta[_STAGED_META_KEY]
+            # publish IS the main-visibility instant: re-stamp so
+            # AS-OF-timestamp reads of main never surface a staged
+            # commit at its (earlier, unpublished) staging time
+            meta[_COMMITTED_AT_META_KEY] = _now_us_bytes()
             tv = tv.replace_schema_metadata(meta)
             fsio.write_parquet_atomic(
                 tv, snapshot_manifest_path(out_dir, v), token=token
@@ -1021,6 +1030,78 @@ def _advance_current(out_dir: str, version: int, table: pa.Table,
 
 _DELETES_META_KEY = b"fhirflat.active_deletes"
 _PARENT_META_KEY = b"fhirflat.parent"
+# wall-clock commit instant (epoch MICROS, writer's clock) — what
+# AS-OF-timestamp time travel resolves against. Version order is the
+# authoritative commit order; the stamp is the human/time axis over it
+# (the Iceberg snapshot-log ``timestamp-ms`` analog).
+_COMMITTED_AT_META_KEY = b"fhirflat.committed_at_us"
+
+
+def _now_us_bytes() -> bytes:
+    import time
+
+    return str(time.time_ns() // 1000).encode()
+
+
+def _with_commit_time(table: pa.Table) -> pa.Table:
+    """Re-stamp ``committed_at_us`` for a metadata-only commit that
+    reuses an older manifest's bytes (delete / rollback) — the commit
+    instant is THIS commit's, not the copied snapshot's."""
+    meta = {**(table.schema.metadata or {}),
+            _COMMITTED_AT_META_KEY: _now_us_bytes()}
+    return table.replace_schema_metadata(meta)
+
+
+def snapshot_committed_at(out_dir: str, version: int) -> int | None:
+    """Commit instant of ``version`` in epoch micros, or None for
+    snapshots written before stamps existed."""
+    meta = fsio.read_parquet_schema(
+        snapshot_manifest_path(out_dir, version)
+    ).metadata
+    if meta and _COMMITTED_AT_META_KEY in meta:
+        return int(meta[_COMMITTED_AT_META_KEY])
+    return None
+
+
+def snapshot_as_of(out_dir: str, ts) -> int:
+    """Resolve an AS-OF timestamp to a snapshot version: the latest
+    retained MAIN snapshot whose commit instant is <= ``ts`` — i.e.
+    the snapshot that was current at that wall-clock moment (includes
+    later-rolled-back history, exactly like walking Iceberg's snapshot
+    log by ``timestamp-ms``). ``ts`` is epoch seconds (int/float) or
+    an ISO-8601 string (naive = UTC). Snapshots that predate commit
+    stamps sort before every stamped one (version order is commit
+    order, so this is exact, not a guess). Branch-staged snapshots are
+    never eligible — they are unpublished."""
+    ts_us = _parse_as_of_us(ts)
+    staged = _branch_staged_versions(out_dir)
+    best = None
+    for v in _snapshot_versions(out_dir):
+        if v in staged or _snapshot_is_staged(out_dir, v):
+            continue
+        stamp = snapshot_committed_at(out_dir, v)
+        if stamp is None or stamp <= ts_us:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"as_of={ts!r} predates every retained snapshot of {out_dir}"
+        )
+    return best
+
+
+def _parse_as_of_us(ts) -> int:
+    if isinstance(ts, str):
+        try:  # numeric strings = epoch seconds (datasource options are str)
+            return int(float(ts) * 1_000_000)
+        except ValueError:
+            pass
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    return int(float(ts) * 1_000_000)
 # branch name a STAGED snapshot was committed to — self-identifying, so
 # pointer recovery can skip it even when the commit crashed BEFORE the
 # branch ref was updated (the ref-based exclusion alone has a window)
@@ -1159,7 +1240,7 @@ def delete_rows(spark: SparkSession, out_dir: str, column: str,
         active = active_delete_files(out_dir, prev) + [
             {"file": dfile, "column": column, "below_part": below}
         ]
-        t = _with_deletes_meta(t, active)
+        t = _with_commit_time(_with_deletes_meta(t, active))
         try:
             fsio.write_parquet_exclusive(
                 t, snapshot_manifest_path(out_dir, version), token=token
@@ -1212,7 +1293,7 @@ def delete_rows_at(spark: SparkSession, out_dir: str,
         active = active_delete_files(out_dir, prev) + [
             {"file": dfile, "column": None, "positional": True}
         ]
-        t = _with_deletes_meta(t, active)
+        t = _with_commit_time(_with_deletes_meta(t, active))
         try:
             fsio.write_parquet_exclusive(
                 t, snapshot_manifest_path(out_dir, version), token=token
@@ -1338,7 +1419,7 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
     # the restored state includes its row-level delete set (a rollback
     # across a delete un-deletes; onto a deleted epoch re-deletes)
     restored_deletes = active_delete_files(out_dir, version)
-    t = _with_deletes_meta(t, restored_deletes)
+    t = _with_commit_time(_with_deletes_meta(t, restored_deletes))
     # metadata-only commit — retry version minting on a lost race (the
     # restored state is the fixed target snapshot either way)
     for _ in range(10):

@@ -180,6 +180,13 @@ def _plan(options) -> dict:
         type_of = {c: T.StringType() for c in all_cols}
 
     snapshot = options.get("snapshot")
+    as_of = options.get("as_of")
+    if as_of is not None:  # wall-clock time travel (epoch s / ISO-8601)
+        if snapshot is not None:
+            raise ValueError('pass option "snapshot" or "as_of", not both')
+        from fhirflat_spark.manifest import snapshot_as_of
+
+        snapshot = snapshot_as_of(path, as_of)
     if snapshot is not None:  # int version or tag name (manifest refs)
         from fhirflat_spark.manifest import resolve_snapshot
 
@@ -515,7 +522,7 @@ METADATA_DDL = {
     "snapshots": (
         "version INT, n_partitions BIGINT, rows BIGINT, raw_bytes BIGINT, "
         "encoded_bytes BIGINT, dataset_sha256 STRING, is_current BOOLEAN, "
-        "parent INT"
+        "parent INT, committed_at_us BIGINT"
     ),
     "partitions": (
         "part_id INT, n_chunks INT, rows BIGINT, raw_bytes BIGINT, "
@@ -566,7 +573,7 @@ class FhirflatMetadataReader(DataSourceReader):
              ("rows", pa.int64()), ("raw_bytes", pa.int64()),
              ("encoded_bytes", pa.int64()),
              ("dataset_sha256", pa.string()), ("is_current", pa.bool_()),
-             ("parent", pa.int32())]
+             ("parent", pa.int32()), ("committed_at_us", pa.int64())]
         ),
         "partitions": pa.schema(
             [("part_id", pa.int32()), ("n_chunks", pa.int32()),
@@ -629,11 +636,15 @@ class FhirflatMetadataReader(DataSourceReader):
                     int(meta[b"fhirflat.parent"]) or None
                     if b"fhirflat.parent" in meta else None
                 )
+                committed = (
+                    int(meta[b"fhirflat.committed_at_us"])
+                    if b"fhirflat.committed_at_us" in meta else None
+                )
                 rows.append(
                     (v, t.num_rows, sum(t["rows"].to_pylist()),
                      sum(t["raw_bytes"].to_pylist()),
                      sum(t["encoded_bytes"].to_pylist()), sha, v == cur,
-                     parent)
+                     parent, committed)
                 )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(list(c), type=f.type)
