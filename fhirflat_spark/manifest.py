@@ -266,6 +266,45 @@ def prune_part_ids_by_zones(out_dir: str, candidates: list[int],
     return keep
 
 
+def prune_part_ids_by_nulls(out_dir: str, candidates: list[int],
+                            checks: list[tuple]) -> list[int]:
+    """Partition pruning for pushed IS [NOT] NULL predicates from the
+    per-partition null rollups (stats v2 ``col_nulls``): a partition
+    whose null count for ``col`` is 0 has no IS NULL rows; one whose
+    null count equals its row count has no IS NOT NULL rows. Same
+    conservative contract as the zone variant — missing rollups, ids
+    absent from the manifest, and pre-v2 partitions are kept."""
+    try:
+        t = fsio.read_parquet(f"{out_dir}/manifest",
+                              columns=["part_id", "rows", "col_nulls"])
+    except (FileNotFoundError, pa.ArrowInvalid, KeyError):
+        return candidates
+    info = {
+        pid: (r, n) for pid, r, n in zip(
+            t["part_id"].to_pylist(), t["rows"].to_pylist(),
+            t["col_nulls"].to_pylist(),
+        )
+    }
+    keep = []
+    for pid in candidates:
+        rec = info.get(pid)
+        if rec is None or rec[1] is None:
+            keep.append(pid)
+            continue
+        rows, nulls = int(rec[0]), json.loads(rec[1])
+        ok = True
+        for col, want_null in checks:
+            n = nulls.get(col)
+            if n is None:
+                continue  # column untracked in this partition: keep
+            if (want_null and n == 0) or (not want_null and n >= rows):
+                ok = False
+                break
+        if ok:
+            keep.append(pid)
+    return keep
+
+
 def write_manifest(spark: SparkSession, out_dir: str, meta_rows: list,
                    new_deletes: list[dict] | None = None,
                    carry_deletes: bool = True,

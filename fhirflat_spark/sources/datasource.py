@@ -40,9 +40,12 @@ Design (scale-first):
   kernels as ``decode_table`` — no JVM row materialization on the input
   side at all; batches flow back over one Arrow channel.
 - **Filter pushdown prunes chunks, Spark keeps the exact residual.**
-  ``pushFilters`` accepts =, <, <=, >, >=, IN on stats'd columns and
-  turns them into zone-map intersection tests (plus Bloom probes on
-  bloom-encoded columns) evaluated per chunk BEFORE any payload decode.
+  ``pushFilters`` accepts =, <, <=, >, >=, IN on stats'd columns — plus
+  ``startswith`` on strings (compiled to the [prefix, next-prefix) zone
+  range) and IS [NOT] NULL (pruned via the per-chunk/partition null
+  counts) — and turns them into zone-map intersection tests (plus Bloom
+  probes on bloom-encoded columns) evaluated per chunk BEFORE any
+  payload decode.
   Every filter is returned to Spark unchanged: zones and Blooms
   overapproximate, so pruning is always conservative and the residual
   makes the answer exact.
@@ -88,8 +91,11 @@ try:  # filter-pushdown classes are 4.1+ — a 4.0 runtime keeps the
         GreaterThan,
         GreaterThanOrEqual,
         In,
+        IsNotNull,
+        IsNull,
         LessThan,
         LessThanOrEqual,
+        StringStartsWith,
     )
 
     HAVE_PUSHDOWN_API = True
@@ -292,7 +298,8 @@ class _ReadMixin:
 
     def _read_part(self, plan: dict, pid: int, zones: list, points: list,
                    seq_range: tuple[int, int] | None = None,
-                   rows: list | None = None):
+                   rows: list | None = None,
+                   nulls: list | None = None):
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
@@ -311,7 +318,8 @@ class _ReadMixin:
         ]
         extra = sorted({d["column"] for d in deletes} - set(columns))
         read_cols = columns + extra
-        need_stats = bool(zones or points)
+        nulls = nulls or []
+        need_stats = bool(zones or points or nulls)
 
         fs, inner = fsio.resolve(f"{path}/chunks/part_id={pid}")
         dset = pads.dataset(inner, filesystem=fs, format="parquet")
@@ -353,7 +361,14 @@ class _ReadMixin:
         col_set = set(columns)
         row_filters = [
             (c, op, v) for (c, op, v) in (rows or [])
-            if c in col_set and _row_filterable(arrow_of[c])
+            if c in col_set and (
+                op in ("nu", "nn")  # null tests are type-independent:
+                # Spark and Arrow agree on validity for every type
+                # (NaN is NOT null on either side)
+                or (op == "sw" and pa.types.is_string(arrow_of[c]))
+                or (op not in ("nu", "nn", "sw")
+                    and _row_filterable(arrow_of[c]))
+            )
         ]
         key_sets = {
             d["file"]: _delete_keys(path, d["file"]) for d in deletes
@@ -382,6 +397,12 @@ class _ReadMixin:
                         continue
                     if not all(
                         _bloom_keeps(stats, c, vals) for c, vals in points
+                    ):
+                        continue
+                    if nulls and not all(
+                        _null_keeps(stats, c, want_null, absent,
+                                    nrs[i].as_py())
+                        for c, want_null in nulls
                     ):
                         continue
                 def _cell(c):
@@ -461,6 +482,33 @@ _PC_OP = {
 }
 
 
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than every string starting with
+    ``prefix`` (exclusive upper bound for a starts-with range), or None
+    when no such string exists. UTF-8 byte order equals code-point
+    order, so Python string comparison against it matches Spark's
+    binary collation."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def _null_keeps(stats: dict, col: str, want_null: bool, absent: set,
+                n_rows: int) -> bool:
+    """Chunk-level IS [NOT] NULL pruning from the per-chunk null count
+    (stats v2). A column absent from the partition payload or from this
+    chunk's stats decodes as ALL nulls; stats without a ``nulls`` key
+    (pre-v2) keep the chunk — pruning must stay conservative."""
+    if col in absent or not isinstance(stats.get(col), dict):
+        return want_null  # every row null: IS NULL keeps, IS NOT NULL skips
+    n = stats[col].get("nulls")
+    if n is None:
+        return True
+    return n < n_rows if not want_null else n > 0
+
+
 def _pred_mask(arr: pa.Array, op: str, v):
     """Boolean keep-mask for one pushed predicate, or None when the
     literal does not coerce to the column type (keep every row — Spark's
@@ -469,7 +517,13 @@ def _pred_mask(arr: pa.Array, op: str, v):
     import pyarrow.compute as pc
 
     try:
-        if op == "in":
+        if op == "nu":
+            return pc.is_null(arr)
+        if op == "nn":
+            return pc.is_valid(arr)
+        if op == "sw":
+            hit = pc.starts_with(arr, pattern=v)
+        elif op == "in":
             hit = pc.is_in(arr, value_set=pa.array(list(v), type=arr.type))
         else:
             hit = getattr(pc, _PC_OP[op])(arr, v)
@@ -740,6 +794,7 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
         self._zones: list[tuple] = []  # (col, lo, hi) — None = unbounded
         self._points: list[tuple] = []  # (col, [values])
         self._rows: list[tuple] = []  # (col, op, value) row-level masks
+        self._nulls: list[tuple] = []  # (col, want_null) null-stat prunes
 
     def pushFilters(self, filters):
         """Record zone/Bloom pruning opportunities; return EVERY filter
@@ -783,6 +838,24 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
                     self._rows.append((col, "in", tuple(vals)))
                     if col in bloomed:
                         self._points.append((col, vals))
+            elif isinstance(f, StringStartsWith):
+                # a match satisfies prefix <= col < next(prefix): both
+                # reach zone pruning (string zones are stored as safe
+                # truncated bounds, so the intersection test stays
+                # conservative); the row mask is the exact starts_with
+                from pyspark.sql.types import StringType
+
+                if isinstance(self._plan_state["type_of"].get(col),
+                              StringType):
+                    upper = _prefix_upper(f.value)
+                    self._zones.append((col, f.value, upper))
+                    self._rows.append((col, "sw", f.value))
+            elif isinstance(f, IsNull):
+                self._nulls.append((col, True))
+                self._rows.append((col, "nu", None))
+            elif isinstance(f, IsNotNull):
+                self._nulls.append((col, False))
+                self._rows.append((col, "nn", None))
         return filters
 
     def partitions(self):
@@ -795,6 +868,14 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
             ids = prune_part_ids_by_zones(
                 self._plan_state["path"], ids, self._zones,
                 self._plan_state["type_of"],
+            )
+        if self._nulls:
+            # null-stat partition pruning: col_nulls rollups answer
+            # IS [NOT] NULL at partition granularity with zero chunk IO
+            from fhirflat_spark.manifest import prune_part_ids_by_nulls
+
+            ids = prune_part_ids_by_nulls(
+                self._plan_state["path"], ids, self._nulls
             )
         split = self._plan_state["split_chunks"]
         chunks_of = self._plan_state["chunks_of"]
@@ -822,7 +903,7 @@ class FhirflatBatchReader(DataSourceReader, _ReadMixin):
         )
         yield from self._read_part(
             self._plan_state, partition.part_id, self._zones, self._points,
-            seq_range=rng, rows=self._rows,
+            seq_range=rng, rows=self._rows, nulls=self._nulls,
         )
 
 

@@ -484,3 +484,123 @@ def test_row_filter_float_gate_nan_semantics(spark, tmp_path):
         r[0] for r in exp.select("id").collect()
     )
     assert nan_ids <= {r[0] for r in via_src.select("id").collect()}
+
+
+def test_prefix_upper_bounds():
+    from fhirflat_spark.sources.datasource import _prefix_upper
+
+    assert _prefix_upper("ab") == "ac"
+    assert _prefix_upper("a\U0010FFFF") == "b"
+    assert _prefix_upper("\U0010FFFF") is None
+    # every string starting with p sorts inside [p, _prefix_upper(p))
+    for p, probe in [("en", "enxyz"), ("z", "z"), ("é", "éa")]:
+        up = _prefix_upper(p)
+        assert p <= probe < up
+
+
+def test_pushdown_startswith_exact_rows(spark, ds_dir):
+    """StringStartsWith compiles to the [prefix, next-prefix) zone range
+    plus an exact starts_with row mask — only matching rows cross the
+    Python->JVM boundary, and the end-to-end answer equals decode."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    cur = decode_table(spark, ds_dir)
+    want = sorted(
+        r[0] for r in cur.where(F.col("lang").startswith("e"))
+        .select("doc_id").collect()
+    )
+    assert 0 < len(want) < cur.count()
+    rdr = FhirflatBatchReader({"path": ds_dir}, None)
+    rdr.pushFilters([StringStartsWith(("lang",), "e")])
+    got = sorted(
+        v.as_py() for p in rdr.partitions() for b in rdr.read(p)
+        for v in b.column(0)
+    )
+    assert got == want
+
+    via_src = (
+        spark.read.format("fhirflat").option("path", ds_dir).load()
+        .where(F.col("lang").startswith("e"))
+    )
+    assert sorted(r[0] for r in via_src.select("doc_id").collect()) == want
+
+
+def test_pushdown_null_checks_prune_partitions(spark, tmp_path):
+    """IS [NOT] NULL pushdown: partitions whose null rollup answers the
+    predicate never become tasks; surviving chunks row-mask exactly."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    out = str(tmp_path / "nulls")
+    valued = spark.range(0, 200).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("v"), F.col("id")).alias("opt"),
+    )
+    allnull = spark.range(200, 400).select(
+        F.col("id").cast("long").alias("id"),
+        F.lit(None).cast("string").alias("opt"),
+    )
+    encode_table(valued, out, rows_per_bucket=100)
+    append_table(allnull, out, rows_per_bucket=100)
+    register(spark)
+
+    base = FhirflatBatchReader({"path": out}, None)
+    n_all = len(base.partitions())
+
+    nn = FhirflatBatchReader({"path": out}, None)
+    nn.pushFilters([IsNotNull(("opt",))])
+    assert len(nn.partitions()) < n_all  # all-null partitions pruned
+    got_nn = sorted(
+        v.as_py() for p in nn.partitions() for b in nn.read(p)
+        for v in b.column(0)
+    )
+    assert got_nn == list(range(0, 200))
+
+    nu = FhirflatBatchReader({"path": out}, None)
+    nu.pushFilters([IsNull(("opt",))])
+    assert len(nu.partitions()) < n_all  # fully-valued partitions pruned
+    got_nu = sorted(
+        v.as_py() for p in nu.partitions() for b in nu.read(p)
+        for v in b.column(0)
+    )
+    assert got_nu == list(range(200, 400))
+
+    # end-to-end through the Spark plan, both predicates
+    df = spark.read.format("fhirflat").option("path", out).load()
+    assert df.where(F.col("opt").isNotNull()).count() == 200
+    assert df.where(F.col("opt").isNull()).count() == 200
+    assert sorted(
+        r[0] for r in df.where(F.col("opt").isNull()).select("id").collect()
+    ) == list(range(200, 400))
+
+
+def test_pushdown_null_checks_evolved_column(spark, tmp_path):
+    """A column added by schema evolution decodes as all-null in old
+    partitions — IS NOT NULL must skip those chunks (absent payload),
+    IS NULL must keep them, and answers must stay exact."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    out = str(tmp_path / "evo")
+    old = spark.range(0, 150).select(F.col("id").cast("long").alias("id"))
+    new = spark.range(150, 300).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("t"), F.col("id")).alias("tag"),
+    )
+    encode_table(old, out, rows_per_bucket=50)
+    append_table(new, out, rows_per_bucket=50)
+    register(spark)
+
+    nn = FhirflatBatchReader({"path": out}, None)
+    nn.pushFilters([IsNotNull(("tag",))])
+    ids = sorted(
+        v.as_py() for p in nn.partitions() for b in nn.read(p)
+        for v in b.column(0)
+    )
+    assert ids == list(range(150, 300))
+
+    nu = FhirflatBatchReader({"path": out}, None)
+    nu.pushFilters([IsNull(("tag",))])
+    ids_nu = sorted(
+        v.as_py() for p in nu.partitions() for b in nu.read(p)
+        for v in b.column(0)
+    )
+    assert ids_nu == list(range(0, 150))
