@@ -388,6 +388,50 @@ def selective_scan_stage(spark, src: str) -> dict:
     return st
 
 
+def encoded_groupby_stage(spark, out: str) -> dict:
+    """GROUP BY in the encoded domain (encoded_exec.py) vs the same
+    aggregate over a full decode: the encoded path reads ONE column's
+    chunk bytes (nested-schema pruning) and aggregates dict codes / RLE
+    runs without materializing values, emitting per-task partials — so
+    the exchange carries |tasks|x|distinct| rows at any table size.
+    Values asserted equal (correctness probe). Reuses the selective-scan
+    stage's repo-clustered 1M-row dataset."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encoded_exec import group_count_encoded
+
+    def _enc():
+        return group_count_encoded(spark, out, "lang").collect()
+
+    def _scan():
+        return (
+            decode_table(spark, out)
+            .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+        )
+
+    _enc()  # warmup
+    enc_s, scan_s = [], []
+    for _ in range(3):
+        t0 = time.time()
+        got = _enc()
+        enc_s.append(time.time() - t0)
+        t0 = time.time()
+        exp = _scan()
+        scan_s.append(time.time() - t0)
+    enc_s, scan_s = min(enc_s), min(scan_s)
+    assert {r["lang"]: r["cnt"] for r in got} == \
+        {r["lang"]: r["cnt"] for r in exp}
+    st = {
+        "groups": len(got),
+        "encoded_sec": round(enc_s, 3),
+        "scan_sec": round(scan_s, 3),
+        "speedup": round(scan_s / max(enc_s, 1e-6), 1),
+    }
+    print(f"  encoded_groupby: {st}", flush=True)
+    return st
+
+
 def replication_stage(spark, src: str) -> dict:
     """Changelog-applied mirror maintenance (replicate.py): one full
     sync of the table, then a ~1.2% delta window (1% upsert + 0.2%
@@ -716,6 +760,7 @@ def main() -> None:
     tok_idx = token_index_stage(spark, src)
     vec_idx = vector_index_stage(spark)
     sel_scan = selective_scan_stage(spark, src)
+    enc_gby = encoded_groupby_stage(spark, f"{SHM}/selscan_ds")
     repl = replication_stage(spark, src)
     key_counts = [
         (r[0], r["count"])
@@ -797,6 +842,7 @@ def main() -> None:
         "token_index": tok_idx,
         "vector_index": vec_idx,
         "selective_scan": sel_scan,
+        "encoded_groupby": enc_gby,
         "replication": repl,
         "bench_total_sec": total,
     }
@@ -882,6 +928,7 @@ def _compact(result: dict) -> dict:
             if result.get("selective_scan")
             else None
         ),
+        "encoded_groupby": result.get("encoded_groupby"),
         "replication": (
             {
                 k: result["replication"].get(k)
@@ -916,6 +963,7 @@ def _compact(result: dict) -> dict:
     if len(line) > 1900:  # hard guard: never regress past the driver buffer
         out.pop("metadata_agg", None)
         out.pop("selective_scan", None)
+        out.pop("encoded_groupby", None)
         out.pop("replication", None)
         out["queries"] = dict(list(result["queries"].items())[:6])
     return out
@@ -1152,6 +1200,22 @@ def _write_report(result: dict) -> None:
             f"full decode scan + filter ({ss['speedup']}x). Cost is "
             "∝ selectivity: at 100 TB the scan side is a table pass, the "
             "source side stays proportional to the hit range.",
+        ]
+    eg = result.get("encoded_groupby")
+    if eg:
+        lines += [
+            "",
+            "## Encoded-domain GROUP BY (operate on compressed data)",
+            "",
+            f"GROUP BY lang over the same 1M-row encoded table: "
+            f"{eg['encoded_sec']}s aggregating dict codes / RLE runs "
+            f"directly from one column's chunk bytes (values touched "
+            f"once per distinct — {eg['groups']} groups — never per "
+            f"row; only per-task partials shuffle) vs {eg['scan_sec']}s "
+            f"decode + Catalyst groupBy ({eg['speedup']}x). The gap is "
+            "the decode-and-materialize cost the encoded path skips; "
+            "both sides scale linearly in partitions, the exchange on "
+            "the encoded side stays |tasks|x|groups| at any table size.",
         ]
     rp = result.get("replication")
     if rp:

@@ -191,6 +191,17 @@ def main() -> None:
     vse.add_argument("--nprobe", type=int, default=4)
     vse.add_argument("--show", type=int, default=10)
 
+    gby = sub.add_parser(
+        "groupby",
+        help="encoded-domain GROUP BY: aggregate directly on compressed "
+             "chunks (dict codes / RLE runs), no row materialization",
+    )
+    gby.add_argument("--out", required=True)
+    gby.add_argument("--group", required=True, help="group column")
+    gby.add_argument("--value", help="integral value column: adds "
+                                     "sum/min/max (default: count only)")
+    gby.add_argument("--snapshot", default=None)
+    gby.add_argument("--show", type=int, default=20)
     rpl = sub.add_parser(
         "replicate", help="advance a mirror table to the source's "
         "current snapshot (changelog-applied; full sync on first call "
@@ -488,6 +499,25 @@ def main() -> None:
             "parts_total": read_summary(spark, args.out)["num_partitions"],
         }))
         res.show(args.show, truncate=40)
+    elif args.cmd == "groupby":
+        from pyspark.sql import functions as F
+
+        from fhirflat_spark.encoded_exec import (
+            group_agg_encoded,
+            group_count_encoded,
+        )
+
+        snap = args.snapshot
+        if snap is not None and str(snap).isdigit():
+            snap = int(snap)
+        if args.value:
+            df = group_agg_encoded(spark, args.out, args.group, args.value,
+                                   snapshot=snap)
+        else:
+            df = group_count_encoded(spark, args.out, args.group,
+                                     snapshot=snap)
+        df.orderBy(F.col(df.columns[1]).desc()).show(args.show, truncate=40)
+        print(json.dumps({"groups": df.count()}))
     elif args.cmd == "replicate":
         from fhirflat_spark.replicate import replicate_table
 

@@ -1,0 +1,385 @@
+"""Encoded-domain aggregation: GROUP BY directly on compressed chunks.
+
+The classic payoff of lightweight compression (C-Store / Abadi,
+"Integrating Compression and Execution in Column-Oriented Database
+Systems", SIGMOD'06) is that some operators can run on the encoded
+representation without ever materializing row values:
+
+- **dict** chunks: ``np.bincount`` over the bit-packed code stream +
+  the (tiny) dictionary — per-chunk work is O(rows) on small ints and
+  O(distinct) on the actual values; the strings themselves are touched
+  once per distinct value, not once per row.
+- **rle** chunks: the run-length stream *is* a pre-aggregated
+  (value, count) list — group-count needs no row materialization at
+  all, just a sum of run lengths per run value.
+- **constant** chunks: one (value, n_rows) pair straight from the
+  chunk header.
+- anything else (zstd/fsst/prefix strings, numeric streams) falls back
+  to a normal chunk decode followed by Arrow's C++ hash group-by — the
+  partial-aggregation shape is identical, only the per-chunk constant
+  factor differs.
+
+Both entry points emit **per-task partial aggregates** (one row per
+distinct group value per task — metadata-sized), so the only shuffle
+moves partials, never rows: on a 1000-executor scan of a 100-TB table
+the exchange carries |tasks| x |distinct| rows. The final merge is a
+plain Catalyst ``groupBy`` over that tiny frame.
+
+Correctness contract: results equal ``SELECT g, COUNT(*) ... GROUP BY
+g`` / ``SUM/MIN/MAX(v)`` with SQL NULL semantics (NULL is a group;
+SUM/MIN/MAX skip NULL values and return NULL for all-NULL groups).
+Mirrors the reference's summary statistics over flat bundles
+(reference fhirflat/ingest.py:381-432 records per-resource row counts
+in ``fhirflat.toml``) — here the counts come from the codec streams.
+
+Active row-level deletes are REFUSED (like
+``manifest.aggregate_from_metadata``): encoded chunks are physical,
+deletes are logical overlays — compact first, or use
+``decode_table(...).groupBy`` which applies the overlay.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fhirflat_spark.codecs import decode_array
+from fhirflat_spark.codecs.core import from_physical, unpack_bits
+from fhirflat_spark.codecs.kernels import _dec_sub, ipc_array
+
+
+def _keys_counts(blob) -> tuple[pa.Array, np.ndarray, int]:
+    """One chunk blob -> (distinct values, counts, null_count).
+
+    Stays in the encoded domain for dict/rle/constant; decodes + Arrow
+    ``value_counts`` otherwise. The returned ``values`` array is the
+    chunk's LOGICAL type and never longer than the chunk's distinct
+    count."""
+    from fhirflat_spark.codecs.core import unpack_chunk
+
+    codec, n, token, meta, secs = unpack_chunk(blob)
+    if n == 0:
+        return None, None, 0
+    if codec == "nullable":
+        vals, cnts, _ = _keys_counts(secs[1])
+        return vals, cnts, n - meta["valid"]
+    if codec == "constant":
+        one = from_physical(ipc_array(bytes(secs[0])), token)
+        return one.slice(0, 1), np.array([n], dtype=np.int64), 0
+    if codec == "dict":
+        codes = unpack_bits(secs[0], meta["width"], n).view(np.int64)
+        cnts = np.bincount(codes, minlength=meta["size"]).astype(np.int64)
+        vals = from_physical(_dec_sub(secs[1]), token)
+        return vals, cnts, 0
+    if codec == "rle":
+        lens = _dec_sub(secs[0]).to_numpy(zero_copy_only=False)
+        vals = from_physical(_dec_sub(secs[1]), token)
+        return vals, lens.astype(np.int64, copy=False), 0
+    arr = decode_array(blob)
+    nulls = arr.null_count
+    if nulls:
+        arr = arr.drop_null()
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(arr)
+    return (
+        vc.field("values"),
+        vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+        nulls,
+    )
+
+
+def _codes_keys(blob) -> tuple[np.ndarray, pa.Array]:
+    """One chunk blob -> (full-length group codes, code->value array).
+
+    ``codes[i] == -1`` marks a NULL group row; otherwise
+    ``keys[codes[i]]`` is row i's group value. Used where a second
+    column must be aggregated in row alignment with the groups — the
+    group VALUES still materialize only once per distinct (or per run),
+    never once per row."""
+    from fhirflat_spark.codecs.core import unpack_chunk
+
+    codec, n, token, meta, secs = unpack_chunk(blob)
+    if codec == "nullable":
+        valid = np.unpackbits(
+            np.frombuffer(secs[0], dtype=np.uint8), count=n
+        ).astype(bool)
+        inner_codes, keys = _codes_keys(secs[1])
+        codes = np.full(n, -1, dtype=np.int64)
+        codes[valid] = inner_codes
+        return codes, keys
+    if codec == "constant":
+        one = from_physical(ipc_array(bytes(secs[0])), token)
+        return np.zeros(n, dtype=np.int64), one.slice(0, 1)
+    if codec == "dict":
+        codes = unpack_bits(secs[0], meta["width"], n).view(np.int64)
+        return codes, from_physical(_dec_sub(secs[1]), token)
+    if codec == "rle":
+        lens = _dec_sub(secs[0]).to_numpy(zero_copy_only=False)
+        vals = from_physical(_dec_sub(secs[1]), token)
+        codes = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        return codes, vals
+    arr = decode_array(blob)
+    de = arr.dictionary_encode()
+    idx = de.indices
+    if idx.null_count:
+        codes = idx.fill_null(-1).to_numpy(zero_copy_only=False)
+    else:
+        codes = idx.to_numpy(zero_copy_only=False)
+    return codes.astype(np.int64, copy=False), de.dictionary
+
+
+def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
+               snapshot):
+    """Shared chunk-store scan plan: live/snapshot part pruning + nested
+    payload projection of exactly the needed columns. Returns
+    (pruned DataFrame with n_rows + one blob col per requested column,
+    spark field per column)."""
+    from fhirflat_spark.decode import (
+        _check_version,
+        _live_part_ids,
+        _part_range_predicate,
+    )
+    from fhirflat_spark.encode import chunk_schema
+    from fhirflat_spark.manifest import (
+        active_delete_files,
+        read_summary,
+        resolve_snapshot,
+        snapshot_part_ids,
+    )
+
+    summary = read_summary(spark, out_dir)
+    _check_version(summary)
+    all_cols = summary["columns"]
+    for c in cols:
+        if c not in all_cols:
+            raise ValueError(f"column {c!r} not in dataset columns {all_cols}")
+    if snapshot is not None:
+        snapshot = resolve_snapshot(out_dir, snapshot)
+    if active_delete_files(out_dir, snapshot):
+        raise ValueError(
+            "dataset has active row-level deletes: encoded-domain "
+            "aggregation reads physical chunks — run compact_table to "
+            "materialize deletes, or aggregate via decode_table().groupBy"
+        )
+    full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+    by_name = {f.name: f for f in full.fields}
+    for c in cols:
+        if isinstance(by_name[c].dataType,
+                      (T.ArrayType, T.MapType, T.StructType)):
+            raise ValueError(
+                f"column {c!r} is nested ({by_name[c].dataType.simpleString()})"
+                " — encoded-domain aggregation supports scalar columns"
+            )
+    field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
+    chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(
+        f"{out_dir}/chunks"
+    )
+    if snapshot is not None:
+        chunks = chunks.where(
+            F.col("part_id").isin(snapshot_part_ids(out_dir, snapshot))
+        )
+    else:
+        live = _live_part_ids(out_dir)
+        if live is not None:
+            chunks = chunks.where(_part_range_predicate(live))
+    pruned = chunks.select(
+        "n_rows",
+        *[F.col(f"payload.{field_of[c]}").alias(f"__b{j}")
+          for j, c in enumerate(cols)],
+    )
+    return pruned, [by_name[c] for c in cols]
+
+
+def _arrow_field(spark, field: T.StructField) -> pa.DataType:
+    from fhirflat_spark.decode import _arrow_types
+
+    return _arrow_types(spark, T.StructType([field]))[0]
+
+
+def group_count_encoded(spark: SparkSession, out_dir: str, column: str,
+                        snapshot: int | str | None = None) -> DataFrame:
+    """``SELECT column, COUNT(*) AS cnt FROM dataset GROUP BY column``
+    computed on the encoded chunks — dict/rle/constant chunks never
+    materialize a row's value (see module docstring). Exact, including
+    the NULL group."""
+    pruned, (gfield,) = _plan_scan(spark, out_dir, [column], snapshot)
+    at = _arrow_field(spark, gfield)
+    out_pa = pa.schema([pa.field("k", at), pa.field("cnt", pa.int64())])
+
+    def kernel(batches):
+        from fhirflat_spark.decode import _blob_view
+
+        keys: list[pa.Array] = []
+        counts: list[np.ndarray] = []
+        null_cnt = 0
+        for batch in batches:
+            nrs = batch.column("n_rows")
+            blobs = batch.column("__b0")
+            for i in range(batch.num_rows):  # chunk granularity (~16k rows)
+                if not blobs[i].is_valid:
+                    # schema evolution: chunk predates the column
+                    null_cnt += nrs[i].as_py()
+                    continue
+                vals, cnts, nc = _keys_counts(_blob_view(blobs, i))
+                null_cnt += nc
+                if vals is not None and len(vals):
+                    keys.append(vals.cast(at))
+                    counts.append(cnts)
+        if not keys and not null_cnt:
+            return
+        if keys:
+            t = pa.table({
+                "k": pa.concat_arrays(
+                    [k.combine_chunks() if isinstance(k, pa.ChunkedArray)
+                     else k for k in keys]
+                ),
+                "cnt": pa.array(np.concatenate(counts), type=pa.int64()),
+            })
+            merged = t.group_by("k").aggregate([("cnt", "sum")])
+            kcol = merged.column("k").combine_chunks()
+            ccol = merged.column("cnt_sum").cast(pa.int64()).combine_chunks()
+        else:
+            kcol = pa.array([], type=at)
+            ccol = pa.array([], type=pa.int64())
+        if null_cnt:
+            kcol = pa.concat_arrays([kcol, pa.nulls(1, type=at)])
+            ccol = pa.concat_arrays(
+                [ccol, pa.array([null_cnt], type=pa.int64())]
+            )
+        yield pa.RecordBatch.from_arrays([kcol, ccol], schema=out_pa)
+
+    partial = T.StructType([
+        T.StructField("k", gfield.dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+    partials = pruned.mapInArrow(kernel, schema=partial)
+    return (
+        partials.groupBy("k").agg(F.sum("cnt").alias("cnt"))
+        .withColumnRenamed("k", column)
+    )
+
+
+def group_agg_encoded(spark: SparkSession, out_dir: str, group_col: str,
+                      value_col: str,
+                      snapshot: int | str | None = None) -> DataFrame:
+    """``SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) GROUP BY g`` with the
+    GROUP side kept in the encoded domain (codes, not values) and the
+    value column decoded once per chunk. Output columns:
+    ``group_col, cnt, sum_{v}, min_{v}, max_{v}``.
+
+    ``value_col`` must be integral — int64 partial sums stay bit-exact
+    under re-aggregation (the same reason manifest col_sums track only
+    integer columns; float partial sums drift)."""
+    pruned, (gfield, vfield) = _plan_scan(
+        spark, out_dir, [group_col, value_col], snapshot
+    )
+    if not isinstance(vfield.dataType,
+                      (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"value column {value_col!r} is "
+            f"{vfield.dataType.simpleString()} — integral columns only "
+            "(float partial sums are not bit-exact)"
+        )
+    gat = _arrow_field(spark, gfield)
+    out_pa = pa.schema([
+        pa.field("k", gat), pa.field("cnt", pa.int64()),
+        pa.field("s", pa.int64()), pa.field("mn", pa.int64()),
+        pa.field("mx", pa.int64()),
+    ])
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        from fhirflat_spark.decode import _blob_view
+
+        parts: list[pa.Table] = []
+        for batch in batches:
+            nrs = batch.column("n_rows")
+            gblobs = batch.column("__b0")
+            vblobs = batch.column("__b1")
+            for i in range(batch.num_rows):
+                n = nrs[i].as_py()
+                if n == 0:
+                    continue
+                if gblobs[i].is_valid:
+                    codes, keys = _codes_keys(_blob_view(gblobs, i))
+                else:
+                    codes = np.full(n, -1, dtype=np.int64)
+                    keys = pa.array([], type=gat)
+                if vblobs[i].is_valid:
+                    vals = decode_array(_blob_view(vblobs, i)).cast(pa.int64())
+                else:
+                    vals = pa.nulls(n, type=pa.int64())
+                # group ids shifted +1: 0 is the NULL group
+                t = pa.table({"g": pa.array(codes + 1), "v": vals})
+                agg = t.group_by("g").aggregate(
+                    [("v", "sum"), ("v", "min"), ("v", "max"), ("g", "count")]
+                )
+                g = agg.column("g").to_numpy(zero_copy_only=False)
+                kc = pa.concat_arrays([
+                    pa.nulls(1, type=gat),
+                    keys.cast(gat).combine_chunks()
+                    if isinstance(keys, pa.ChunkedArray) else keys.cast(gat),
+                ])
+                parts.append(pa.table({
+                    "k": kc.take(pa.array(g)),
+                    "cnt": agg.column("g_count").cast(pa.int64()),
+                    "s": agg.column("v_sum").cast(pa.int64()),
+                    "mn": agg.column("v_min").cast(pa.int64()),
+                    "mx": agg.column("v_max").cast(pa.int64()),
+                }))
+        if not parts:
+            return
+        allp = pa.concat_tables(parts)
+        # second-level (task-wide) merge: SUM of partial sums must keep
+        # SQL semantics — arrow hash_sum skips nulls but returns 0 (not
+        # NULL) when min_count=0; min_count=1 preserves all-NULL -> NULL
+        opts = pc.ScalarAggregateOptions(min_count=1)
+        merged = allp.group_by("k").aggregate([
+            ("cnt", "sum"), ("s", "sum", opts),
+            ("mn", "min", opts), ("mx", "max", opts),
+        ])
+        yield pa.RecordBatch.from_arrays(
+            [
+                merged.column("k").combine_chunks().cast(gat),
+                merged.column("cnt_sum").cast(pa.int64()).combine_chunks(),
+                merged.column("s_sum").cast(pa.int64()).combine_chunks(),
+                merged.column("mn_min").cast(pa.int64()).combine_chunks(),
+                merged.column("mx_max").cast(pa.int64()).combine_chunks(),
+            ],
+            schema=out_pa,
+        )
+
+    partial = T.StructType([
+        T.StructField("k", gfield.dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("s", T.LongType(), True),
+        T.StructField("mn", T.LongType(), True),
+        T.StructField("mx", T.LongType(), True),
+    ])
+    partials = pruned.mapInArrow(kernel, schema=partial)
+    return (
+        partials.groupBy("k")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("s").alias(f"sum_{value_col}"),
+            F.min("mn").alias(f"min_{value_col}"),
+            F.max("mx").alias(f"max_{value_col}"),
+        )
+        .withColumnRenamed("k", group_col)
+    )
+
+
+def distinct_encoded(spark: SparkSession, out_dir: str, column: str,
+                     snapshot: int | str | None = None) -> DataFrame:
+    """``SELECT DISTINCT column`` from the encoded domain — the value
+    bytes are touched once per distinct (dictionary / run values), never
+    once per row."""
+    return group_count_encoded(spark, out_dir, column, snapshot).select(column)

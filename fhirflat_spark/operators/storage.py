@@ -1012,6 +1012,42 @@ def q_metadata_only_aggregate(spark, sf_dir):
     )
 
 
+def q_encoded_group_count(spark, sf_dir):
+    """GROUP BY executed in the ENCODED domain (encoded_exec.py):
+    dict/rle chunks contribute (dictionary, bincount-of-codes) /
+    (run values, run lengths) partials without materializing a single
+    row value; the only shuffle moves per-task partials. Must equal
+    plain SQL GROUP BY on the raw table."""
+    from fhirflat_spark.encoded_exec import group_count_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_count_encoded(spark, out, "lang")
+
+
+SQL_ENCODED_GROUP_COUNT = (
+    "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang"
+)
+
+
+def q_encoded_group_sum(spark, sf_dir):
+    """Grouped SUM/MIN/MAX with the group side kept as codes (the value
+    column decodes once per chunk; group strings materialize once per
+    distinct). int64 partials keep the sum bit-exact under
+    re-aggregation."""
+    from fhirflat_spark.encoded_exec import group_agg_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_agg_encoded(spark, out, "source", "n_chars")
+
+
+SQL_ENCODED_GROUP_SUM = (
+    "SELECT source, COUNT(*) AS cnt, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+    "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
+    "FROM documents GROUP BY source"
+)
+
+
 NDV_COLS = ("doc_id", "lang", "source")
 
 
@@ -1449,4 +1485,6 @@ QUERIES = {
     "replicated_view_mirror": (
         q_replicated_view_mirror, SQL_REPLICATED_VIEW_MIRROR,
     ),
+    "encoded_group_count": (q_encoded_group_count, SQL_ENCODED_GROUP_COUNT),
+    "encoded_group_sum": (q_encoded_group_sum, SQL_ENCODED_GROUP_SUM),
 }

@@ -1,0 +1,223 @@
+"""Encoded-domain aggregation (fhirflat_spark/encoded_exec.py): GROUP BY
+computed on compressed chunks must equal Catalyst groupBy on the decoded
+table — per codec (dict/rle/constant/fallback), under NULLs in both the
+group and value columns, across snapshots, and after schema evolution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fhirflat_spark.codecs import encode_array
+from fhirflat_spark.encode import append_table, encode_table
+from fhirflat_spark.encoded_exec import (
+    _codes_keys,
+    _keys_counts,
+    distinct_encoded,
+    group_agg_encoded,
+    group_count_encoded,
+)
+
+
+# ---------------------------------------------------------------------------
+# kernel-level: every codec path, directly on blobs
+# ---------------------------------------------------------------------------
+
+CODEC_CASES = [
+    ("dict", pa.array(["a", "b", "a", "c", "a", "b"])),
+    ("rle", pa.array(["x", "x", "x", "y", "y", "z"])),
+    ("constant", pa.array(["k"] * 7)),
+    ("zstd", pa.array(["p", "q", "p", "r"])),
+    ("for", pa.array([5, 5, 9, 5, 7], type=pa.int64())),
+    ("delta", pa.array([1, 2, 3, 4, 5], type=pa.int64())),
+]
+
+
+@pytest.mark.parametrize("codec,arr", CODEC_CASES, ids=[c for c, _ in CODEC_CASES])
+def test_keys_counts_per_codec(codec, arr):
+    blob = encode_array(arr, codec=codec)
+    vals, cnts, nulls = _keys_counts(blob)
+    got = dict(zip(vals.to_pylist(), cnts.tolist()))
+    # rle may repeat a value across runs — fold
+    import collections
+
+    folded = collections.Counter()
+    for v, c in zip(vals.to_pylist(), cnts.tolist()):
+        folded[v] += c
+    exp = collections.Counter(arr.to_pylist())
+    assert dict(folded) == dict(exp)
+    assert nulls == 0
+    assert int(sum(cnts)) == len(arr)
+    assert got is not None  # silence lints
+
+
+def test_keys_counts_nullable_wrapper():
+    arr = pa.array(["a", None, "a", None, "b", None])
+    blob = encode_array(arr, codec="dict")
+    vals, cnts, nulls = _keys_counts(blob)
+    assert nulls == 3
+    assert dict(zip(vals.to_pylist(), cnts.tolist())) == {"a": 2, "b": 1}
+
+
+@pytest.mark.parametrize("codec,arr", CODEC_CASES, ids=[c for c, _ in CODEC_CASES])
+def test_codes_keys_reconstruct(codec, arr):
+    blob = encode_array(arr, codec=codec)
+    codes, keys = _codes_keys(blob)
+    assert (codes >= 0).all()
+    rebuilt = keys.take(pa.array(codes)).to_pylist()
+    assert rebuilt == arr.to_pylist()
+
+
+def test_codes_keys_nullable():
+    arr = pa.array([None, "a", "b", None, "a"])
+    codes, keys = _codes_keys(encode_array(arr, codec="dict"))
+    assert list(codes < 0) == [True, False, False, True, False]
+    rebuilt = [
+        None if c < 0 else keys[c].as_py() for c in codes
+    ]
+    assert rebuilt == arr.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end over encoded datasets
+# ---------------------------------------------------------------------------
+
+
+def _null_frame(spark):
+    rows = []
+    rng = np.random.default_rng(7)
+    for i in range(800):
+        g = [None, "g0", "g1", "g2"][int(rng.integers(0, 4))]
+        v = None if rng.integers(0, 5) == 0 else int(rng.integers(-50, 50))
+        rows.append((i, g, v))
+    return spark.createDataFrame(
+        rows, "id BIGINT, grp STRING, val BIGINT"
+    )
+
+
+def _expect_agg(df, g, v):
+    return df.groupBy(g).agg(
+        F.count("*").alias("cnt"),
+        F.sum(v).alias(f"sum_{v}"),
+        F.min(v).alias(f"min_{v}"),
+        F.max(v).alias(f"max_{v}"),
+    )
+
+
+def _rows(df):
+    # repr-tuples: None sorts (rows may carry NULL groups/values)
+    return sorted(tuple(map(repr, r)) for r in df.collect())
+
+
+def test_group_count_and_agg_with_nulls(spark, tmp_path):
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    got = group_count_encoded(spark, out, "grp")
+    exp = df.groupBy("grp").agg(F.count("*").alias("cnt"))
+    assert _rows(got) == _rows(exp)
+
+    gota = group_agg_encoded(spark, out, "grp", "val")
+    assert _rows(gota) == _rows(_expect_agg(df, "grp", "val"))
+
+
+def test_group_agg_all_null_group_sum_is_null(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "b", 5)],
+        "id BIGINT, grp STRING, val BIGINT",
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=10)
+    got = {r["grp"]: r for r in group_agg_encoded(spark, out, "grp", "val").collect()}
+    assert got["a"]["sum_val"] is None
+    assert got["a"]["min_val"] is None
+    assert got["a"]["cnt"] == 2
+    assert got["b"]["sum_val"] == 5
+
+
+def test_schema_evolution_null_group(spark, tmp_path):
+    """Chunks written before the column existed count as the NULL group
+    (count) / NULL values (agg) — same as decode's typed null fill."""
+    out = str(tmp_path / "ds")
+    base = spark.createDataFrame([(i, f"g{i % 2}") for i in range(100)],
+                                 "id BIGINT, grp STRING")
+    encode_table(base, out, rows_per_bucket=50)
+    added = spark.createDataFrame(
+        [(1000 + i, f"g{i % 2}", i % 7) for i in range(60)],
+        "id BIGINT, grp STRING, extra BIGINT",
+    )
+    append_table(added, out, rows_per_bucket=50)
+    from fhirflat_spark.decode import decode_table
+
+    full = decode_table(spark, out)
+    assert _rows(group_count_encoded(spark, out, "extra")) == _rows(
+        full.groupBy("extra").agg(F.count("*").alias("cnt"))
+    )
+    assert _rows(group_agg_encoded(spark, out, "grp", "extra")) == _rows(
+        _expect_agg(full, "grp", "extra")
+    )
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    a = spark.createDataFrame([(i, "old") for i in range(50)],
+                              "id BIGINT, tag STRING")
+    b = spark.createDataFrame([(100 + i, "new") for i in range(30)],
+                              "id BIGINT, tag STRING")
+    encode_table(a, out, rows_per_bucket=25)
+    append_table(b, out, rows_per_bucket=25)
+    got1 = {r["tag"]: r["cnt"]
+            for r in group_count_encoded(spark, out, "tag", snapshot=1).collect()}
+    assert got1 == {"old": 50}
+    got2 = {r["tag"]: r["cnt"]
+            for r in group_count_encoded(spark, out, "tag").collect()}
+    assert got2 == {"old": 50, "new": 30}
+
+
+def test_refuses_deletes_nested_and_float(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(i, float(i), [1, 2]) for i in range(40)],
+        "id BIGINT, f DOUBLE, arr ARRAY<BIGINT>",
+    )
+    encode_table(df, out, rows_per_bucket=20)
+    with pytest.raises(ValueError, match="nested"):
+        group_count_encoded(spark, out, "arr")
+    with pytest.raises(ValueError, match="integral"):
+        group_agg_encoded(spark, out, "id", "f")
+    from fhirflat_spark.manifest import delete_rows
+
+    delete_rows(spark, out, "id", [3])
+    with pytest.raises(ValueError, match="deletes"):
+        group_count_encoded(spark, out, "id")
+
+
+def test_distinct_encoded(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["x", "y", None][i % 3]) for i in range(90)],
+        "id BIGINT, g STRING",
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=30)
+    got = sorted(
+        (r[0] or "") for r in distinct_encoded(spark, out, "g").collect()
+    )
+    assert got == ["", "x", "y"]
+
+
+def test_no_python_row_path_in_merge_plan(spark, tmp_path):
+    """The final merge is a Catalyst groupBy over partials: the plan must
+    show a partial+final HashAggregate over the mapInArrow output and no
+    per-row Python eval."""
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    plan = group_count_encoded(spark, out, "grp")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
