@@ -419,12 +419,35 @@ class _ReadMixin:
                 arrays = {}
                 mask = None
                 all_miss = False
+                enc_ctx: dict = {}
                 for c, op, v in row_filters:
-                    if c not in arrays:
-                        arrays[c] = _cell(c)
-                    hit = _pred_mask(arrays[c], op, v)
-                    if hit is None:  # type-mismatched literal: keep rows
-                        continue
+                    # dictionary-domain fast path: for dict/rle/constant
+                    # chunks the predicate runs against the DISTINCT
+                    # values (dictionary / run values) and maps through
+                    # the code stream — the filter column's row values
+                    # are never materialized while testing, and an
+                    # all-miss chunk costs one tiny dictionary decode
+                    # instead of a full column decompress
+                    if c not in arrays and c not in enc_ctx \
+                            and c not in absent:
+                        cell = batch.column(field_of[c])[i]
+                        enc_ctx[c] = (
+                            _encoded_filter_ctx(
+                                memoryview(cell.as_buffer()), arrow_of[c]
+                            )
+                            if cell.is_valid else None
+                        )
+                    ctx = enc_ctx.get(c) if c not in arrays else None
+                    if ctx is not None:
+                        hit = _encoded_pred_mask(ctx, op, v)
+                        if isinstance(hit, str):  # "keep": mistyped literal
+                            continue
+                    else:
+                        if c not in arrays:
+                            arrays[c] = _cell(c)
+                        hit = _pred_mask(arrays[c], op, v)
+                        if hit is None:  # mistyped literal: keep rows
+                            continue
                     mask = hit if mask is None else pc.and_(mask, hit)
                     if not pc.any(mask).as_py():
                         all_miss = True
@@ -433,7 +456,14 @@ class _ReadMixin:
                     continue  # remaining columns never decompressed
                 for c in read_cols:
                     if c not in arrays:
-                        arrays[c] = _cell(c)
+                        ctx = enc_ctx.get(c)
+                        if ctx is not None:
+                            # surviving chunk: rebuild the column from
+                            # the already-decoded (codes, keys) pair —
+                            # identical values/type to a fresh decode
+                            arrays[c] = _ctx_materialize(ctx)
+                        else:
+                            arrays[c] = _cell(c)
                 for d in deletes:
                     hit = pc.is_in(
                         arrays[d["column"]], value_set=key_sets[d["file"]]
@@ -531,6 +561,75 @@ def _pred_mask(arr: pa.Array, op: str, v):
     except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
             TypeError, OverflowError):
         return None
+
+
+def _encoded_filter_ctx(blob, target: pa.DataType) -> dict | None:
+    """Dictionary-domain filter context for one chunk blob, or None when
+    the chunk's codec does not expose a (codes, distinct-values) split.
+
+    For dict / rle / constant chunks (bare or nullable-wrapped) the
+    pushed predicate can be evaluated against the DISTINCT values and
+    broadcast through the integer code stream — O(distinct) value work
+    + O(rows) on small ints, instead of materializing every row's value
+    just to test it. ``keys`` is cast to the column's declared read type
+    so predicate semantics are byte-identical to the decoded path."""
+    from fhirflat_spark.codecs.core import CodecError, unpack_chunk
+
+    try:
+        codec, n, _token, _meta, secs = unpack_chunk(blob)
+        inner = codec
+        if codec == "nullable":
+            inner = unpack_chunk(secs[1])[0]
+        if inner not in ("dict", "rle", "constant"):
+            return None
+        from fhirflat_spark.encoded_exec import _codes_keys
+
+        codes, keys = _codes_keys(blob)
+    except (CodecError, KeyError, ValueError):
+        return None
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if keys.type != target:
+        try:
+            keys = keys.cast(target)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+    return {"codes": codes, "keys": keys, "n": n}
+
+
+def _encoded_pred_mask(ctx: dict, op: str, v):
+    """Row keep-mask for one pushed predicate evaluated in the encoded
+    domain: ``_pred_mask`` runs on the distinct values only, then the
+    boolean verdicts fan out through the code stream (NULL rows — code
+    -1 — fail value predicates, exactly like the decoded path's
+    fill_null(False)). Returns the literal string ``"keep"`` when the
+    literal does not coerce (mirror of ``_pred_mask``'s None)."""
+    import numpy as np
+
+    codes = ctx["codes"]
+    if op == "nu":
+        return pa.array(codes < 0)
+    if op == "nn":
+        return pa.array(codes >= 0)
+    key_pass = _pred_mask(ctx["keys"], op, v)
+    if key_pass is None:
+        return "keep"
+    kp = key_pass.to_numpy(zero_copy_only=False).astype(bool)
+    out = np.zeros(len(codes), dtype=bool)
+    pos = codes >= 0
+    if len(kp) and pos.any():
+        out[pos] = kp[codes[pos]]
+    return pa.array(out)
+
+
+def _ctx_materialize(ctx: dict) -> pa.Array:
+    """Rebuild the full column from an encoded filter context — the same
+    ``dictionary.take(codes)`` a fresh decode performs, reusing the
+    already-unpacked codes/keys instead of re-reading the blob."""
+    codes, keys = ctx["codes"], ctx["keys"]
+    if (codes < 0).any():
+        return keys.take(pa.array(codes, mask=codes < 0))
+    return keys.take(pa.array(codes))
 
 
 def _delete_positions(path: str, name: str, pid: int) -> pa.Table:
