@@ -197,7 +197,8 @@ def main() -> None:
              "chunks (dict codes / RLE runs), no row materialization",
     )
     gby.add_argument("--out", required=True)
-    gby.add_argument("--group", required=True, help="group column")
+    gby.add_argument("--group", required=True,
+                     help="group column (comma list = tuple GROUP BY)")
     gby.add_argument("--value", help="integral value column: adds "
                                      "sum/min/max (default: count only)")
     gby.add_argument("--snapshot", default=None)
@@ -510,13 +511,18 @@ def main() -> None:
         snap = args.snapshot
         if snap is not None and str(snap).isdigit():
             snap = int(snap)
+        gcols = [c.strip() for c in args.group.split(",") if c.strip()]
         if args.value:
-            df = group_agg_encoded(spark, args.out, args.group, args.value,
+            if len(gcols) != 1:
+                raise SystemExit("--value needs exactly one --group column")
+            df = group_agg_encoded(spark, args.out, gcols[0], args.value,
                                    snapshot=snap)
         else:
-            df = group_count_encoded(spark, args.out, args.group,
-                                     snapshot=snap)
-        df.orderBy(F.col(df.columns[1]).desc()).show(args.show, truncate=40)
+            df = group_count_encoded(
+                spark, args.out, gcols[0] if len(gcols) == 1 else gcols,
+                snapshot=snap,
+            )
+        df.orderBy(F.col("cnt").desc()).show(args.show, truncate=40)
         print(json.dumps({"groups": df.count()}))
     elif args.cmd == "replicate":
         from fhirflat_spark.replicate import replicate_table

@@ -203,12 +203,18 @@ def _arrow_field(spark, field: T.StructField) -> pa.DataType:
     return _arrow_types(spark, T.StructType([field]))[0]
 
 
-def group_count_encoded(spark: SparkSession, out_dir: str, column: str,
+def group_count_encoded(spark: SparkSession, out_dir: str,
+                        column: str | list[str],
                         snapshot: int | str | None = None) -> DataFrame:
-    """``SELECT column, COUNT(*) AS cnt FROM dataset GROUP BY column``
+    """``SELECT column(s), COUNT(*) AS cnt FROM dataset GROUP BY ...``
     computed on the encoded chunks — dict/rle/constant chunks never
     materialize a row's value (see module docstring). Exact, including
-    the NULL group."""
+    the NULL group(s). A list of columns groups on the tuple: per chunk
+    the per-column code streams combine into one mixed-radix id, so the
+    distinct work is O(rows) integer ops + O(distinct tuples) value
+    touches."""
+    if isinstance(column, (list, tuple)):
+        return _group_count_multi(spark, out_dir, list(column), snapshot)
     pruned, (gfield,) = _plan_scan(spark, out_dir, [column], snapshot)
     at = _arrow_field(spark, gfield)
     out_pa = pa.schema([pa.field("k", at), pa.field("cnt", pa.int64())])
@@ -264,6 +270,111 @@ def group_count_encoded(spark: SparkSession, out_dir: str, column: str,
         partials.groupBy("k").agg(F.sum("cnt").alias("cnt"))
         .withColumnRenamed("k", column)
     )
+
+
+def _group_count_multi(spark: SparkSession, out_dir: str,
+                       cols: list[str], snapshot,
+                       radix_cap: int = 1 << 62) -> DataFrame:
+    """Tuple GROUP BY in the encoded domain. Per chunk, each column's
+    code stream (code -1 = NULL, shifted +1) becomes a digit in a
+    mixed-radix combined id; ``np.unique`` over the ids yields the
+    distinct tuples + counts, and only those distinct tuples ever touch
+    the value arrays (``keys.take``). If the radix product would
+    overflow int64 (pathological per-chunk cardinalities) the chunk
+    falls back to materialize + Arrow hash group-by — same result."""
+    if len(cols) < 2:
+        raise ValueError("_group_count_multi needs >= 2 columns")
+    pruned, gfields = _plan_scan(spark, out_dir, cols, snapshot)
+    ats = [_arrow_field(spark, f) for f in gfields]
+    out_pa = pa.schema(
+        [pa.field(f"k{j}", at) for j, at in enumerate(ats)]
+        + [pa.field("cnt", pa.int64())]
+    )
+
+    def kernel(batches):
+        from fhirflat_spark.decode import _blob_view
+
+        parts: list[pa.Table] = []
+        for batch in batches:
+            nrs = batch.column("n_rows")
+            bcols = [batch.column(f"__b{j}") for j in range(len(cols))]
+            for i in range(batch.num_rows):
+                n = nrs[i].as_py()
+                if n == 0:
+                    continue
+                codes_l, keys_l = [], []
+                for j in range(len(cols)):
+                    if bcols[j][i].is_valid:
+                        cds, kys = _codes_keys(_blob_view(bcols[j], i))
+                    else:  # chunk predates the column: all-NULL digit
+                        cds = np.full(n, -1, dtype=np.int64)
+                        kys = pa.array([], type=ats[j])
+                    if isinstance(kys, pa.ChunkedArray):
+                        kys = kys.combine_chunks()
+                    codes_l.append(cds)
+                    keys_l.append(kys.cast(ats[j]))
+                radices = [len(k) + 1 for k in keys_l]
+                prod = 1
+                for r in radices:
+                    prod *= r
+                if prod < radix_cap:
+                    combined = np.zeros(n, dtype=np.int64)
+                    for cds, r in zip(codes_l, radices):
+                        combined = combined * r + (cds + 1)
+                    uniq, cnts = np.unique(combined, return_counts=True)
+                    digits = []
+                    rem = uniq
+                    for r in reversed(radices):
+                        digits.append(rem % r)
+                        rem = rem // r
+                    digits.reverse()
+                    arrays = {}
+                    for j, (d, kys) in enumerate(zip(digits, keys_l)):
+                        d0 = d - 1  # back to -1 = NULL
+                        idx = pa.array(d0, mask=d0 < 0)
+                        arrays[f"k{j}"] = kys.take(idx)
+                    arrays["cnt"] = pa.array(cnts.astype(np.int64))
+                    parts.append(pa.table(arrays))
+                else:  # per-chunk fallback: materialize + hash group-by
+                    t = pa.table({
+                        f"k{j}": kys.take(
+                            pa.array(cds, mask=cds < 0)
+                        )
+                        for j, (cds, kys) in enumerate(zip(codes_l, keys_l))
+                    })
+                    agg = t.group_by(
+                        [f"k{j}" for j in range(len(cols))],
+                        use_threads=False,
+                    ).aggregate([([], "count_all")])
+                    parts.append(pa.table(
+                        {f"k{j}": agg.column(f"k{j}")
+                         for j in range(len(cols))}
+                        | {"cnt": agg.column("count_all").cast(pa.int64())}
+                    ))
+        if not parts:
+            return
+        allp = pa.concat_tables(parts)
+        merged = allp.group_by([f"k{j}" for j in range(len(cols))],
+                               use_threads=False).aggregate([("cnt", "sum")])
+        yield pa.RecordBatch.from_arrays(
+            [merged.column(f"k{j}").combine_chunks().cast(ats[j])
+             for j in range(len(cols))]
+            + [merged.column("cnt_sum").cast(pa.int64()).combine_chunks()],
+            schema=out_pa,
+        )
+
+    partial = T.StructType(
+        [T.StructField(f"k{j}", f.dataType, True)
+         for j, f in enumerate(gfields)]
+        + [T.StructField("cnt", T.LongType(), False)]
+    )
+    partials = pruned.mapInArrow(kernel, schema=partial)
+    merged = partials.groupBy(*[f"k{j}" for j in range(len(cols))]).agg(
+        F.sum("cnt").alias("cnt")
+    )
+    for j, c in enumerate(cols):
+        merged = merged.withColumnRenamed(f"k{j}", c)
+    return merged
 
 
 def group_agg_encoded(spark: SparkSession, out_dir: str, group_col: str,

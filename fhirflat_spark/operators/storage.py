@@ -1048,6 +1048,22 @@ SQL_ENCODED_GROUP_SUM = (
 )
 
 
+def q_encoded_group_count_multi(spark, sf_dir):
+    """Tuple GROUP BY in the encoded domain: per chunk the two code
+    streams combine into one mixed-radix id; only distinct (lang,
+    source) pairs ever touch the string values."""
+    from fhirflat_spark.encoded_exec import group_count_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_count_encoded(spark, out, ["lang", "source"])
+
+
+SQL_ENCODED_GROUP_COUNT_MULTI = (
+    "SELECT lang, source, COUNT(*) AS cnt FROM documents "
+    "GROUP BY lang, source"
+)
+
+
 NDV_COLS = ("doc_id", "lang", "source")
 
 
@@ -1487,4 +1503,7 @@ QUERIES = {
     ),
     "encoded_group_count": (q_encoded_group_count, SQL_ENCODED_GROUP_COUNT),
     "encoded_group_sum": (q_encoded_group_sum, SQL_ENCODED_GROUP_SUM),
+    "encoded_group_count_multi": (
+        q_encoded_group_count_multi, SQL_ENCODED_GROUP_COUNT_MULTI,
+    ),
 }

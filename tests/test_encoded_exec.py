@@ -210,6 +210,42 @@ def test_distinct_encoded(spark, tmp_path):
     assert got == ["", "x", "y"]
 
 
+def test_group_count_multi_with_nulls_and_evolution(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [(i, ["a", None, "b"][i % 3], ["x", "y"][i % 2])
+         for i in range(300)],
+        "id BIGINT, g1 STRING, g2 STRING",
+    )
+    encode_table(base, out, rows_per_bucket=100)
+    added = spark.createDataFrame(
+        [(1000 + i, "c", ["x", None][i % 2], i % 4) for i in range(120)],
+        "id BIGINT, g1 STRING, g2 STRING, g3 BIGINT",
+    )
+    append_table(added, out, rows_per_bucket=100)
+    from fhirflat_spark.decode import decode_table
+
+    full = decode_table(spark, out)
+    got = group_count_encoded(spark, out, ["g1", "g2", "g3"])
+    exp = full.groupBy("g1", "g2", "g3").agg(F.count("*").alias("cnt"))
+    assert _rows(got) == _rows(exp)
+
+
+def test_group_count_multi_radix_fallback(spark, tmp_path):
+    """A radix cap of 1 forces every chunk through the materialize +
+    Arrow hash group-by fallback — results must be identical."""
+    from fhirflat_spark.encoded_exec import _group_count_multi
+
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    fast = group_count_encoded(spark, out, ["grp", "val"])
+    slow = _group_count_multi(spark, out, ["grp", "val"], None, radix_cap=1)
+    exp = df.groupBy("grp", "val").agg(F.count("*").alias("cnt"))
+    assert _rows(fast) == _rows(exp)
+    assert _rows(slow) == _rows(exp)
+
+
 def test_no_python_row_path_in_merge_plan(spark, tmp_path):
     """The final merge is a Catalyst groupBy over partials: the plan must
     show a partial+final HashAggregate over the mapInArrow output and no

@@ -103,6 +103,27 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
                 true = vals[int(q * (len(vals) - 1))]
                 assert abs(est - true) <= ALPHA * abs(true) + 1e-9, (
                     f"{where} q={q} est={est} true={true}")
+        # encoded-domain group-by: exact vs the model when servable,
+        # REFUSED (never silently wrong) while deletes are active
+        from fhirflat_spark.encoded_exec import group_count_encoded
+        from fhirflat_spark.manifest import active_delete_files
+
+        try:
+            got = {
+                r["lang"]: r["cnt"]
+                for r in group_count_encoded(spark, out, "lang").collect()
+            }
+        except ValueError:
+            assert active_delete_files(out), (
+                f"{where}: encoded group-by refused without active deletes"
+            )
+        else:
+            import collections
+
+            exp = collections.Counter(v[1] for v in model.values())
+            assert got == dict(exp), (
+                f"{where}: encoded group-by diverged from the model"
+            )
     # history of (version, model snapshot) for the CURRENT lineage
     history = [(current_snapshot(out), dict(model))]
     tags: dict[str, dict] = {}
