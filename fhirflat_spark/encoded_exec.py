@@ -377,20 +377,7 @@ def _group_count_multi(spark: SparkSession, out_dir: str,
     return merged
 
 
-def group_agg_encoded(spark: SparkSession, out_dir: str, group_col: str,
-                      value_col: str,
-                      snapshot: int | str | None = None) -> DataFrame:
-    """``SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) GROUP BY g`` with the
-    GROUP side kept in the encoded domain (codes, not values) and the
-    value column decoded once per chunk. Output columns:
-    ``group_col, cnt, sum_{v}, min_{v}, max_{v}``.
-
-    ``value_col`` must be integral — int64 partial sums stay bit-exact
-    under re-aggregation (the same reason manifest col_sums track only
-    integer columns; float partial sums drift)."""
-    pruned, (gfield, vfield) = _plan_scan(
-        spark, out_dir, [group_col, value_col], snapshot
-    )
+def _check_integral(vfield: T.StructField, value_col: str) -> None:
     if not isinstance(vfield.dataType,
                       (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         raise ValueError(
@@ -398,6 +385,29 @@ def group_agg_encoded(spark: SparkSession, out_dir: str, group_col: str,
             f"{vfield.dataType.simpleString()} — integral columns only "
             "(float partial sums are not bit-exact)"
         )
+
+
+def group_agg_encoded(spark: SparkSession, out_dir: str,
+                      group_col: str | list[str],
+                      value_col: str,
+                      snapshot: int | str | None = None) -> DataFrame:
+    """``SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) GROUP BY g`` with the
+    GROUP side kept in the encoded domain (codes, not values) and the
+    value column decoded once per chunk. Output columns:
+    ``group_col(s), cnt, sum_{v}, min_{v}, max_{v}``. A list of group
+    columns groups on the tuple (mixed-radix combined codes, as in
+    :func:`group_count_encoded`).
+
+    ``value_col`` must be integral — int64 partial sums stay bit-exact
+    under re-aggregation (the same reason manifest col_sums track only
+    integer columns; float partial sums drift)."""
+    if isinstance(group_col, (list, tuple)):
+        return _group_agg_multi(spark, out_dir, list(group_col), value_col,
+                                snapshot)
+    pruned, (gfield, vfield) = _plan_scan(
+        spark, out_dir, [group_col, value_col], snapshot
+    )
+    _check_integral(vfield, value_col)
     gat = _arrow_field(spark, gfield)
     out_pa = pa.schema([
         pa.field("k", gat), pa.field("cnt", pa.int64()),
@@ -486,6 +496,147 @@ def group_agg_encoded(spark: SparkSession, out_dir: str, group_col: str,
         )
         .withColumnRenamed("k", group_col)
     )
+
+
+def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
+                     value_col: str, snapshot,
+                     radix_cap: int = 1 << 62) -> DataFrame:
+    """Tuple-grouped COUNT/SUM/MIN/MAX: the group columns stay encoded
+    (mixed-radix combined code stream), the value column decodes once
+    per chunk; Arrow's hash aggregate runs over small ints and the
+    distinct tuples materialize once per chunk, never per row."""
+    if len(gcols) < 2:
+        raise ValueError("_group_agg_multi needs >= 2 group columns")
+    pruned, fields = _plan_scan(spark, out_dir, gcols + [value_col],
+                                snapshot)
+    gfields, vfield = fields[:-1], fields[-1]
+    _check_integral(vfield, value_col)
+    ats = [_arrow_field(spark, f) for f in gfields]
+    kf = [pa.field(f"k{j}", at) for j, at in enumerate(ats)]
+    out_pa = pa.schema(kf + [
+        pa.field("cnt", pa.int64()), pa.field("s", pa.int64()),
+        pa.field("mn", pa.int64()), pa.field("mx", pa.int64()),
+    ])
+    nk = len(gcols)
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        from fhirflat_spark.decode import _blob_view
+
+        parts: list[pa.Table] = []
+        for batch in batches:
+            nrs = batch.column("n_rows")
+            bcols = [batch.column(f"__b{j}") for j in range(nk + 1)]
+            for i in range(batch.num_rows):
+                n = nrs[i].as_py()
+                if n == 0:
+                    continue
+                codes_l, keys_l = [], []
+                for j in range(nk):
+                    if bcols[j][i].is_valid:
+                        cds, kys = _codes_keys(_blob_view(bcols[j], i))
+                    else:
+                        cds = np.full(n, -1, dtype=np.int64)
+                        kys = pa.array([], type=ats[j])
+                    if isinstance(kys, pa.ChunkedArray):
+                        kys = kys.combine_chunks()
+                    codes_l.append(cds)
+                    keys_l.append(kys.cast(ats[j]))
+                if bcols[nk][i].is_valid:
+                    vals = decode_array(
+                        _blob_view(bcols[nk], i)
+                    ).cast(pa.int64())
+                else:
+                    vals = pa.nulls(n, type=pa.int64())
+                radices = [len(k) + 1 for k in keys_l]
+                prod = 1
+                for r in radices:
+                    prod *= r
+                if prod < radix_cap:
+                    combined = np.zeros(n, dtype=np.int64)
+                    for cds, r in zip(codes_l, radices):
+                        combined = combined * r + (cds + 1)
+                    t = pa.table({"g": pa.array(combined), "v": vals})
+                    agg = t.group_by("g", use_threads=False).aggregate(
+                        [("v", "sum"), ("v", "min"), ("v", "max"),
+                         ("g", "count")]
+                    )
+                    g = agg.column("g").to_numpy(zero_copy_only=False)
+                    arrays = {}
+                    rem = g
+                    digits = []
+                    for r in reversed(radices):
+                        digits.append(rem % r)
+                        rem = rem // r
+                    digits.reverse()
+                    for j, (d, kys) in enumerate(zip(digits, keys_l)):
+                        d0 = d - 1
+                        arrays[f"k{j}"] = kys.take(
+                            pa.array(d0, mask=d0 < 0)
+                        )
+                else:  # overflow fallback: materialize the group tuple
+                    t = pa.table(
+                        {f"k{j}": kys.take(pa.array(cds, mask=cds < 0))
+                         for j, (cds, kys) in
+                         enumerate(zip(codes_l, keys_l))}
+                        | {"v": vals}
+                    )
+                    agg = t.group_by(
+                        [f"k{j}" for j in range(nk)], use_threads=False
+                    ).aggregate(
+                        [("v", "sum"), ("v", "min"), ("v", "max"),
+                         ([], "count_all")]
+                    )
+                    arrays = {f"k{j}": agg.column(f"k{j}")
+                              for j in range(nk)}
+                cnt_col = (
+                    agg.column("g_count") if "g_count" in agg.column_names
+                    else agg.column("count_all")
+                )
+                arrays["cnt"] = cnt_col.cast(pa.int64())
+                arrays["s"] = agg.column("v_sum").cast(pa.int64())
+                arrays["mn"] = agg.column("v_min").cast(pa.int64())
+                arrays["mx"] = agg.column("v_max").cast(pa.int64())
+                parts.append(pa.table(arrays))
+        if not parts:
+            return
+        allp = pa.concat_tables(parts)
+        opts = pc.ScalarAggregateOptions(min_count=1)
+        merged = allp.group_by(
+            [f"k{j}" for j in range(nk)], use_threads=False
+        ).aggregate([
+            ("cnt", "sum"), ("s", "sum", opts),
+            ("mn", "min", opts), ("mx", "max", opts),
+        ])
+        yield pa.RecordBatch.from_arrays(
+            [merged.column(f"k{j}").combine_chunks().cast(ats[j])
+             for j in range(nk)]
+            + [merged.column("cnt_sum").cast(pa.int64()).combine_chunks(),
+               merged.column("s_sum").cast(pa.int64()).combine_chunks(),
+               merged.column("mn_min").cast(pa.int64()).combine_chunks(),
+               merged.column("mx_max").cast(pa.int64()).combine_chunks()],
+            schema=out_pa,
+        )
+
+    partial = T.StructType(
+        [T.StructField(f"k{j}", f.dataType, True)
+         for j, f in enumerate(gfields)]
+        + [T.StructField("cnt", T.LongType(), False),
+           T.StructField("s", T.LongType(), True),
+           T.StructField("mn", T.LongType(), True),
+           T.StructField("mx", T.LongType(), True)]
+    )
+    partials = pruned.mapInArrow(kernel, schema=partial)
+    merged = partials.groupBy(*[f"k{j}" for j in range(nk)]).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("s").alias(f"sum_{value_col}"),
+        F.min("mn").alias(f"min_{value_col}"),
+        F.max("mx").alias(f"max_{value_col}"),
+    )
+    for j, c in enumerate(gcols):
+        merged = merged.withColumnRenamed(f"k{j}", c)
+    return merged
 
 
 def distinct_encoded(spark: SparkSession, out_dir: str, column: str,

@@ -1064,6 +1064,23 @@ SQL_ENCODED_GROUP_COUNT_MULTI = (
 )
 
 
+def q_encoded_group_agg_multi(spark, sf_dir):
+    """Tuple-grouped SUM/MIN/MAX: group columns stay as combined codes,
+    the int value column decodes once per chunk."""
+    from fhirflat_spark.encoded_exec import group_agg_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_agg_encoded(spark, out, ["lang", "source"], "n_chars")
+
+
+SQL_ENCODED_GROUP_AGG_MULTI = (
+    "SELECT lang, source, COUNT(*) AS cnt, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+    "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
+    "FROM documents GROUP BY lang, source"
+)
+
+
 NDV_COLS = ("doc_id", "lang", "source")
 
 
@@ -1505,5 +1522,8 @@ QUERIES = {
     "encoded_group_sum": (q_encoded_group_sum, SQL_ENCODED_GROUP_SUM),
     "encoded_group_count_multi": (
         q_encoded_group_count_multi, SQL_ENCODED_GROUP_COUNT_MULTI,
+    ),
+    "encoded_group_agg_multi": (
+        q_encoded_group_agg_multi, SQL_ENCODED_GROUP_AGG_MULTI,
     ),
 }

@@ -246,6 +246,38 @@ def test_group_count_multi_radix_fallback(spark, tmp_path):
     assert _rows(slow) == _rows(exp)
 
 
+def _expect_agg_multi(df, gcols, v):
+    return df.groupBy(*gcols).agg(
+        F.count("*").alias("cnt"),
+        F.sum(v).alias(f"sum_{v}"),
+        F.min(v).alias(f"min_{v}"),
+        F.max(v).alias(f"max_{v}"),
+    )
+
+
+def test_group_agg_multi_with_nulls(spark, tmp_path):
+    df = _null_frame(spark).withColumn(
+        "g2", (F.col("id") % 3).cast("string")
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    got = group_agg_encoded(spark, out, ["grp", "g2"], "val")
+    assert _rows(got) == _rows(_expect_agg_multi(df, ["grp", "g2"], "val"))
+
+
+def test_group_agg_multi_radix_fallback(spark, tmp_path):
+    from fhirflat_spark.encoded_exec import _group_agg_multi
+
+    df = _null_frame(spark).withColumn(
+        "g2", (F.col("id") % 3).cast("string")
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    slow = _group_agg_multi(spark, out, ["grp", "g2"], "val", None,
+                            radix_cap=1)
+    assert _rows(slow) == _rows(_expect_agg_multi(df, ["grp", "g2"], "val"))
+
+
 def test_no_python_row_path_in_merge_plan(spark, tmp_path):
     """The final merge is a Catalyst groupBy over partials: the plan must
     show a partial+final HashAggregate over the mapInArrow output and no
