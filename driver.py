@@ -202,6 +202,10 @@ def main() -> None:
     gby.add_argument("--value", help="integral value column: adds "
                                      "sum/min/max (default: count only)")
     gby.add_argument("--snapshot", default=None)
+    gby.add_argument("--where", default=None,
+                     help="conjunctive filters, e.g. "
+                          "'source=web,n_chars>=200' (ops = != is not "
+                          "supported: = < <= > >=; int literals auto-cast)")
     gby.add_argument("--show", type=int, default=20)
     rpl = sub.add_parser(
         "replicate", help="advance a mirror table to the source's "
@@ -512,15 +516,30 @@ def main() -> None:
         if snap is not None and str(snap).isdigit():
             snap = int(snap)
         gcols = [c.strip() for c in args.group.split(",") if c.strip()]
+        where = None
+        if args.where:
+            import re
+
+            where = []
+            for spec in args.where.split(","):
+                mm = re.fullmatch(r"\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*",
+                                  spec)
+                if not mm:
+                    raise SystemExit(f"bad --where clause {spec!r}")
+                col, sym, lit = mm.groups()
+                op = {"=": "eq", "<": "lt", "<=": "le",
+                      ">": "gt", ">=": "ge"}[sym]
+                v = int(lit) if re.fullmatch(r"-?\d+", lit) else lit
+                where.append((col, op, v))
         if args.value:
             if len(gcols) != 1:
                 raise SystemExit("--value needs exactly one --group column")
             df = group_agg_encoded(spark, args.out, gcols[0], args.value,
-                                   snapshot=snap)
+                                   snapshot=snap, where=where)
         else:
             df = group_count_encoded(
                 spark, args.out, gcols[0] if len(gcols) == 1 else gcols,
-                snapshot=snap,
+                snapshot=snap, where=where,
             )
         df.orderBy(F.col("cnt").desc()).show(args.show, truncate=40)
         print(json.dumps({"groups": df.count()}))

@@ -135,12 +135,169 @@ def _codes_keys(blob) -> tuple[np.ndarray, pa.Array]:
     return codes.astype(np.int64, copy=False), de.dictionary
 
 
+_WHERE_OPS = ("eq", "lt", "le", "gt", "ge", "in", "sw", "nu", "nn")
+
+
+def _normalize_where(where) -> list[tuple]:
+    if where is None:
+        return []
+    preds = [where] if isinstance(where, tuple) else list(where)
+    out = []
+    for p in preds:
+        if len(p) == 2:  # (col, "nu"/"nn") null tests carry no literal
+            p = (p[0], p[1], None)
+        col, op, v = p
+        if op not in _WHERE_OPS:
+            raise ValueError(f"where op {op!r}: expected one of {_WHERE_OPS}")
+        out.append((col, op, v))
+    return out
+
+
+def _validate_where(preds: list[tuple], by_name: dict, spark) -> None:
+    """Driver-side exactness gate: unlike the named source's pushed
+    filters (where Spark re-applies the full predicate as a residual),
+    an encoded-domain aggregate IS the final answer — so predicates are
+    restricted to types whose Arrow comparison equals Spark/SQL
+    semantics (binary-collated strings, integers, booleans; floats
+    excluded: Spark orders NaN above everything), and a literal that
+    does not coerce RAISES instead of silently keeping rows."""
+    from fhirflat_spark.sources.datasource import _row_filterable
+
+    for col, op, v in preds:
+        if col not in by_name:
+            raise ValueError(f"where column {col!r} not in dataset")
+        if op in ("nu", "nn"):
+            continue
+        at = _arrow_field(spark, by_name[col])
+        if not _row_filterable(at) or (
+            op == "sw" and not pa.types.is_string(at)
+        ):
+            raise ValueError(
+                f"where on {col!r} ({at}): only string/integer/boolean "
+                "columns support exact encoded-domain predicates"
+            )
+        vals = list(v) if op == "in" else [v]
+        if op == "sw":
+            if not isinstance(v, str):
+                raise ValueError("sw (starts-with) needs a string literal")
+            continue
+        for x in vals:
+            try:
+                pa.scalar(x, type=at)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError,
+                    OverflowError) as e:
+                raise ValueError(
+                    f"where literal {x!r} does not coerce to {col!r} "
+                    f"({at}) — no residual exists to correct it"
+                ) from e
+
+
+def _where_zones(preds: list[tuple]) -> list[tuple]:
+    """Conservative (col, lo, hi) zone triples for partition/chunk
+    pruning; ops that don't bound a range contribute nothing."""
+    zones = []
+    for col, op, v in preds:
+        if op == "eq":
+            zones.append((col, v, v))
+        elif op in ("lt", "le"):
+            zones.append((col, None, v))
+        elif op in ("gt", "ge"):
+            zones.append((col, v, None))
+        elif op == "in" and v is not None and len(v):
+            try:
+                zones.append((col, min(v), max(v)))
+            except TypeError:
+                pass
+        elif op == "sw":
+            from fhirflat_spark.sources.datasource import _prefix_upper
+
+            hi = _prefix_upper(v)
+            zones.append((col, v, hi))
+    return zones
+
+
+def _chunk_mask(fplan: dict, batch, i: int, n: int):
+    """Evaluate a filter plan against one chunk: returns ``None`` (no
+    filters), the string ``"skip"`` (chunk-level zone/Bloom prune or
+    all-miss row mask), or a boolean numpy keep-mask of length n.
+
+    Per-column evaluation prefers the dictionary domain
+    (``_encoded_filter_ctx``) — the same machinery the named source's
+    row filters use — and falls back to a full chunk decode +
+    ``_pred_mask`` for heavy codecs. A ``_pred_mask`` None here is a
+    bug (literals were validated driver-side), so it raises."""
+    if not fplan["preds"]:
+        return None
+    import json as _json
+
+    from fhirflat_spark.sources.datasource import (
+        _bloom_keeps,
+        _encoded_filter_ctx,
+        _encoded_pred_mask,
+        _pred_mask,
+        _zone_keeps,
+    )
+
+    if fplan["zones"] or fplan["points"]:
+        stats = _json.loads(batch.column("stats")[i].as_py())
+        for col, lo, hi in fplan["zones"]:
+            if not _zone_keeps(stats, col, fplan["type_of"][col], lo, hi):
+                return "skip"
+        for col, vals in fplan["points"]:
+            if not _bloom_keeps(stats, col, vals):
+                return "skip"
+    mask = None
+    ctxs = {}
+    decoded = {}
+    for col, op, v in fplan["preds"]:
+        at = fplan["arrow_of"][col]
+        if col not in ctxs and col not in decoded:
+            cell = batch.column(fplan["blob_of"][col])[i]
+            if not cell.is_valid:  # chunk predates the column: all NULL
+                decoded[col] = pa.nulls(n, type=at)
+                ctxs[col] = None
+            else:
+                ctxs[col] = _encoded_filter_ctx(
+                    memoryview(cell.as_buffer()), at
+                )
+                if ctxs[col] is None:
+                    decoded[col] = decode_array(
+                        memoryview(cell.as_buffer())
+                    )
+                    if decoded[col].type != at:
+                        decoded[col] = decoded[col].cast(at)
+        if ctxs.get(col) is not None:
+            hit = _encoded_pred_mask(ctxs[col], op, v)
+            if isinstance(hit, str):
+                raise RuntimeError(
+                    f"validated literal failed to coerce on {col!r}"
+                )
+        else:
+            hit = _pred_mask(decoded[col], op, v)
+            if hit is None:
+                raise RuntimeError(
+                    f"validated literal failed to coerce on {col!r}"
+                )
+        hm = hit.to_numpy(zero_copy_only=False).astype(bool)
+        mask = hm if mask is None else (mask & hm)
+        if not mask.any():
+            return "skip"
+    return mask
+
+
 def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
-               snapshot):
+               snapshot, where=None):
     """Shared chunk-store scan plan: live/snapshot part pruning + nested
     payload projection of exactly the needed columns. Returns
     (pruned DataFrame with n_rows + one blob col per requested column,
-    spark field per column)."""
+    spark field per column, filter plan for ``_chunk_mask``).
+
+    ``where`` — one ``(col, op, literal)`` or a conjunctive list; ops
+    eq/lt/le/gt/ge/in/sw/nu/nn. Pushdown stacks exactly like the named
+    source: partition-level manifest zones → chunk-level zones + Bloom
+    → dictionary-domain (or decoded) row masks — except here the result
+    is FINAL (no Spark residual), so literals/types are validated
+    up front and refused when exactness cannot be guaranteed."""
     from fhirflat_spark.decode import (
         _check_version,
         _live_part_ids,
@@ -157,7 +314,11 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
     summary = read_summary(spark, out_dir)
     _check_version(summary)
     all_cols = summary["columns"]
-    for c in cols:
+    preds = _normalize_where(where)
+    scan_cols = list(cols) + [
+        c for c in dict.fromkeys(p[0] for p in preds) if c not in cols
+    ]
+    for c in scan_cols:
         if c not in all_cols:
             raise ValueError(f"column {c!r} not in dataset columns {all_cols}")
     if snapshot is not None:
@@ -177,24 +338,55 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
                 f"column {c!r} is nested ({by_name[c].dataType.simpleString()})"
                 " — encoded-domain aggregation supports scalar columns"
             )
+    _validate_where(preds, by_name, spark)
+    zones = _where_zones(preds)
+    type_of = {p[0]: by_name[p[0]].dataType for p in preds}
+    points = [
+        (c, [v] if op == "eq" else list(v))
+        for c, op, v in preds
+        if op in ("eq", "in")
+        and c in set(summary.get("bloom_columns", ()))
+    ]
+    live = None
+    if snapshot is not None:
+        ids = snapshot_part_ids(out_dir, snapshot)
+    else:
+        ids = _live_part_ids(out_dir)
+    if zones and ids is not None:
+        # partition-level pruning from the manifest's column zones —
+        # metadata-only, before any chunk file is listed
+        from fhirflat_spark.manifest import prune_part_ids_by_zones
+
+        ids = prune_part_ids_by_zones(out_dir, ids, zones, type_of)
     field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
     chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(
         f"{out_dir}/chunks"
     )
     if snapshot is not None:
-        chunks = chunks.where(
-            F.col("part_id").isin(snapshot_part_ids(out_dir, snapshot))
-        )
-    else:
-        live = _live_part_ids(out_dir)
-        if live is not None:
-            chunks = chunks.where(_part_range_predicate(live))
+        if ids is not None:
+            chunks = chunks.where(F.col("part_id").isin(ids))
+    elif ids is not None:
+        chunks = chunks.where(_part_range_predicate(ids))
     pruned = chunks.select(
         "n_rows",
+        *(["stats"] if preds else []),
         *[F.col(f"payload.{field_of[c]}").alias(f"__b{j}")
-          for j, c in enumerate(cols)],
+          for j, c in enumerate(scan_cols)],
     )
-    return pruned, [by_name[c] for c in cols]
+    fplan = {
+        "preds": preds,
+        "zones": zones,
+        "points": points,
+        "type_of": type_of,
+        "arrow_of": {
+            p[0]: _arrow_field(spark, by_name[p[0]]) for p in preds
+        },
+        "blob_of": {
+            c: f"__b{scan_cols.index(c)}"
+            for c in dict.fromkeys(p[0] for p in preds)
+        },
+    }
+    return pruned, [by_name[c] for c in cols], fplan
 
 
 def _arrow_field(spark, field: T.StructField) -> pa.DataType:
@@ -205,17 +397,23 @@ def _arrow_field(spark, field: T.StructField) -> pa.DataType:
 
 def group_count_encoded(spark: SparkSession, out_dir: str,
                         column: str | list[str],
-                        snapshot: int | str | None = None) -> DataFrame:
-    """``SELECT column(s), COUNT(*) AS cnt FROM dataset GROUP BY ...``
-    computed on the encoded chunks — dict/rle/constant chunks never
-    materialize a row's value (see module docstring). Exact, including
-    the NULL group(s). A list of columns groups on the tuple: per chunk
-    the per-column code streams combine into one mixed-radix id, so the
-    distinct work is O(rows) integer ops + O(distinct tuples) value
-    touches."""
+                        snapshot: int | str | None = None,
+                        where=None) -> DataFrame:
+    """``SELECT column(s), COUNT(*) AS cnt FROM dataset [WHERE ...]
+    GROUP BY ...`` computed on the encoded chunks — dict/rle/constant
+    chunks never materialize a row's value (see module docstring).
+    Exact, including the NULL group(s). A list of columns groups on the
+    tuple: per chunk the per-column code streams combine into one
+    mixed-radix id, so the distinct work is O(rows) integer ops +
+    O(distinct tuples) value touches. ``where`` pushes conjunctive
+    predicates down the zone → Bloom → dictionary-domain row-mask tower
+    (see ``_plan_scan``); exactness is validated up front since no
+    residual re-check exists."""
     if isinstance(column, (list, tuple)):
-        return _group_count_multi(spark, out_dir, list(column), snapshot)
-    pruned, (gfield,) = _plan_scan(spark, out_dir, [column], snapshot)
+        return _group_count_multi(spark, out_dir, list(column), snapshot,
+                                  where=where)
+    pruned, (gfield,), fplan = _plan_scan(spark, out_dir, [column],
+                                          snapshot, where=where)
     at = _arrow_field(spark, gfield)
     out_pa = pa.schema([pa.field("k", at), pa.field("cnt", pa.int64())])
 
@@ -229,11 +427,30 @@ def group_count_encoded(spark: SparkSession, out_dir: str,
             nrs = batch.column("n_rows")
             blobs = batch.column("__b0")
             for i in range(batch.num_rows):  # chunk granularity (~16k rows)
+                n = nrs[i].as_py()
+                m = _chunk_mask(fplan, batch, i, n)
+                if isinstance(m, str):  # zone/Bloom/row-mask chunk skip
+                    continue
                 if not blobs[i].is_valid:
                     # schema evolution: chunk predates the column
-                    null_cnt += nrs[i].as_py()
+                    null_cnt += n if m is None else int(m.sum())
                     continue
-                vals, cnts, nc = _keys_counts(_blob_view(blobs, i))
+                if m is None:
+                    vals, cnts, nc = _keys_counts(_blob_view(blobs, i))
+                else:
+                    # filtered: needs row alignment — codes path
+                    codes, kys = _codes_keys(_blob_view(blobs, i))
+                    codes = codes[m]
+                    nc = int((codes < 0).sum())
+                    posc = codes[codes >= 0]
+                    if isinstance(kys, pa.ChunkedArray):
+                        kys = kys.combine_chunks()
+                    cnts = np.bincount(
+                        posc, minlength=len(kys)
+                    ).astype(np.int64)
+                    nz = np.flatnonzero(cnts)
+                    vals = kys.take(pa.array(nz)) if len(nz) else None
+                    cnts = cnts[nz]
                 null_cnt += nc
                 if vals is not None and len(vals):
                     keys.append(vals.cast(at))
@@ -274,7 +491,8 @@ def group_count_encoded(spark: SparkSession, out_dir: str,
 
 def _group_count_multi(spark: SparkSession, out_dir: str,
                        cols: list[str], snapshot,
-                       radix_cap: int = 1 << 62) -> DataFrame:
+                       radix_cap: int = 1 << 62,
+                       where=None) -> DataFrame:
     """Tuple GROUP BY in the encoded domain. Per chunk, each column's
     code stream (code -1 = NULL, shifted +1) becomes a digit in a
     mixed-radix combined id; ``np.unique`` over the ids yields the
@@ -284,7 +502,8 @@ def _group_count_multi(spark: SparkSession, out_dir: str,
     falls back to materialize + Arrow hash group-by — same result."""
     if len(cols) < 2:
         raise ValueError("_group_count_multi needs >= 2 columns")
-    pruned, gfields = _plan_scan(spark, out_dir, cols, snapshot)
+    pruned, gfields, fplan = _plan_scan(spark, out_dir, cols, snapshot,
+                                        where=where)
     ats = [_arrow_field(spark, f) for f in gfields]
     out_pa = pa.schema(
         [pa.field(f"k{j}", at) for j, at in enumerate(ats)]
@@ -302,6 +521,9 @@ def _group_count_multi(spark: SparkSession, out_dir: str,
                 n = nrs[i].as_py()
                 if n == 0:
                     continue
+                m = _chunk_mask(fplan, batch, i, n)
+                if isinstance(m, str):
+                    continue
                 codes_l, keys_l = [], []
                 for j in range(len(cols)):
                     if bcols[j][i].is_valid:
@@ -311,8 +533,12 @@ def _group_count_multi(spark: SparkSession, out_dir: str,
                         kys = pa.array([], type=ats[j])
                     if isinstance(kys, pa.ChunkedArray):
                         kys = kys.combine_chunks()
-                    codes_l.append(cds)
+                    codes_l.append(cds if m is None else cds[m])
                     keys_l.append(kys.cast(ats[j]))
+                if m is not None:
+                    n = int(m.sum())
+                    if n == 0:
+                        continue
                 radices = [len(k) + 1 for k in keys_l]
                 prod = 1
                 for r in radices:
@@ -390,7 +616,8 @@ def _check_integral(vfield: T.StructField, value_col: str) -> None:
 def group_agg_encoded(spark: SparkSession, out_dir: str,
                       group_col: str | list[str],
                       value_col: str,
-                      snapshot: int | str | None = None) -> DataFrame:
+                      snapshot: int | str | None = None,
+                      where=None) -> DataFrame:
     """``SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) GROUP BY g`` with the
     GROUP side kept in the encoded domain (codes, not values) and the
     value column decoded once per chunk. Output columns:
@@ -400,12 +627,13 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
 
     ``value_col`` must be integral — int64 partial sums stay bit-exact
     under re-aggregation (the same reason manifest col_sums track only
-    integer columns; float partial sums drift)."""
+    integer columns; float partial sums drift). ``where`` as in
+    :func:`group_count_encoded`."""
     if isinstance(group_col, (list, tuple)):
         return _group_agg_multi(spark, out_dir, list(group_col), value_col,
-                                snapshot)
-    pruned, (gfield, vfield) = _plan_scan(
-        spark, out_dir, [group_col, value_col], snapshot
+                                snapshot, where=where)
+    pruned, (gfield, vfield), fplan = _plan_scan(
+        spark, out_dir, [group_col, value_col], snapshot, where=where
     )
     _check_integral(vfield, value_col)
     gat = _arrow_field(spark, gfield)
@@ -429,6 +657,9 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                 n = nrs[i].as_py()
                 if n == 0:
                     continue
+                m = _chunk_mask(fplan, batch, i, n)
+                if isinstance(m, str):
+                    continue
                 if gblobs[i].is_valid:
                     codes, keys = _codes_keys(_blob_view(gblobs, i))
                 else:
@@ -438,6 +669,11 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                     vals = decode_array(_blob_view(vblobs, i)).cast(pa.int64())
                 else:
                     vals = pa.nulls(n, type=pa.int64())
+                if m is not None:
+                    codes = codes[m]
+                    vals = vals.filter(pa.array(m))
+                    if len(codes) == 0:
+                        continue
                 # group ids shifted +1: 0 is the NULL group
                 t = pa.table({"g": pa.array(codes + 1), "v": vals})
                 agg = t.group_by("g").aggregate(
@@ -500,15 +736,15 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
 
 def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
                      value_col: str, snapshot,
-                     radix_cap: int = 1 << 62) -> DataFrame:
+                     radix_cap: int = 1 << 62, where=None) -> DataFrame:
     """Tuple-grouped COUNT/SUM/MIN/MAX: the group columns stay encoded
     (mixed-radix combined code stream), the value column decodes once
     per chunk; Arrow's hash aggregate runs over small ints and the
     distinct tuples materialize once per chunk, never per row."""
     if len(gcols) < 2:
         raise ValueError("_group_agg_multi needs >= 2 group columns")
-    pruned, fields = _plan_scan(spark, out_dir, gcols + [value_col],
-                                snapshot)
+    pruned, fields, fplan = _plan_scan(spark, out_dir, gcols + [value_col],
+                                       snapshot, where=where)
     gfields, vfield = fields[:-1], fields[-1]
     _check_integral(vfield, value_col)
     ats = [_arrow_field(spark, f) for f in gfields]
@@ -532,6 +768,9 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
                 n = nrs[i].as_py()
                 if n == 0:
                     continue
+                m = _chunk_mask(fplan, batch, i, n)
+                if isinstance(m, str):
+                    continue
                 codes_l, keys_l = [], []
                 for j in range(nk):
                     if bcols[j][i].is_valid:
@@ -541,7 +780,7 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
                         kys = pa.array([], type=ats[j])
                     if isinstance(kys, pa.ChunkedArray):
                         kys = kys.combine_chunks()
-                    codes_l.append(cds)
+                    codes_l.append(cds if m is None else cds[m])
                     keys_l.append(kys.cast(ats[j]))
                 if bcols[nk][i].is_valid:
                     vals = decode_array(
@@ -549,6 +788,11 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
                     ).cast(pa.int64())
                 else:
                     vals = pa.nulls(n, type=pa.int64())
+                if m is not None:
+                    vals = vals.filter(pa.array(m))
+                    n = int(m.sum())
+                    if n == 0:
+                        continue
                 radices = [len(k) + 1 for k in keys_l]
                 prod = 1
                 for r in radices:
@@ -639,9 +883,32 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
     return merged
 
 
+def group_count_distinct_encoded(spark: SparkSession, out_dir: str,
+                                 group_col: str, distinct_col: str,
+                                 snapshot: int | str | None = None,
+                                 where=None) -> DataFrame:
+    """``SELECT g, COUNT(DISTINCT d) AS cntd_{d} FROM dataset GROUP BY
+    g`` — exact, from the encoded domain: the distinct (g, d) pairs fall
+    out of the tuple group-count (unique combined codes per chunk), so
+    the shuffle carries distinct pairs, never rows; the final count is a
+    Catalyst aggregate over that pair set. NULL d values don't count
+    (SQL COUNT(DISTINCT) semantics); a NULL group still appears."""
+    pairs = group_count_encoded(
+        spark, out_dir, [group_col, distinct_col], snapshot, where=where
+    )
+    return pairs.groupBy(group_col).agg(
+        F.sum(
+            F.when(F.col(distinct_col).isNotNull(), 1).otherwise(0)
+        ).cast("long").alias(f"cntd_{distinct_col}")
+    )
+
+
 def distinct_encoded(spark: SparkSession, out_dir: str, column: str,
-                     snapshot: int | str | None = None) -> DataFrame:
+                     snapshot: int | str | None = None,
+                     where=None) -> DataFrame:
     """``SELECT DISTINCT column`` from the encoded domain — the value
     bytes are touched once per distinct (dictionary / run values), never
     once per row."""
-    return group_count_encoded(spark, out_dir, column, snapshot).select(column)
+    return group_count_encoded(
+        spark, out_dir, column, snapshot, where=where
+    ).select(column)

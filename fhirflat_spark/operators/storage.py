@@ -1081,6 +1081,46 @@ SQL_ENCODED_GROUP_AGG_MULTI = (
 )
 
 
+def q_encoded_count_distinct(spark, sf_dir):
+    """Grouped COUNT(DISTINCT) from the encoded domain: the distinct
+    (lang, source) pairs come from unique combined codes per chunk —
+    the shuffle carries pairs, never rows."""
+    from fhirflat_spark.encoded_exec import group_count_distinct_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_count_distinct_encoded(spark, out, "lang", "source")
+
+
+SQL_ENCODED_COUNT_DISTINCT = (
+    "SELECT lang, COUNT(DISTINCT source) AS cntd_source "
+    "FROM documents GROUP BY lang"
+)
+
+
+def q_encoded_group_where(spark, sf_dir):
+    """Filtered encoded aggregation: WHERE pushes down the partition-
+    zone → chunk-zone → Bloom → dictionary-domain row-mask tower before
+    the group partials form — a selective GROUP BY whose cost tracks
+    the hit set, not the table. Exactness is validated up front (no
+    Spark residual exists on this path)."""
+    from fhirflat_spark.encoded_exec import group_agg_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_agg_encoded(
+        spark, out, "lang", "n_chars",
+        where=[("source", "eq", "web"), ("n_chars", "ge", 200)],
+    )
+
+
+SQL_ENCODED_GROUP_WHERE = (
+    "SELECT lang, COUNT(*) AS cnt, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+    "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
+    "FROM documents WHERE source = 'web' AND n_chars >= 200 "
+    "GROUP BY lang"
+)
+
+
 NDV_COLS = ("doc_id", "lang", "source")
 
 
@@ -1526,4 +1566,8 @@ QUERIES = {
     "encoded_group_agg_multi": (
         q_encoded_group_agg_multi, SQL_ENCODED_GROUP_AGG_MULTI,
     ),
+    "encoded_count_distinct": (
+        q_encoded_count_distinct, SQL_ENCODED_COUNT_DISTINCT,
+    ),
+    "encoded_group_where": (q_encoded_group_where, SQL_ENCODED_GROUP_WHERE),
 }

@@ -278,6 +278,88 @@ def test_group_agg_multi_radix_fallback(spark, tmp_path):
     assert _rows(slow) == _rows(_expect_agg_multi(df, ["grp", "g2"], "val"))
 
 
+def test_group_count_distinct(spark, tmp_path):
+    from fhirflat_spark.encoded_exec import group_count_distinct_encoded
+
+    df = _null_frame(spark)  # grp has NULLs, val has NULLs
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    got = group_count_distinct_encoded(spark, out, "grp", "val")
+    exp = df.groupBy("grp").agg(
+        F.count_distinct("val").cast("long").alias("cntd_val")
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_where_pushdown_matches_spark(spark, tmp_path):
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    cases = [
+        ("grp", "eq", "g1"),
+        ("val", "ge", 10),
+        [("val", "ge", -20), ("val", "lt", 30)],
+        ("grp", "nu", None),
+        ("grp", "nn", None),
+        ("grp", "in", ("g0", "g2")),
+        ("grp", "sw", "g"),
+        ("grp", "eq", "nonexistent"),
+    ]
+    sql_of = {
+        "eq": "{c} = {v}", "ge": "{c} >= {v}", "lt": "{c} < {v}",
+        "nu": "{c} IS NULL", "nn": "{c} IS NOT NULL",
+    }
+
+    def _sql(p):
+        c, op, v = p
+        if op == "in":
+            return f"{c} IN {tuple(v)}"
+        if op == "sw":
+            return f"{c} LIKE '{v}%'"
+        lit = f"'{v}'" if isinstance(v, str) else v
+        return sql_of[op].format(c=c, v=lit)
+
+    for w in cases:
+        preds = [w] if isinstance(w, tuple) else w
+        cond = " AND ".join(_sql(p) for p in preds)
+        got = group_count_encoded(spark, out, "grp", where=w)
+        exp = df.where(cond).groupBy("grp").agg(F.count("*").alias("cnt"))
+        assert _rows(got) == _rows(exp), w
+        gota = group_agg_encoded(spark, out, "grp", "val", where=w)
+        assert _rows(gota) == _rows(
+            _expect_agg(df.where(cond), "grp", "val")
+        ), w
+
+
+def test_where_with_snapshot(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    a = spark.createDataFrame([(i, "old", i) for i in range(60)],
+                              "id BIGINT, tag STRING, n BIGINT")
+    b = spark.createDataFrame([(100 + i, "new", i) for i in range(40)],
+                              "id BIGINT, tag STRING, n BIGINT")
+    encode_table(a, out, rows_per_bucket=30)
+    append_table(b, out, rows_per_bucket=30)
+    got = {r["tag"]: r["cnt"] for r in group_count_encoded(
+        spark, out, "tag", snapshot=1, where=("n", "lt", 10)
+    ).collect()}
+    assert got == {"old": 10}
+
+
+def test_where_refusals(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i), "x") for i in range(40)],
+        "id BIGINT, f DOUBLE, s STRING",
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=20)
+    with pytest.raises(ValueError, match="string/integer/boolean"):
+        group_count_encoded(spark, out, "s", where=("f", "eq", 3.0))
+    with pytest.raises(ValueError, match="coerce"):
+        group_count_encoded(spark, out, "s", where=("id", "eq", "abc"))
+    with pytest.raises(ValueError, match="where op"):
+        group_count_encoded(spark, out, "s", where=("id", "!=", 3))
+
+
 def test_no_python_row_path_in_merge_plan(spark, tmp_path):
     """The final merge is a Catalyst groupBy over partials: the plan must
     show a partial+final HashAggregate over the mapInArrow output and no
