@@ -903,6 +903,86 @@ def group_count_distinct_encoded(spark: SparkSession, out_dir: str,
     )
 
 
+def count_encoded(spark: SparkSession, out_dir: str, where=None,
+                  snapshot: int | str | None = None) -> int:
+    """``SELECT COUNT(*) FROM dataset [WHERE ...]`` — with no filter
+    this is pure chunk-header arithmetic (n_rows column; zero payload
+    IO, like ``aggregate_from_metadata`` but snapshot-scoped through
+    the same scan plan); with a filter, only the predicate columns'
+    bytes are read and the count is the mask popcount. Returns a
+    Python int (the partial frame is |tasks| rows)."""
+    pruned, _, fplan = _plan_scan(spark, out_dir, [], snapshot,
+                                  where=where)
+    if not fplan["preds"]:
+        row = pruned.agg(F.sum("n_rows").alias("c")).collect()[0]
+        return int(row["c"] or 0)
+
+    def kernel(batches):
+        total = 0
+        for batch in batches:
+            nrs = batch.column("n_rows")
+            for i in range(batch.num_rows):
+                n = nrs[i].as_py()
+                m = _chunk_mask(fplan, batch, i, n)
+                if isinstance(m, str):
+                    continue
+                total += n if m is None else int(m.sum())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([total], type=pa.int64())], names=["c"]
+        )
+
+    partials = pruned.mapInArrow(
+        kernel, schema=T.StructType([T.StructField("c", T.LongType())])
+    )
+    row = partials.agg(F.sum("c").alias("c")).collect()[0]
+    return int(row["c"] or 0)
+
+
+def sum_encoded(spark: SparkSession, out_dir: str, value_col: str,
+                where=None,
+                snapshot: int | str | None = None) -> int | None:
+    """``SELECT SUM(v) FROM dataset [WHERE ...]`` for an integral
+    column — the value column decodes once per chunk (skipped entirely
+    for zone/Bloom/row-mask-missed chunks), everything else stays
+    unread. Returns None for the SQL all-NULL/empty case."""
+    pruned, (vfield,), fplan = _plan_scan(spark, out_dir, [value_col],
+                                          snapshot, where=where)
+    _check_integral(vfield, value_col)
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        from fhirflat_spark.decode import _blob_view
+
+        total = 0
+        seen = 0
+        for batch in batches:
+            nrs = batch.column("n_rows")
+            blobs = batch.column("__b0")
+            for i in range(batch.num_rows):
+                n = nrs[i].as_py()
+                m = _chunk_mask(fplan, batch, i, n)
+                if isinstance(m, str) or not blobs[i].is_valid:
+                    continue
+                vals = decode_array(_blob_view(blobs, i)).cast(pa.int64())
+                if m is not None:
+                    vals = vals.filter(pa.array(m))
+                s = pc.sum(vals, min_count=1).as_py()
+                if s is not None:
+                    total += s
+                    seen += 1
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([total if seen else None], type=pa.int64())],
+            names=["s"],
+        )
+
+    partials = pruned.mapInArrow(
+        kernel, schema=T.StructType([T.StructField("s", T.LongType())])
+    )
+    row = partials.agg(F.sum("s").alias("s")).collect()[0]
+    return None if row["s"] is None else int(row["s"])
+
+
 def distinct_encoded(spark: SparkSession, out_dir: str, column: str,
                      snapshot: int | str | None = None,
                      where=None) -> DataFrame:

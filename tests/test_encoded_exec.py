@@ -360,6 +360,24 @@ def test_where_refusals(spark, tmp_path):
         group_count_encoded(spark, out, "s", where=("id", "!=", 3))
 
 
+def test_count_and_sum_encoded(spark, tmp_path):
+    from fhirflat_spark.encoded_exec import count_encoded, sum_encoded
+
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    assert count_encoded(spark, out) == df.count()
+    assert count_encoded(spark, out, where=("grp", "eq", "g1")) == \
+        df.where("grp = 'g1'").count()
+    assert count_encoded(spark, out, where=("grp", "eq", "zz")) == 0
+    exp = df.where("val >= 0").agg(F.sum("val")).collect()[0][0]
+    assert sum_encoded(spark, out, "val", where=("val", "ge", 0)) == exp
+    assert sum_encoded(spark, out, "val") == \
+        df.agg(F.sum("val")).collect()[0][0]
+    # SQL semantics: empty/all-filtered SUM is NULL, COUNT is 0
+    assert sum_encoded(spark, out, "val", where=("grp", "eq", "zz")) is None
+
+
 def test_no_python_row_path_in_merge_plan(spark, tmp_path):
     """The final merge is a Catalyst groupBy over partials: the plan must
     show a partial+final HashAggregate over the mapInArrow output and no
