@@ -105,7 +105,10 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
                     f"{where} q={q} est={est} true={true}")
         # encoded-domain group-by: exact vs the model when servable,
         # REFUSED (never silently wrong) while deletes are active
-        from fhirflat_spark.encoded_exec import group_count_encoded
+        from fhirflat_spark.encoded_exec import (
+            count_encoded,
+            group_count_encoded,
+        )
         from fhirflat_spark.manifest import active_delete_files
 
         try:
@@ -113,6 +116,14 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
                 r["lang"]: r["cnt"]
                 for r in group_count_encoded(spark, out, "lang").collect()
             }
+            # filtered count through the full pushdown tower (zones +
+            # row masks) against the model, with a random predicate
+            lang = rng.choice(["en", "fr", "de"])
+            lo = rng.randrange(0, 1000)
+            fcnt = count_encoded(
+                spark, out,
+                where=[("lang", "eq", lang), ("n", "ge", lo)],
+            )
         except ValueError:
             assert active_delete_files(out), (
                 f"{where}: encoded group-by refused without active deletes"
@@ -123,6 +134,13 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             exp = collections.Counter(v[1] for v in model.values())
             assert got == dict(exp), (
                 f"{where}: encoded group-by diverged from the model"
+            )
+            fexp = sum(
+                1 for v in model.values() if v[1] == lang and v[2] >= lo
+            )
+            assert fcnt == fexp, (
+                f"{where}: filtered count_encoded {fcnt} != model {fexp} "
+                f"(lang={lang}, n>={lo})"
             )
     # history of (version, model snapshot) for the CURRENT lineage
     history = [(current_snapshot(out), dict(model))]
