@@ -347,7 +347,6 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
         if op in ("eq", "in")
         and c in set(summary.get("bloom_columns", ()))
     ]
-    live = None
     if snapshot is not None:
         ids = snapshot_part_ids(out_dir, snapshot)
     else:
@@ -900,6 +899,29 @@ def group_count_distinct_encoded(spark: SparkSession, out_dir: str,
         F.sum(
             F.when(F.col(distinct_col).isNotNull(), 1).otherwise(0)
         ).cast("long").alias(f"cntd_{distinct_col}")
+    )
+
+
+def group_topk_encoded(spark: SparkSession, out_dir: str, group_col: str,
+                       value_col: str, k: int,
+                       snapshot: int | str | None = None,
+                       where=None) -> DataFrame:
+    """Top-``k`` most frequent ``value_col`` values per ``group_col``
+    (ties broken by value ascending, NULL first — deterministic).
+    Composes on the encoded pair counts, so the heavy lifting is the
+    same code-stream work as :func:`group_count_encoded`; the window
+    ranks |distinct pairs| rows, never the table."""
+    from pyspark.sql import Window
+
+    pairs = group_count_encoded(
+        spark, out_dir, [group_col, value_col], snapshot, where=where
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col(value_col).asc_nulls_first()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(k)).drop("rn")
     )
 
 

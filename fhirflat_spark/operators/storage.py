@@ -1121,6 +1121,25 @@ SQL_ENCODED_GROUP_WHERE = (
 )
 
 
+def q_encoded_group_topk(spark, sf_dir):
+    """Per-group heavy hitters from the encoded domain: the window ranks
+    |distinct (lang, source) pairs| rows, never the table."""
+    from fhirflat_spark.encoded_exec import group_topk_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_topk_encoded(spark, out, "lang", "source", 2)
+
+
+SQL_ENCODED_GROUP_TOPK = (
+    "SELECT lang, source, cnt FROM ("
+    "  SELECT lang, source, COUNT(*) AS cnt,"
+    "         ROW_NUMBER() OVER (PARTITION BY lang"
+    "           ORDER BY COUNT(*) DESC, source ASC NULLS FIRST) AS rn"
+    "  FROM documents GROUP BY lang, source"
+    ") WHERE rn <= 2"
+)
+
+
 NDV_COLS = ("doc_id", "lang", "source")
 
 
@@ -1570,4 +1589,5 @@ QUERIES = {
         q_encoded_count_distinct, SQL_ENCODED_COUNT_DISTINCT,
     ),
     "encoded_group_where": (q_encoded_group_where, SQL_ENCODED_GROUP_WHERE),
+    "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
 }

@@ -378,6 +378,26 @@ def test_count_and_sum_encoded(spark, tmp_path):
     assert sum_encoded(spark, out, "val", where=("grp", "eq", "zz")) is None
 
 
+def test_group_topk(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from fhirflat_spark.encoded_exec import group_topk_encoded
+
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+    got = group_topk_encoded(spark, out, "grp", "val", 3)
+    w = Window.partitionBy("grp").orderBy(
+        F.col("cnt").desc(), F.col("val").asc_nulls_first()
+    )
+    exp = (
+        df.groupBy("grp", "val").agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3").drop("rn")
+    )
+    assert _rows(got) == _rows(exp)
+
+
 def test_no_python_row_path_in_merge_plan(spark, tmp_path):
     """The final merge is a Catalyst groupBy over partials: the plan must
     show a partial+final HashAggregate over the mapInArrow output and no
