@@ -207,6 +207,21 @@ def main() -> None:
                           "'source=web,n_chars>=200' (ops = != is not "
                           "supported: = < <= > >=; int literals auto-cast)")
     gby.add_argument("--show", type=int, default=20)
+    tpk = sub.add_parser(
+        "topk",
+        help="global ORDER BY col LIMIT k with zone-threshold chunk "
+             "pruning (metadata-derived prefilter; exact either way)",
+    )
+    tpk.add_argument("--out", required=True)
+    tpk.add_argument("--order-col", dest="order_col", required=True)
+    tpk.add_argument("--k", type=int, default=10)
+    tpk.add_argument("--tiebreak", required=True,
+                     help="deterministic tie-break column (asc)")
+    tpk.add_argument("--asc", action="store_true",
+                     help="ascending (default: descending; NULLs last)")
+    tpk.add_argument("--columns", default="",
+                     help="comma-separated output projection")
+    tpk.add_argument("--snapshot", default=None)
     rpl = sub.add_parser(
         "replicate", help="advance a mirror table to the source's "
         "current snapshot (changelog-applied; full sync on first call "
@@ -543,6 +558,19 @@ def main() -> None:
             )
         df.orderBy(F.col("cnt").desc()).show(args.show, truncate=40)
         print(json.dumps({"groups": df.count()}))
+    elif args.cmd == "topk":
+        from fhirflat_spark.encoded_exec import topk_rows_encoded
+
+        snap = args.snapshot
+        if snap is not None and str(snap).isdigit():
+            snap = int(snap)
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        df = topk_rows_encoded(
+            spark, args.out, args.order_col, args.k, args.tiebreak,
+            columns=cols or None, snapshot=snap,
+            descending=not args.asc,
+        )
+        df.show(args.k, truncate=40)
     elif args.cmd == "replicate":
         from fhirflat_spark.replicate import replicate_table
 

@@ -925,6 +925,127 @@ def group_topk_encoded(spark: SparkSession, out_dir: str, group_col: str,
     )
 
 
+def _topk_zone_threshold(out_dir: str, order_col: str, k: int,
+                         snapshot: int | None, descending: bool):
+    """A sound metadata-only bound for global top-``k``: every non-null
+    row in a chunk is >= its zone min (string zone mins are truncated
+    PREFIXES of the true min, still valid lower bounds), so walking the
+    chunks by zone-min descending and accumulating non-null row counts
+    until >= ``k`` yields a threshold tau with a GUARANTEED k rows at or
+    above it — `order_col >= tau` can then prune every other chunk
+    without losing a top-k row. Ascending mirrors via zone maxes.
+
+    Returns None (caller falls back to an exact full scan) whenever the
+    guarantee cannot be made: active row-level deletes (fragment counts
+    are physical, the view is logical), any chunk with values but no
+    zone (NaN-poisoned float / unsupported type / pre-zone format), any
+    chunk predating stats-v2 null counts, or < k non-null rows total."""
+    from fhirflat_spark.decode import _live_part_ids
+    from fhirflat_spark.manifest import (
+        active_delete_files,
+        load_fragments,
+        snapshot_part_ids,
+    )
+
+    if active_delete_files(out_dir, snapshot):
+        return None
+    if snapshot is not None:
+        ids = snapshot_part_ids(out_dir, snapshot)
+    else:
+        ids = _live_part_ids(out_dir)
+    try:
+        rows = load_fragments(f"{out_dir}/manifest_parts")
+    except FileNotFoundError:
+        return None
+    if ids is not None:
+        idset = set(ids)
+        rows = [r for r in rows if r["part_id"] in idset]
+    bounds = []  # (guaranteed bound, non-null rows) per chunk
+    for c in rows:
+        if "nulls" not in c:
+            return None
+        nonnull = c["n_rows"] - c["nulls"].get(order_col, c["n_rows"])
+        zone = (c.get("zones") or {}).get(order_col)
+        if zone is None:
+            if nonnull:
+                return None  # values exist but unbounded — unsafe
+            continue
+        bounds.append((zone[0] if descending else zone[1], nonnull))
+    bounds.sort(key=lambda b: b[0], reverse=descending)
+    acc = 0
+    for bound, nonnull in bounds:
+        acc += nonnull
+        if acc >= k:
+            return bound
+    return None  # fewer than k non-null rows — nulls may reach the top-k
+
+
+def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
+                      k: int, tiebreak_col: str,
+                      columns: list[str] | None = None,
+                      snapshot: int | str | None = None,
+                      descending: bool = True) -> DataFrame:
+    """Global ``ORDER BY order_col [DESC] LIMIT k`` that derives a sound
+    threshold tau from per-chunk zone metadata (:func:`_topk_zone_threshold`,
+    zero data IO) and scans through the named source with
+    ``order_col >= tau`` pushed down — partition zones, chunk zones and
+    dictionary-domain row masks skip everything that cannot hold a
+    top-k row, and Spark re-applies the exact residual. When no sound
+    tau exists (deletes, NaN-poisoned zones, < k non-null rows) the
+    same scan runs unfiltered — exact either way, just unpruned.
+
+    ``tiebreak_col`` makes the result deterministic; NULL ``order_col``
+    rows sort LAST in both directions (coherent with the threshold
+    guarantee, which counts non-null rows — with >= k non-null rows a
+    NULL can never be a top-k row). The sort itself is Spark's
+    distributed TakeOrderedAndProject over only the surviving rows."""
+    from fhirflat_spark.decode import _check_version
+    from fhirflat_spark.manifest import read_summary, resolve_snapshot
+    from fhirflat_spark.sources.datasource import register
+
+    summary = read_summary(spark, out_dir)
+    _check_version(summary)
+    all_cols = summary["columns"]
+    out_cols = list(columns) if columns is not None else list(all_cols)
+    for c in {order_col, tiebreak_col, *out_cols}:
+        if c not in all_cols:
+            raise ValueError(f"column {c!r} not in dataset columns {all_cols}")
+    snap = resolve_snapshot(out_dir, snapshot) if snapshot is not None else None
+    full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+    otype = {f.name: f.dataType for f in full.fields}[order_col]
+    tau = (
+        _topk_zone_threshold(out_dir, order_col, int(k), snap, descending)
+        # zones survive the JSON round-trip comparably for exactly the
+        # integral + string types (the row-level pushdown exactness set);
+        # other types fall back to the unfiltered exact scan
+        if isinstance(otype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType, T.StringType))
+        else None
+    )
+
+    register(spark)
+    reader = spark.read.format("fhirflat").option("path", out_dir)
+    if snap is not None:
+        reader = reader.option("snapshot", str(snap))
+    scan_cols = list(dict.fromkeys([*out_cols, order_col, tiebreak_col]))
+    if len(scan_cols) < len(all_cols):
+        reader = reader.option("columns", ",".join(scan_cols))
+    df = reader.load()
+    if tau is not None:
+        df = df.where(
+            F.col(order_col) >= F.lit(tau) if descending
+            else F.col(order_col) <= F.lit(tau)
+        )
+    order = (
+        F.col(order_col).desc_nulls_last() if descending
+        else F.col(order_col).asc_nulls_last()
+    )
+    return (
+        df.orderBy(order, F.col(tiebreak_col).asc_nulls_first())
+        .limit(int(k)).select(*out_cols)
+    )
+
+
 def count_encoded(spark: SparkSession, out_dir: str, where=None,
                   snapshot: int | str | None = None) -> int:
     """``SELECT COUNT(*) FROM dataset [WHERE ...]`` — with no filter

@@ -1140,6 +1140,25 @@ SQL_ENCODED_GROUP_TOPK = (
 )
 
 
+def q_encoded_topk_rows(spark, sf_dir):
+    """Global ORDER BY n_chars DESC LIMIT 10 with the zone-derived
+    threshold prefilter: chunks whose zone max cannot reach the
+    metadata-guaranteed k-th value are never decoded."""
+    from fhirflat_spark.encoded_exec import topk_rows_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return topk_rows_encoded(
+        spark, out, "n_chars", 10, "doc_id",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+
+SQL_ENCODED_TOPK_ROWS = (
+    "SELECT doc_id, lang, n_chars FROM documents"
+    " ORDER BY n_chars DESC NULLS LAST, doc_id ASC LIMIT 10"
+)
+
+
 NDV_COLS = ("doc_id", "lang", "source")
 
 
@@ -1590,4 +1609,5 @@ QUERIES = {
     ),
     "encoded_group_where": (q_encoded_group_where, SQL_ENCODED_GROUP_WHERE),
     "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
+    "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
 }

@@ -398,6 +398,95 @@ def test_group_topk(spark, tmp_path):
     assert _rows(got) == _rows(exp)
 
 
+def _topk_expect(df, col, k, tie, descending=True, cols=None):
+    order = (
+        F.col(col).desc_nulls_last() if descending
+        else F.col(col).asc_nulls_last()
+    )
+    out = df.orderBy(order, F.col(tie).asc_nulls_first()).limit(k)
+    return out.select(*cols) if cols else out
+
+
+def test_topk_rows_matches_full_sort(spark, tmp_path):
+    from fhirflat_spark.encoded_exec import topk_rows_encoded
+
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=100)
+    for desc in (True, False):
+        got = topk_rows_encoded(spark, out, "val", 7, "id", descending=desc)
+        exp = _topk_expect(df, "val", 7, "id", descending=desc)
+        assert [tuple(r) for r in got.collect()] == \
+               [tuple(r) for r in exp.collect()]
+    # column projection keeps the sort exact even when the order col is
+    # dropped from the output
+    got = topk_rows_encoded(spark, out, "val", 5, "id", columns=["id"])
+    exp = _topk_expect(df, "val", 5, "id", cols=["id"])
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+
+
+def test_topk_threshold_prunes_clustered_data(spark, tmp_path):
+    """On data range-clustered by the order column the zone threshold
+    must land near the top — far above the global min — so the scan
+    can skip most chunks."""
+    from fhirflat_spark.encoded_exec import (
+        _topk_zone_threshold,
+        topk_rows_encoded,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") * 3).alias("val")
+    ).repartitionByRange(8, "val")
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=500, shuffle=False)
+    tau = _topk_zone_threshold(out, "val", 10, None, True)
+    assert tau is not None and tau > 9000  # top chunk holds >= 500 rows
+    tau_asc = _topk_zone_threshold(out, "val", 10, None, False)
+    assert tau_asc is not None and tau_asc < 3000
+    got = topk_rows_encoded(spark, out, "val", 10, "id")
+    exp = _topk_expect(df, "val", 10, "id")
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+
+
+def test_topk_string_and_fallbacks(spark, tmp_path):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encoded_exec import (
+        _topk_zone_threshold,
+        topk_rows_encoded,
+    )
+    from fhirflat_spark.manifest import delete_rows
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 37:02d}", float(i)) for i in range(300)]
+        + [(300, None, None)],
+        "id BIGINT, s STRING, f DOUBLE",
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=64)
+    # string order column works (truncated zone prefixes stay sound)
+    got = topk_rows_encoded(spark, out, "s", 6, "id")
+    exp = _topk_expect(df, "s", 6, "id")
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+    # float order column: no tau (type gate) but result still exact
+    got = topk_rows_encoded(spark, out, "f", 4, "id", descending=False)
+    exp = _topk_expect(df, "f", 4, "id", descending=False)
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+    # k > non-null rows: tau refused, nulls may enter the tail
+    assert _topk_zone_threshold(out, "s", 302, None, True) is None
+    # active deletes: tau refused, scan (merge-on-read) stays exact
+    delete_rows(spark, out, "id", [299, 298])
+    assert _topk_zone_threshold(out, "id", 3, None, True) is None
+    got = topk_rows_encoded(spark, out, "id", 3, "id")
+    live = decode_table(spark, out)
+    exp = _topk_expect(live, "id", 3, "id")
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+
+
 def test_no_python_row_path_in_merge_plan(spark, tmp_path):
     """The final merge is a Catalyst groupBy over partials: the plan must
     show a partial+final HashAggregate over the mapInArrow output and no
