@@ -501,6 +501,77 @@ def decode_table(spark: SparkSession, out_dir: str,
     return decoded
 
 
+def read_parts_arrow(out_dir: str, part_ids: list[int],
+                     columns: list[str]) -> pa.Table:
+    """Driver-side pyarrow-direct read of a FEW partitions into one
+    Arrow table — no Spark job at all. This is the point-lookup tail of
+    an index probe (vector/text posting reads): for a handful of parts
+    the fixed cost of planning a Spark job dwarfs the read itself, so
+    the driver streams the chunk parquet directly and decodes blobs in
+    process. Deliberately NOT a scan path — callers route anything
+    data-sized through :func:`decode_table`.
+
+    Schema-evolution semantics match decode_table exactly (absent
+    payload field / null blob cell → typed nulls). Raises ValueError on
+    active row-level deletes — the merge-on-read overlay is a
+    distributed anti-join; callers fall back to decode_table."""
+    import pyarrow.dataset as pads
+
+    from fhirflat_spark import fsio
+    from fhirflat_spark.manifest import active_delete_files, read_summary
+
+    summary = read_summary(None, out_dir)
+    _check_version(summary)
+    if active_delete_files(out_dir, None):
+        raise ValueError(
+            "dataset has active row-level deletes: read_parts_arrow "
+            "reads physical chunks — use decode_table(part_ids=...)"
+        )
+    all_cols = summary["columns"]
+    for c in columns:
+        if c not in all_cols:
+            raise ValueError(f"column {c!r} not in dataset columns {all_cols}")
+    schema = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+    by_name = {f.name: f for f in schema.fields}
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrow_of = {c: to_arrow_type(by_name[c].dataType) for c in columns}
+    field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
+    out_schema = pa.schema([(c, arrow_of[c]) for c in columns])
+    batches: list[pa.RecordBatch] = []
+    for pid in sorted(set(int(p) for p in part_ids)):
+        fs, inner = fsio.resolve(f"{out_dir}/chunks/part_id={pid}")
+        dset = pads.dataset(inner, filesystem=fs, format="parquet")
+        pf = dset.schema.field("payload").type
+        present = {pf.field(i).name for i in range(pf.num_fields)}
+        proj = {"chunk_seq": pads.field("chunk_seq"),
+                "n_rows": pads.field("n_rows")}
+        for c in columns:
+            if field_of[c] in present:
+                proj[field_of[c]] = pads.field("payload", field_of[c])
+        t = dset.to_table(columns=proj).sort_by("chunk_seq")
+        nrs = t.column("n_rows")
+        for i in range(t.num_rows):
+            n = nrs[i].as_py()
+            arrays = []
+            for c in columns:
+                cell = (t.column(field_of[c])[i]
+                        if field_of[c] in proj else None)
+                if cell is None or not cell.is_valid:
+                    arrays.append(pa.nulls(n, type=arrow_of[c]))
+                    continue
+                arr = decode_array(memoryview(cell.as_buffer()))
+                if arr.type != arrow_of[c]:
+                    arr = arr.cast(arrow_of[c])
+                arrays.append(arr)
+            batches.append(
+                pa.record_batch(arrays, schema=out_schema)
+            )
+    if not batches:
+        return out_schema.empty_table()
+    return pa.Table.from_batches(batches, schema=out_schema)
+
+
 def verify_kernel_factory(columns: list[str], field_names: list[str]):
     """Decode each chunk and recompute checksums; compare with the values
     recorded at encode time. One hash per column per chunk — chunk-bytes

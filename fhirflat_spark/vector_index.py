@@ -44,6 +44,7 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fhirflat_spark import fsio
 
@@ -240,6 +241,85 @@ def lookup_parts(index_dir: str, cells: list[int]) -> list[int]:
     return sorted(set(t["part_id"].to_pylist()))
 
 
+DRIVER_SEARCH_ROWS = 500_000
+
+
+def _candidate_rows(table_dir: str, parts: list[int]) -> int:
+    """Manifest row total of the posting partitions (metadata-only)."""
+    try:
+        t = fsio.read_parquet(f"{table_dir}/manifest",
+                              columns=["part_id", "rows"])
+    except FileNotFoundError:
+        return DRIVER_SEARCH_ROWS + 1
+    rows_of = dict(zip(t["part_id"].to_pylist(), t["rows"].to_pylist()))
+    return sum(int(rows_of.get(int(p), 0)) for p in parts)
+
+
+def _round_half_up4(x):
+    """Spark's ``round(col, 4)`` (BigDecimal HALF_UP on the exact binary
+    double) vectorized: naive scaled floor everywhere, with the rare
+    near-boundary values redone exactly in decimal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    scaled = x * 10000.0
+    out = np.floor(scaled + 0.5) / 10000.0
+    sus = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    for i in np.nonzero(sus)[0]:
+        out[i] = float(
+            Decimal(float(x[i])).quantize(Decimal("0.0001"),
+                                          rounding=ROUND_HALF_UP)
+        )
+    return out
+
+
+def _search_driver_side(spark, table_dir, parts, id_col, vector_col,
+                        query_vec, top_k, exclude_id):
+    """Point-lookup rescore with zero Spark jobs, or None to defer to
+    the distributed path (active deletes, null/ragged vectors, non-
+    finite cosines, null ids — the Spark plan defines those semantics)."""
+    import numpy as np
+
+    from fhirflat_spark.decode import read_parts_arrow
+    from fhirflat_spark.manifest import read_summary
+
+    try:
+        t = read_parts_arrow(table_dir, parts, [id_col, vector_col])
+    except ValueError:
+        return None  # active deletes: merge-on-read is Spark-side
+    vecs = t.column(vector_col).combine_chunks()
+    ids_arr = t.column(id_col).combine_chunks()
+    if vecs.null_count or ids_arr.null_count:
+        return None
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size != t.num_rows * q.size:
+        return None  # ragged vectors
+    V = flat.reshape(t.num_rows, q.size)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (V @ q) / (np.sqrt((V * V).sum(axis=1)) * np.sqrt(q @ q))
+    if t.num_rows and not np.isfinite(cos).all():
+        return None  # zero-norm rows: Spark's NULL/NaN ordering applies
+    cos = _round_half_up4(cos)
+    ids = ids_arr.to_pylist()
+    rows = [
+        (i, float(c)) for i, c in zip(ids, cos)
+        if exclude_id is None or i != exclude_id
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    summary = read_summary(None, table_dir)
+    schema = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+    id_field = next(f for f in schema.fields if f.name == id_col)
+    return spark.createDataFrame(
+        rows[: int(top_k)],
+        T.StructType([
+            T.StructField(id_col, id_field.dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]),
+    )
+
+
 def search_vectors(
     spark: SparkSession,
     table_dir: str,
@@ -252,7 +332,15 @@ def search_vectors(
     """ANN top-k: centroid probe → posting lookup → partition-pruned
     decode → exact cosine rescore (rounded to 4 places, cosine desc /
     id asc — the same contract as the brute-force baseline, which this
-    EQUALS at nprobe=K; pinned by test and driver oracle)."""
+    EQUALS at nprobe=K; pinned by test and driver oracle).
+
+    When the posting set is point-lookup sized (manifest row count ≤
+    ``DRIVER_SEARCH_ROWS``, no active deletes) the candidates are read
+    driver-side via :func:`fhirflat_spark.decode.read_parts_arrow` and
+    rescored in numpy — no Spark job at all, which removes the ~0.5-1s
+    fixed job cost that dominates a 2-of-N-parts probe. Result contract
+    is identical (pinned against the Spark path by test); anything
+    bigger runs the distributed path unchanged."""
     from fhirflat_spark.decode import decode_table
     from fhirflat_spark.operators.similarity import _cosine
 
@@ -261,6 +349,13 @@ def search_vectors(
     cells = probe_cells(index_dir, query_vec, nprobe)
     parts = lookup_parts(index_dir, cells)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    if parts and _candidate_rows(table_dir, parts) <= DRIVER_SEARCH_ROWS:
+        local = _search_driver_side(
+            spark, table_dir, parts, id_col, vector_col, query_vec,
+            top_k, exclude_id,
+        )
+        if local is not None:
+            return local
     if not parts:
         df = decode_table(spark, table_dir,
                           columns=[id_col, vector_col]).where(F.lit(False))

@@ -604,3 +604,46 @@ def test_pushdown_null_checks_evolved_column(spark, tmp_path):
         for v in b.column(0)
     )
     assert ids_nu == list(range(0, 150))
+
+
+def test_read_parts_arrow_matches_decode_and_refuses_deletes(
+        spark, tmp_path):
+    """Driver-side part reads (no Spark job): content equals
+    decode_table per part, schema evolution null-fills typed, and
+    active deletes refuse (physical chunks vs logical view)."""
+    import pyarrow as pa
+
+    from fhirflat_spark.decode import decode_table, read_parts_arrow
+    from fhirflat_spark.encode import append_table, encode_table
+    from fhirflat_spark.manifest import delete_rows
+
+    out = str(tmp_path / "rpa")
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id BIGINT, txt STRING"
+    )
+    encode_table(df, out, rows_per_bucket=10)
+    df2 = spark.createDataFrame(
+        [(100 + i, f"u{i}", i * 2) for i in range(10)],
+        "doc_id BIGINT, txt STRING, extra BIGINT",
+    )
+    append_table(df2, out, rows_per_bucket=10)
+
+    from fhirflat_spark.decode import _live_part_ids
+    pids = _live_part_ids(out)
+    t = read_parts_arrow(out, pids, ["doc_id", "extra"])
+    got = sorted(zip(t.column("doc_id").to_pylist(),
+                     t.column("extra").to_pylist()))
+    want = sorted(
+        map(tuple, decode_table(
+            spark, out, columns=["doc_id", "extra"]).collect())
+    )
+    assert got == want
+    assert t.schema.field("extra").type == pa.int64()
+    # pre-evolution partitions read as typed nulls
+    assert sum(v is None for _, v in got) == 40
+
+    with pytest.raises(ValueError, match="not in dataset"):
+        read_parts_arrow(out, pids, ["nope"])
+    delete_rows(spark, out, "doc_id", [3])
+    with pytest.raises(ValueError, match="delete"):
+        read_parts_arrow(out, pids, ["doc_id"])

@@ -116,6 +116,65 @@ def test_low_probe_exact_within_probed_parts(spark, emb, vstore):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_driver_fast_path_equals_spark_path_and_skips_decode(
+        spark, emb, vstore, monkeypatch):
+    """Point-lookup searches run driver-side (read_parts_arrow + numpy)
+    with NO decode_table job, and return exactly what the distributed
+    path returns — same ids, same rounded cosines, same schema."""
+    import fhirflat_spark.vector_index as vx
+
+    store, idx = vstore
+    q = _query_vec(emb, vec_id=3)
+    monkeypatch.setattr(vx, "DRIVER_SEARCH_ROWS", -1)  # force Spark path
+    want = vx.search_vectors(spark, store, idx, q, top_k=TOP, nprobe=2,
+                             exclude_id=3)
+    want_rows, want_schema = want.collect(), want.schema
+    monkeypatch.setattr(vx, "DRIVER_SEARCH_ROWS", 500_000)
+
+    def boom(*a, **k):
+        raise AssertionError("fast path must not call decode_table")
+
+    import fhirflat_spark.decode as dec
+    monkeypatch.setattr(dec, "decode_table", boom)
+    got = vx.search_vectors(spark, store, idx, q, top_k=TOP, nprobe=2,
+                            exclude_id=3)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want_rows]
+    assert [(f.name, f.dataType) for f in got.schema.fields] == \
+           [(f.name, f.dataType) for f in want_schema.fields]
+
+
+def test_driver_fast_path_defers_on_deletes(spark, emb, tmp_path):
+    """Active row-level deletes → merge-on-read is Spark-side; the fast
+    path must defer and the result must exclude deleted rows."""
+    from fhirflat_spark.manifest import delete_rows
+    from fhirflat_spark.operators.similarity import (
+        assign_cells,
+        train_centroids,
+    )
+
+    store = str(tmp_path / "store")
+    n = emb.count()
+    C = train_centroids(emb.select("vec_id", "embedding"), K)
+    clustered = (
+        assign_cells(emb, C)
+        .repartitionByRange(4, "cell", "vec_id")
+        .sortWithinPartitions("cell", "vec_id").drop("cell")
+    )
+    encode_table(clustered, store, rows_per_bucket=max(10, n // 4),
+                 shuffle=False)
+    idx = str(tmp_path / "idx")
+    build_vector_index(spark, store, idx, vector_col="embedding",
+                       id_col="vec_id", k=K)
+    q = _query_vec(emb)
+    before = search_vectors(spark, store, idx, q, top_k=1, nprobe=K,
+                            exclude_id=0).collect()
+    top_id = before[0]["vec_id"]
+    delete_rows(spark, store, "vec_id", [top_id])
+    after = search_vectors(spark, store, idx, q, top_k=1, nprobe=K,
+                           exclude_id=0).collect()
+    assert after and after[0]["vec_id"] != top_id
+
+
 def test_refresh_is_frozen_assignment_of_the_delta(spark, emb, tmp_path):
     from fhirflat_spark.vector_index import _postings
 
