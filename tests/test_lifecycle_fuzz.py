@@ -142,6 +142,19 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
                 f"{where}: filtered count_encoded {fcnt} != model {fexp} "
                 f"(lang={lang}, n>={lo})"
             )
+        # zone-threshold top-k NEVER refuses — it falls back to the
+        # exact unpruned scan (merge-on-read) under deletes, so it must
+        # equal the model at every step of the lifecycle
+        from fhirflat_spark.encoded_exec import topk_rows_encoded
+
+        got_tk = [
+            tuple(r) for r in topk_rows_encoded(
+                spark, out, "n", 5, "doc_id").collect()
+        ]
+        exp_tk = sorted(model.values(), key=lambda r: (-r[2], r[0]))[:5]
+        assert got_tk == [tuple(r) for r in exp_tk], (
+            f"{where}: topk_rows_encoded diverged from the model"
+        )
     # history of (version, model snapshot) for the CURRENT lineage
     history = [(current_snapshot(out), dict(model))]
     tags: dict[str, dict] = {}
