@@ -30,6 +30,26 @@ def _parse_columns(spec: str | None) -> list[str] | None:
     return [c.strip() for c in spec.split(",") if c.strip()]
 
 
+def _parse_where(spec: str | None) -> list[tuple] | None:
+    """`--where 'source=web,n_chars>=200'` → the encoded-exec where
+    mini-language (conjunctive (col, op, literal) triples; integer
+    literals auto-cast)."""
+    if not spec:
+        return None
+    import re
+
+    where = []
+    for clause in spec.split(","):
+        mm = re.fullmatch(r"\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*", clause)
+        if not mm:
+            raise SystemExit(f"bad --where clause {clause!r}")
+        col, sym, lit = mm.groups()
+        op = {"=": "eq", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}[sym]
+        v = int(lit) if re.fullmatch(r"-?\d+", lit) else lit
+        where.append((col, op, v))
+    return where
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="fhirflat_spark driver")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -222,6 +242,11 @@ def main() -> None:
     tpk.add_argument("--columns", default="",
                      help="comma-separated output projection")
     tpk.add_argument("--snapshot", default=None)
+    tpk.add_argument("--where", default=None,
+                     help="conjunctive filters, e.g. 'source=web,"
+                          "n_chars>=200' (= < <= > >=; int literals "
+                          "auto-cast); applied exactly, and threshold "
+                          "pruning only counts provably-matching chunks")
     rpl = sub.add_parser(
         "replicate", help="advance a mirror table to the source's "
         "current snapshot (changelog-applied; full sync on first call "
@@ -531,21 +556,7 @@ def main() -> None:
         if snap is not None and str(snap).isdigit():
             snap = int(snap)
         gcols = [c.strip() for c in args.group.split(",") if c.strip()]
-        where = None
-        if args.where:
-            import re
-
-            where = []
-            for spec in args.where.split(","):
-                mm = re.fullmatch(r"\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*",
-                                  spec)
-                if not mm:
-                    raise SystemExit(f"bad --where clause {spec!r}")
-                col, sym, lit = mm.groups()
-                op = {"=": "eq", "<": "lt", "<=": "le",
-                      ">": "gt", ">=": "ge"}[sym]
-                v = int(lit) if re.fullmatch(r"-?\d+", lit) else lit
-                where.append((col, op, v))
+        where = _parse_where(args.where)
         if args.value:
             if len(gcols) != 1:
                 raise SystemExit("--value needs exactly one --group column")
@@ -568,7 +579,7 @@ def main() -> None:
         df = topk_rows_encoded(
             spark, args.out, args.order_col, args.k, args.tiebreak,
             columns=cols or None, snapshot=snap,
-            descending=not args.asc,
+            descending=not args.asc, where=_parse_where(args.where),
         )
         df.show(args.k, truncate=40)
     elif args.cmd == "replicate":

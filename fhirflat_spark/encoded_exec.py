@@ -216,6 +216,94 @@ def _where_zones(preds: list[tuple]) -> list[tuple]:
     return zones
 
 
+def _pred_entails_chunk(pred: tuple, chunk: dict) -> bool:
+    """True only when the predicate provably holds for EVERY row of the
+    chunk from metadata alone (zone bounds + null counts). Used by the
+    top-k threshold walk: a fully-entailed chunk's non-null rows all
+    satisfy the WHERE, so they may count toward the k-row guarantee.
+    String zone bounds are truncated prefix (lo <= true min) / successor
+    (hi >= true max) — every test below uses the bound on its safe side,
+    so truncation can only LOSE entailment, never fake it. A type
+    mismatch between the zone value and the literal declines (the Spark
+    residual still applies the predicate exactly)."""
+    col, op, v = pred
+    n = chunk["n_rows"]
+    # evolved-schema chunks omit the column from the nulls rollup:
+    # every cell is NULL there
+    nulls = chunk["nulls"].get(col, n)
+    if op == "nu":
+        return nulls == n
+    if nulls != 0:
+        return False  # a NULL row fails every value predicate
+    if op == "nn":
+        return True
+    zone = (chunk.get("zones") or {}).get(col)
+    if zone is None:
+        return False
+    lo, hi = zone
+
+    def _cmpable(a, b):
+        if isinstance(a, str) and isinstance(b, str):
+            return True
+        return (isinstance(a, int) and not isinstance(a, bool)
+                and isinstance(b, int) and not isinstance(b, bool))
+
+    if op == "sw":
+        from fhirflat_spark.sources.datasource import _prefix_upper
+
+        if not (isinstance(v, str) and isinstance(lo, str)
+                and isinstance(hi, str)):
+            return False
+        up = _prefix_upper(v)
+        return lo >= v and up is not None and hi < up
+    if op == "in":
+        vals = list(v) if v is not None else []
+        return (_cmpable(lo, hi) and lo == hi
+                and any(_cmpable(lo, x) and lo == x for x in vals))
+    if not _cmpable(lo, v) or not _cmpable(hi, v):
+        return False
+    if op == "eq":
+        return lo == v and hi == v
+    if op == "lt":
+        return hi < v
+    if op == "le":
+        return hi <= v
+    if op == "gt":
+        return lo > v
+    if op == "ge":
+        return lo >= v
+    return False
+
+
+def _where_exprs(preds: list[tuple]) -> list:
+    """Catalyst Column expressions for the where mini-language — used
+    where a Spark residual IS available (top-k scan), so, unlike
+    :func:`_validate_where` consumers, any Spark-coercible literal is
+    acceptable: Spark's own comparison semantics define the answer."""
+    out = []
+    for col, op, v in preds:
+        c = F.col(col)
+        if op == "eq":
+            out.append(c == F.lit(v))
+        elif op == "lt":
+            out.append(c < F.lit(v))
+        elif op == "le":
+            out.append(c <= F.lit(v))
+        elif op == "gt":
+            out.append(c > F.lit(v))
+        elif op == "ge":
+            out.append(c >= F.lit(v))
+        elif op == "in":
+            out.append(c.isin(list(v) if v is not None else []))
+        elif op == "sw":
+            out.append(c.startswith(v))
+        elif op == "nu":
+            out.append(c.isNull())
+        elif op == "nn":
+            out.append(c.isNotNull())
+    return out
+
+
 def _chunk_mask(fplan: dict, batch, i: int, n: int):
     """Evaluate a filter plan against one chunk: returns ``None`` (no
     filters), the string ``"skip"`` (chunk-level zone/Bloom prune or
@@ -926,7 +1014,8 @@ def group_topk_encoded(spark: SparkSession, out_dir: str, group_col: str,
 
 
 def _topk_zone_threshold(out_dir: str, order_col: str, k: int,
-                         snapshot: int | None, descending: bool):
+                         snapshot: int | None, descending: bool,
+                         preds: list[tuple] | None = None):
     """A sound metadata-only bound for global top-``k``: every non-null
     row in a chunk is >= its zone min (string zone mins are truncated
     PREFIXES of the true min, still valid lower bounds), so walking the
@@ -939,7 +1028,14 @@ def _topk_zone_threshold(out_dir: str, order_col: str, k: int,
     guarantee cannot be made: active row-level deletes (fragment counts
     are physical, the view is logical), any chunk with values but no
     zone (NaN-poisoned float / unsupported type / pre-zone format), any
-    chunk predating stats-v2 null counts, or < k non-null rows total."""
+    chunk predating stats-v2 null counts, or < k non-null rows total.
+
+    With ``preds`` (a conjunctive WHERE), only chunks where EVERY
+    predicate is metadata-entailed (:func:`_pred_entails_chunk` — all
+    rows provably satisfy it) may count toward the k-row guarantee;
+    partially-matching chunks contribute nothing but are still scanned,
+    so tau stays sound: >= k WHERE-matching rows at-or-beyond tau are
+    proven to exist before anything is pruned."""
     from fhirflat_spark.decode import _live_part_ids
     from fhirflat_spark.manifest import (
         active_delete_files,
@@ -970,6 +1066,8 @@ def _topk_zone_threshold(out_dir: str, order_col: str, k: int,
             if nonnull:
                 return None  # values exist but unbounded — unsafe
             continue
+        if preds and not all(_pred_entails_chunk(p, c) for p in preds):
+            continue  # can't prove its rows match — no guarantee credit
         bounds.append((zone[0] if descending else zone[1], nonnull))
     bounds.sort(key=lambda b: b[0], reverse=descending)
     acc = 0
@@ -984,7 +1082,8 @@ def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
                       k: int, tiebreak_col: str,
                       columns: list[str] | None = None,
                       snapshot: int | str | None = None,
-                      descending: bool = True) -> DataFrame:
+                      descending: bool = True,
+                      where=None) -> DataFrame:
     """Global ``ORDER BY order_col [DESC] LIMIT k`` that derives a sound
     threshold tau from per-chunk zone metadata (:func:`_topk_zone_threshold`,
     zero data IO) and scans through the named source with
@@ -998,7 +1097,15 @@ def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
     rows sort LAST in both directions (coherent with the threshold
     guarantee, which counts non-null rows — with >= k non-null rows a
     NULL can never be a top-k row). The sort itself is Spark's
-    distributed TakeOrderedAndProject over only the surviving rows."""
+    distributed TakeOrderedAndProject over only the surviving rows.
+
+    ``where`` (same conjunctive mini-language as the encoded
+    aggregates: (col, op, value) with op in eq/lt/le/gt/ge/in/sw/nu/nn)
+    composes: the predicate is applied as an exact Spark residual (and
+    pushed into the source for zone/Bloom/row-mask pruning), while tau
+    only counts chunks whose rows PROVABLY all match, so threshold
+    pruning stays sound under filters. Unlike the residual-free
+    encoded aggregates, any Spark-coercible literal is accepted."""
     from fhirflat_spark.decode import _check_version
     from fhirflat_spark.manifest import read_summary, resolve_snapshot
     from fhirflat_spark.sources.datasource import register
@@ -1007,14 +1114,17 @@ def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
     _check_version(summary)
     all_cols = summary["columns"]
     out_cols = list(columns) if columns is not None else list(all_cols)
-    for c in {order_col, tiebreak_col, *out_cols}:
+    preds = _normalize_where(where)
+    for c in {order_col, tiebreak_col, *out_cols,
+              *(p[0] for p in preds)}:
         if c not in all_cols:
             raise ValueError(f"column {c!r} not in dataset columns {all_cols}")
     snap = resolve_snapshot(out_dir, snapshot) if snapshot is not None else None
     full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
     otype = {f.name: f.dataType for f in full.fields}[order_col]
     tau = (
-        _topk_zone_threshold(out_dir, order_col, int(k), snap, descending)
+        _topk_zone_threshold(out_dir, order_col, int(k), snap, descending,
+                             preds)
         # zones survive the JSON round-trip comparably for exactly the
         # integral + string types (the row-level pushdown exactness set);
         # other types fall back to the unfiltered exact scan
@@ -1027,10 +1137,14 @@ def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
     reader = spark.read.format("fhirflat").option("path", out_dir)
     if snap is not None:
         reader = reader.option("snapshot", str(snap))
-    scan_cols = list(dict.fromkeys([*out_cols, order_col, tiebreak_col]))
+    scan_cols = list(dict.fromkeys(
+        [*out_cols, order_col, tiebreak_col, *(p[0] for p in preds)]
+    ))
     if len(scan_cols) < len(all_cols):
         reader = reader.option("columns", ",".join(scan_cols))
     df = reader.load()
+    for e in _where_exprs(preds):
+        df = df.where(e)
     if tau is not None:
         df = df.where(
             F.col(order_col) >= F.lit(tau) if descending

@@ -1108,7 +1108,7 @@ def q_encoded_group_where(spark, sf_dir):
     out = _encoded_documents(spark, sf_dir)
     return group_agg_encoded(
         spark, out, "lang", "n_chars",
-        where=[("source", "eq", "web"), ("n_chars", "ge", 200)],
+        where=[("source", "eq", "src1"), ("n_chars", "ge", 200)],
     )
 
 
@@ -1116,7 +1116,7 @@ SQL_ENCODED_GROUP_WHERE = (
     "SELECT lang, COUNT(*) AS cnt, "
     "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
     "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
-    "FROM documents WHERE source = 'web' AND n_chars >= 200 "
+    "FROM documents WHERE source = 'src1' AND n_chars >= 200 "
     "GROUP BY lang"
 )
 
@@ -1155,6 +1155,29 @@ def q_encoded_topk_rows(spark, sf_dir):
 
 SQL_ENCODED_TOPK_ROWS = (
     "SELECT doc_id, lang, n_chars FROM documents"
+    " ORDER BY n_chars DESC NULLS LAST, doc_id ASC LIMIT 10"
+)
+
+
+def q_encoded_topk_where(spark, sf_dir):
+    """Filtered global top-k (WHERE ... ORDER BY ... LIMIT k): the
+    predicate runs as an exact Spark residual over the pushed scan,
+    while the zone threshold only counts chunks whose rows provably all
+    match — threshold pruning composes soundly with filters."""
+    from fhirflat_spark.encoded_exec import topk_rows_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return topk_rows_encoded(
+        spark, out, "n_chars", 10, "doc_id",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        where=[("source", "in", ["src1", "src2", "src3"]),
+               ("lang", "sw", "e")],
+    )
+
+
+SQL_ENCODED_TOPK_WHERE = (
+    "SELECT doc_id, lang, source, n_chars FROM documents"
+    " WHERE source IN ('src1', 'src2', 'src3') AND lang LIKE 'e%'"
     " ORDER BY n_chars DESC NULLS LAST, doc_id ASC LIMIT 10"
 )
 
@@ -1610,4 +1633,5 @@ QUERIES = {
     "encoded_group_where": (q_encoded_group_where, SQL_ENCODED_GROUP_WHERE),
     "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
     "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
+    "encoded_topk_where": (q_encoded_topk_where, SQL_ENCODED_TOPK_WHERE),
 }

@@ -487,6 +487,147 @@ def test_topk_string_and_fallbacks(spark, tmp_path):
            [tuple(r) for r in exp.collect()]
 
 
+def test_topk_where_matches_spark(spark, tmp_path):
+    """WHERE composes with top-k: the predicate is an exact Spark
+    residual, so any filter shape (value, null-test, starts-with) must
+    match filter-then-sort over the decoded frame — including under
+    active deletes, where the threshold is refused but the
+    merge-on-read scan stays exact."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encoded_exec import topk_rows_encoded
+    from fhirflat_spark.manifest import delete_rows
+
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=100)
+    cases = [
+        [("grp", "eq", "g1")],
+        [("val", "ge", 10)],
+        [("grp", "sw", "g"), ("val", "lt", 0)],
+        [("grp", "nu")],
+        [("val", "nn"), ("grp", "in", ["g0", "g2"])],
+    ]
+    for preds in cases:
+        for desc in (True, False):
+            got = topk_rows_encoded(spark, out, "val", 6, "id",
+                                    descending=desc, where=preds)
+            exp = _topk_expect(
+                df.where(" AND ".join(_sql_of(p) for p in preds)),
+                "val", 6, "id", descending=desc,
+            )
+            assert [tuple(r) for r in got.collect()] == \
+                   [tuple(r) for r in exp.collect()], preds
+    delete_rows(spark, out, "id", [int(r[0]) for r in df.orderBy(
+        F.col("val").desc_nulls_last()).limit(3).collect()])
+    live = decode_table(spark, out)
+    got = topk_rows_encoded(spark, out, "val", 6, "id",
+                            where=[("grp", "sw", "g")])
+    exp = _topk_expect(live.where("grp LIKE 'g%'"), "val", 6, "id")
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+    with pytest.raises(ValueError, match="not in dataset"):
+        topk_rows_encoded(spark, out, "val", 3, "id",
+                          where=[("nope", "eq", 1)])
+
+
+def _sql_of(pred):
+    col, op, *rest = pred
+    v = rest[0] if rest else None
+    if op == "nu":
+        return f"{col} IS NULL"
+    if op == "nn":
+        return f"{col} IS NOT NULL"
+    if op == "sw":
+        return f"{col} LIKE '{v}%'"
+    if op == "in":
+        vals = ", ".join(f"'{x}'" if isinstance(x, str) else str(x)
+                         for x in v)
+        return f"{col} IN ({vals})"
+    sym = {"eq": "=", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}[op]
+    lit = f"'{v}'" if isinstance(v, str) else str(v)
+    return f"{col} {sym} {lit}"
+
+
+def test_topk_where_threshold_entailment(spark, tmp_path):
+    """The filtered threshold only credits chunks whose rows PROVABLY
+    all satisfy the WHERE: on val-clustered data with a chunk-
+    homogeneous flag the tau lands inside the matching band (pruning
+    engages), while a chunk-mixed predicate column yields no tau at
+    all — and both stay exact."""
+    from fhirflat_spark.encoded_exec import (
+        _topk_zone_threshold,
+        topk_rows_encoded,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") * 3).alias("val"),
+        (F.col("id") % 2).alias("parity"),
+        F.when(F.col("id") * 3 >= 6000, 1).otherwise(0).alias("half"),
+    ).repartitionByRange(8, "val")
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=500, shuffle=False)
+    # chunk-homogeneous predicate: pure half=0 chunks prove the k-row
+    # guarantee, so tau sits inside the lower band (far above the min)
+    tau = _topk_zone_threshold(out, "val", 10, None, True,
+                               preds=[("half", "eq", 0)])
+    assert tau is not None and 1500 < tau < 6000
+    got = topk_rows_encoded(spark, out, "val", 10, "id",
+                            where=[("half", "eq", 0)])
+    exp = _topk_expect(df.where("half = 0"), "val", 10, "id")
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+    # chunk-mixed predicate column: nothing is provable, no tau — the
+    # unpruned scan is still exact
+    assert _topk_zone_threshold(out, "val", 10, None, True,
+                                preds=[("parity", "eq", 0)]) is None
+    got = topk_rows_encoded(spark, out, "val", 10, "id",
+                            where=[("parity", "eq", 0)])
+    exp = _topk_expect(df.where("parity = 0"), "val", 10, "id")
+    assert [tuple(r) for r in got.collect()] == \
+           [tuple(r) for r in exp.collect()]
+
+
+def test_pred_entails_chunk_unit():
+    from fhirflat_spark.encoded_exec import _pred_entails_chunk as ent
+
+    chunk = {"n_rows": 100, "nulls": {"a": 0, "b": 5, "c": 100},
+             "zones": {"a": [10, 20], "b": [1, 2], "s": ["dd", "dg"]}}
+    # value predicates require zero nulls in the predicate column
+    assert not ent(("b", "eq", 1), chunk)
+    assert ent(("a", "ge", 10), chunk)
+    assert ent(("a", "le", 20), chunk)
+    assert ent(("a", "gt", 9), chunk)
+    assert ent(("a", "lt", 21), chunk)
+    assert not ent(("a", "ge", 11), chunk)
+    assert not ent(("a", "eq", 10), chunk)  # lo != hi
+    assert ent(("a", "eq", 15), {"n_rows": 1, "nulls": {"a": 0},
+                                 "zones": {"a": [15, 15]}})
+    assert ent(("a", "in", [7, 15]), {"n_rows": 1, "nulls": {"a": 0},
+                                      "zones": {"a": [15, 15]}})
+    # null tests
+    assert ent(("c", "nu", None), chunk)
+    assert not ent(("b", "nu", None), chunk)
+    assert ent(("a", "nn", None), chunk)
+    assert not ent(("b", "nn", None), chunk)
+    # evolved schema: column absent from the nulls rollup = all NULL
+    assert ent(("zz", "nu", None), chunk)
+    assert not ent(("zz", "eq", 1), chunk)
+    # strings: bounds on the safe side; prefix entailment
+    assert ent(("s", "sw", "d"), {**chunk, "nulls": {"s": 0}})
+    assert not ent(("s", "sw", "dd"), {**chunk, "nulls": {"s": 0}})
+    assert ent(("s", "lt", "e"), {**chunk, "nulls": {"s": 0}})
+    assert ent(("s", "ge", "dd"), {**chunk, "nulls": {"s": 0}})
+    assert not ent(("s", "ge", "de"), {**chunk, "nulls": {"s": 0}})
+    # type mismatch between literal and zone declines (residual exists)
+    assert not ent(("a", "ge", "10"), chunk)
+    assert not ent(("s", "ge", 3), {**chunk, "nulls": {"s": 0}})
+    assert not ent(("a", "ge", True), chunk)
+    # zone missing with non-null values declines
+    assert not ent(("q", "ge", 0), {"n_rows": 10, "nulls": {"q": 0},
+                                    "zones": {}})
+
+
 def test_no_python_row_path_in_merge_plan(spark, tmp_path):
     """The final merge is a Catalyst groupBy over partials: the plan must
     show a partial+final HashAggregate over the mapInArrow output and no

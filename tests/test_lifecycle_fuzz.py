@@ -155,6 +155,20 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
         assert got_tk == [tuple(r) for r in exp_tk], (
             f"{where}: topk_rows_encoded diverged from the model"
         )
+        # filtered top-k: the WHERE-composed threshold must stay exact
+        # across every lifecycle state too
+        got_tkw = [
+            tuple(r) for r in topk_rows_encoded(
+                spark, out, "n", 4, "doc_id",
+                where=[("lang", "eq", "en")]).collect()
+        ]
+        exp_tkw = sorted(
+            (r for r in model.values() if r[1] == "en"),
+            key=lambda r: (-r[2], r[0]),
+        )[:4]
+        assert got_tkw == [tuple(r) for r in exp_tkw], (
+            f"{where}: filtered topk_rows_encoded diverged from the model"
+        )
     # history of (version, model snapshot) for the CURRENT lineage
     history = [(current_snapshot(out), dict(model))]
     tags: dict[str, dict] = {}
