@@ -247,6 +247,17 @@ def main() -> None:
                           "n_chars>=200' (= < <= > >=; int literals "
                           "auto-cast); applied exactly, and threshold "
                           "pruning only counts provably-matching chunks")
+    app = sub.add_parser(
+        "apply",
+        help="single-commit CDC MERGE: a parquet batch with an op "
+             "column (insert/update/upsert/I/U = write image, delete/D "
+             "= remove key) lands atomically",
+    )
+    app.add_argument("--out", required=True)
+    app.add_argument("--src", required=True, help="parquet change batch")
+    app.add_argument("--key-column", dest="key_column", required=True)
+    app.add_argument("--op-column", dest="op_column", default="_op")
+    app.add_argument("--rows-per-bucket", type=int, default=250_000)
     rpl = sub.add_parser(
         "replicate", help="advance a mirror table to the source's "
         "current snapshot (changelog-applied; full sync on first call "
@@ -582,6 +593,14 @@ def main() -> None:
             descending=not args.asc, where=_parse_where(args.where),
         )
         df.show(args.k, truncate=40)
+    elif args.cmd == "apply":
+        from fhirflat_spark.encode import apply_changes
+
+        batch = spark.read.parquet(args.src)
+        info = apply_changes(batch, args.out, args.key_column,
+                             op_col=args.op_column,
+                             rows_per_bucket=args.rows_per_bucket)
+        print(json.dumps(info))
     elif args.cmd == "replicate":
         from fhirflat_spark.replicate import replicate_table
 

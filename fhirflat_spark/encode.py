@@ -1821,3 +1821,79 @@ def upsert_rows(
         profile=profile,
         delete_keys=(key_col, df.select(key_col).distinct()),
     )
+
+
+APPLY_UPSERT_OPS = frozenset({"insert", "update", "upsert", "I", "U"})
+APPLY_DELETE_OPS = frozenset({"delete", "D"})
+
+
+def apply_changes(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    op_col: str = "_op",
+    rows_per_bucket: int = 250_000,
+    shuffle: bool | str = True,
+    profile: str = "balanced",
+) -> dict:
+    """SQL ``MERGE`` / CDC apply in ONE snapshot commit: ``df`` carries
+    an op column (``insert``/``update``/``upsert``/``I``/``U`` = write
+    this row's image, ``delete``/``D`` = remove the key) and the whole
+    batch lands atomically — non-delete rows append as new partitions
+    while a single scoped equality-delete entry shadows every touched
+    key's pre-existing copy, so a reader never observes a half-applied
+    batch (the two-commit delete-then-upsert shape has a window where
+    deleted keys are gone but updates haven't landed; this has none).
+    A pure-delete batch commits just the delete entry.
+
+    Contract (validated delta-proportionally, never scanning the
+    table): exactly one row per key in the batch — resolve multi-event
+    CDC streams to their latest image upstream — and no NULL keys
+    (equality deletes can't address them). Insert vs update is not
+    distinguished against the table (both write the image; matching is
+    the shadow delete's job) — the Iceberg merge-on-read trade, same as
+    :func:`upsert_rows`. Unknown op values raise.
+
+    Returns {"inserts", "deletes", "snapshot"}: upserted row-images,
+    delete ops applied, and the table's snapshot after the commit (an
+    empty batch commits nothing and returns the current snapshot)."""
+    from fhirflat_spark.manifest import current_snapshot, delete_rows
+
+    spark = df.sparkSession
+    if key_col not in df.columns or op_col not in df.columns:
+        raise ValueError(
+            f"apply_changes needs {key_col!r} and {op_col!r} in the batch"
+        )
+    ops = [r[0] for r in df.select(op_col).distinct().collect()]
+    bad = [o for o in ops if o not in APPLY_UPSERT_OPS | APPLY_DELETE_OPS]
+    if bad:
+        raise ValueError(
+            f"unknown op values {sorted(map(repr, bad))}: expected "
+            f"{sorted(APPLY_UPSERT_OPS)} or {sorted(APPLY_DELETE_OPS)}"
+        )
+    if df.where(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(f"NULL {key_col!r} in the change batch — "
+                         "equality deletes cannot address NULL keys")
+    if (df.groupBy(key_col).count().where(F.col("count") > 1)
+            .limit(1).count()):
+        raise ValueError(
+            f"duplicate {key_col!r} in the change batch — one row per "
+            "key (resolve CDC streams to their latest image upstream)"
+        )
+    data = (
+        df.where(F.col(op_col).isin(list(APPLY_UPSERT_OPS))).drop(op_col)
+    )
+    n_ins = int(data.count())
+    touched = df.select(key_col).distinct()
+    n_del = int(df.where(
+        F.col(op_col).isin(list(APPLY_DELETE_OPS))).count())
+    if n_ins:
+        append_table(
+            data, out_dir, rows_per_bucket=rows_per_bucket,
+            shuffle=shuffle, profile=profile,
+            delete_keys=(key_col, touched),
+        )
+    elif n_del:
+        delete_rows(spark, out_dir, key_col, touched)
+    return {"inserts": n_ins, "deletes": n_del,
+            "snapshot": current_snapshot(out_dir)}

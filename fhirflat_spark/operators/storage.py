@@ -1586,6 +1586,76 @@ FROM final WHERE n_chars < 1500 GROUP BY 1 ORDER BY bucket
 """
 
 
+def _merged_documents(spark, sf_dir: str) -> str:
+    """MERGE fixture: documents driven through one mixed
+    ``apply_changes`` batch — updates (+500 chars on doc_id%10==1),
+    inserts (doc_id%10==4 re-keyed +1e6) and deletes (doc_id%10==2),
+    all landing as a SINGLE snapshot commit."""
+    from fhirflat_spark.encode import apply_changes, encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        encode_table(docs, path, rows_per_bucket=2000)
+        batch = (
+            docs.where(F.col("doc_id") % 10 == 1)
+            .withColumn("n_chars", F.col("n_chars") + 500)
+            .withColumn("_op", F.lit("update"))
+            .unionByName(
+                docs.where(F.col("doc_id") % 10 == 4)
+                .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+                .withColumn("_op", F.lit("insert")))
+            .unionByName(
+                docs.where(F.col("doc_id") % 10 == 2)
+                .withColumn("_op", F.lit("delete")))
+        )
+        info = apply_changes(batch, path, "doc_id", rows_per_bucket=2000)
+        assert info["snapshot"] == 2, info  # ONE commit for the batch
+
+    return _cached_dataset(spark, sf_dir, "mrgq", build)
+
+
+def q_merge_apply_changes(spark, sf_dir):
+    """Single-commit SQL MERGE / CDC apply (encode.apply_changes): one
+    batch carrying updates, inserts and deletes through an op column
+    lands atomically (snapshot 1 → 2, no intermediate delete-only
+    state). The oracle reconstructs the merged view in SQL; a dropped
+    delete, a doubled update, or a shadow delete that ate its own
+    insert shifts the per-lang aggregates."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _merged_documents(spark, sf_dir)
+    return (
+        decode_table(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_MERGE_APPLY_CHANGES = """
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 1 THEN n_chars + 500
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 10 <> 2
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+  FROM documents WHERE doc_id % 10 = 4
+)
+SELECT lang, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "decode_zone_pruned": (q_decode_zone_pruned, SQL_DECODE_ZONE_PRUNED),
     "metadata_only_aggregate": (
@@ -1634,4 +1704,5 @@ QUERIES = {
     "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
     "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
     "encoded_topk_where": (q_encoded_topk_where, SQL_ENCODED_TOPK_WHERE),
+    "merge_apply_changes": (q_merge_apply_changes, SQL_MERGE_APPLY_CHANGES),
 }

@@ -184,6 +184,83 @@ def test_upsert_single_commit_merge(spark, tmp_path):
     assert decode_table(spark, out, snapshot=1).count() == 400
 
 
+def test_apply_changes_mixed_batch_one_commit(spark, tmp_path):
+    """SQL MERGE / CDC apply: updates, inserts (op synonym 'I') and
+    deletes in ONE batch land as ONE snapshot commit; the final view
+    equals the SQL reconstruction and time travel shows the pre-merge
+    table."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import apply_changes, encode_table
+    from fhirflat_spark.manifest import current_snapshot
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ds")
+    encode_table(docs.where(F.col("doc_id") < 400), out, rows_per_bucket=500)
+    batch = (
+        docs.where(F.col("doc_id").between(100, 199))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("_op", F.lit("update"))
+        .unionByName(
+            docs.where(F.col("doc_id").between(400, 449))
+            .withColumn("_op", F.lit("I")))
+        .unionByName(
+            docs.where((F.col("doc_id") < 100)
+                       & (F.col("doc_id") % 10 == 3))
+            .withColumn("_op", F.lit("delete")))
+    )
+    info = apply_changes(batch, out, "doc_id", rows_per_bucket=500)
+    assert info["inserts"] == 150 and info["deletes"] == 10
+    assert info["snapshot"] == 2 and current_snapshot(out) == 2
+    dec = decode_table(spark, out)
+    exp = (
+        docs.where(F.col("doc_id") < 450)
+        .where((F.col("doc_id") >= 100) | (F.col("doc_id") % 10 != 3))
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id").between(100, 199),
+                   F.col("n_chars") + 1000).otherwise(F.col("n_chars")),
+        )
+    )
+    assert dec.count() == exp.count()
+    cols = dec.columns
+    assert sorted(tuple(map(repr, r)) for r in dec.select(*cols).collect()) \
+        == sorted(tuple(map(repr, r)) for r in exp.select(*cols).collect())
+    assert decode_table(spark, out, snapshot=1).count() == 400
+
+
+def test_apply_changes_pure_delete_empty_and_validation(spark, tmp_path):
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import apply_changes, encode_table
+    from fhirflat_spark.manifest import current_snapshot
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ds")
+    encode_table(docs.where(F.col("doc_id") < 200), out, rows_per_bucket=500)
+    # pure-delete batch: one delete-only commit
+    batch = docs.where(F.col("doc_id") < 20).withColumn("_op", F.lit("D"))
+    info = apply_changes(batch, out, "doc_id")
+    assert info == {"inserts": 0, "deletes": 20, "snapshot": 2}
+    assert decode_table(spark, out).count() == 180
+    # empty batch: no commit at all
+    info = apply_changes(batch.limit(0), out, "doc_id")
+    assert info == {"inserts": 0, "deletes": 0, "snapshot": 2}
+    # validation: unknown op, duplicate key, NULL key, missing columns
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_changes(
+            docs.limit(1).withColumn("_op", F.lit("replace")), out, "doc_id")
+    dup = docs.where(F.col("doc_id") == 250).withColumn("_op", F.lit("U"))
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_changes(dup.unionByName(dup), out, "doc_id")
+    with pytest.raises(ValueError, match="NULL"):
+        apply_changes(
+            docs.limit(1)
+            .withColumn("doc_id", F.lit(None).cast("bigint"))
+            .withColumn("_op", F.lit("U")), out, "doc_id")
+    with pytest.raises(ValueError, match="in the batch"):
+        apply_changes(docs.limit(1), out, "doc_id")
+    assert current_snapshot(out) == 2  # failed validations committed nothing
+
+
 def test_upsert_then_compact_materializes(spark, tmp_path):
     from fhirflat_spark.decode import compact_table, decode_table
     from fhirflat_spark.encode import encode_table, upsert_rows

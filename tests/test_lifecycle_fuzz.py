@@ -231,8 +231,8 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
         )
 
     ops = ["append", "sink", "upsert", "delete", "posdelete",
-           "rollback", "maintain", "wap", "tag"]
-    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1]
+           "rollback", "maintain", "wap", "tag", "apply"]
+    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2]
     trace = []
     for step in range(16):
         op = rng.choices(ops, weights)[0]
@@ -284,6 +284,33 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             rows = _mk_rows(rng, [*touch, *fresh])
             upsert_rows(_df(spark, rows), out, "doc_id", rows_per_bucket=50)
             model.update({r[0]: r for r in rows})
+            record()
+        elif op == "apply":
+            # single-commit MERGE (apply_changes): update some live
+            # keys, insert fresh ones, delete others — one atomic
+            # commit mixing all three through the op column
+            from fhirflat_spark.encode import apply_changes
+
+            live = sorted(model)
+            touch = rng.sample(live, min(len(live), rng.randrange(5, 20)))
+            k_del = rng.randrange(0, len(touch) // 2 + 1)
+            doomed, updated = touch[:k_del], touch[k_del:]
+            fresh = range(next_id, next_id + rng.randrange(0, 12))
+            next_id = fresh.stop
+            up_rows = _mk_rows(rng, [*updated, *fresh])
+            batch = [(i, l, n, "upsert") for i, l, n in up_rows] + [
+                (d, "xx", 0, "delete") for d in doomed
+            ]
+            if not batch:
+                continue
+            bdf = spark.createDataFrame(
+                [(int(i), l, int(n), o) for i, l, n, o in batch],
+                COLS + ["_op"],
+            )
+            apply_changes(bdf, out, "doc_id", rows_per_bucket=50)
+            model.update({r[0]: r for r in up_rows})
+            for d in doomed:
+                model.pop(d, None)
             record()
         elif op == "delete":
             live = sorted(model)
