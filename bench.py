@@ -432,6 +432,75 @@ def encoded_groupby_stage(spark, out: str) -> dict:
     return st
 
 
+def encoded_topk_stage(spark, out: str) -> dict:
+    """Global ORDER BY col LIMIT k via the metadata-derived zone
+    threshold (encoded_exec.topk_rows_encoded): tau comes from walking
+    per-chunk zones driver-side (zero data IO), then the pushed
+    `col >= tau` scan decodes only chunks that can hold a top-k row —
+    vs the same sort over a full decode. On the repo-clustered layout
+    the order column's zones are disjoint, the production case (sort
+    keys get clustered). Rows asserted equal (correctness probe);
+    the tie-break column (unique content) makes both sides a total
+    order. Reuses the selective-scan stage's 1M-row dataset."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encoded_exec import (
+        _topk_zone_threshold,
+        topk_rows_encoded,
+    )
+    from fhirflat_spark.manifest import read_summary
+    from fhirflat_spark.sources.datasource import FhirflatBatchReader
+
+    k = 100
+    cols = ["repo", "path", "commit"]
+
+    def _tk():
+        return topk_rows_encoded(
+            spark, out, "repo", k, "content", columns=cols
+        ).collect()
+
+    def _scan():
+        return (
+            decode_table(spark, out)
+            .orderBy(F.col("repo").desc_nulls_last(),
+                     F.col("content").asc_nulls_first())
+            .limit(k).select(*cols).collect()
+        )
+
+    _tk()  # warmup
+    tk_s, scan_s = [], []
+    for _ in range(3):
+        t0 = time.time()
+        got = _tk()
+        tk_s.append(time.time() - t0)
+        t0 = time.time()
+        exp = _scan()
+        scan_s.append(time.time() - t0)
+    tk_s, scan_s = min(tk_s), min(scan_s)
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    tau = _topk_zone_threshold(out, "repo", k, None, True)
+    parts_total = read_summary(spark, out)["num_partitions"]
+    parts_read = parts_total
+    if tau is not None:
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        rdr = FhirflatBatchReader({"path": out}, None)
+        rdr.pushFilters([GreaterThanOrEqual(("repo",), tau)])
+        parts_read = len(list(rdr.partitions()))
+    st = {
+        "k": k,
+        "tau_derived": tau is not None,
+        "parts_read": parts_read,
+        "parts_total": parts_total,
+        "topk_sec": round(tk_s, 3),
+        "scan_sort_sec": round(scan_s, 3),
+        "speedup": round(scan_s / max(tk_s, 1e-6), 1),
+    }
+    print(f"  encoded_topk: {st}", flush=True)
+    return st
+
+
 def replication_stage(spark, src: str) -> dict:
     """Changelog-applied mirror maintenance (replicate.py): one full
     sync of the table, then a ~1.2% delta window (1% upsert + 0.2%
@@ -761,6 +830,7 @@ def main() -> None:
     vec_idx = vector_index_stage(spark)
     sel_scan = selective_scan_stage(spark, src)
     enc_gby = encoded_groupby_stage(spark, f"{SHM}/selscan_ds")
+    enc_topk = encoded_topk_stage(spark, f"{SHM}/selscan_ds")
     repl = replication_stage(spark, src)
     key_counts = [
         (r[0], r["count"])
@@ -843,6 +913,7 @@ def main() -> None:
         "vector_index": vec_idx,
         "selective_scan": sel_scan,
         "encoded_groupby": enc_gby,
+        "encoded_topk": enc_topk,
         "replication": repl,
         "bench_total_sec": total,
     }
@@ -929,6 +1000,15 @@ def _compact(result: dict) -> dict:
             else None
         ),
         "encoded_groupby": result.get("encoded_groupby"),
+        "encoded_topk": (
+            {
+                k: result["encoded_topk"].get(k)
+                for k in ("topk_sec", "scan_sort_sec", "speedup",
+                          "parts_read", "parts_total")
+            }
+            if result.get("encoded_topk")
+            else None
+        ),
         "replication": (
             {
                 k: result["replication"].get(k)
@@ -964,6 +1044,7 @@ def _compact(result: dict) -> dict:
         out.pop("metadata_agg", None)
         out.pop("selective_scan", None)
         out.pop("encoded_groupby", None)
+        out.pop("encoded_topk", None)
         out.pop("replication", None)
         out["queries"] = dict(list(result["queries"].items())[:6])
     return out
@@ -1216,6 +1297,23 @@ def _write_report(result: dict) -> None:
             "the decode-and-materialize cost the encoded path skips; "
             "both sides scale linearly in partitions, the exchange on "
             "the encoded side stays |tasks|x|groups| at any table size.",
+        ]
+    et = result.get("encoded_topk")
+    if et:
+        lines += [
+            "",
+            "## Zone-threshold global top-k (ORDER BY ... LIMIT k)",
+            "",
+            f"Top-{et['k']} by the cluster key over the same 1M-row "
+            f"encoded table: {et['topk_sec']}s via the metadata-derived "
+            f"threshold (tau from a driver-side zone walk, zero data IO; "
+            f"{et['parts_read']} of {et['parts_total']} partitions "
+            f"scanned under the pushed `col >= tau` filter) vs "
+            f"{et['scan_sort_sec']}s for the full decode + "
+            f"TakeOrderedAndProject ({et['speedup']}x), results asserted "
+            "equal. The threshold walk is metadata-sized at any table "
+            "size; the scan side touches only chunks whose zones can "
+            "hold a top-k row — ∝ k, not rows.",
         ]
     rp = result.get("replication")
     if rp:

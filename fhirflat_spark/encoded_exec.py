@@ -712,9 +712,12 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
     columns groups on the tuple (mixed-radix combined codes, as in
     :func:`group_count_encoded`).
 
-    ``value_col`` must be integral — int64 partial sums stay bit-exact
+    ``value_col`` is integral — int64 partial sums stay bit-exact
     under re-aggregation (the same reason manifest col_sums track only
-    integer columns; float partial sums drift). ``where`` as in
+    integer columns; float partial sums drift) — or (single group
+    column only) a string, where the aggregate is ``cnt, MIN, MAX``
+    with no SUM (binary-collated string min/max re-aggregates exactly;
+    arrow's byte-wise UTF-8 comparison equals Spark's). ``where`` as in
     :func:`group_count_encoded`."""
     if isinstance(group_col, (list, tuple)):
         return _group_agg_multi(spark, out_dir, list(group_col), value_col,
@@ -722,13 +725,16 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
     pruned, (gfield, vfield), fplan = _plan_scan(
         spark, out_dir, [group_col, value_col], snapshot, where=where
     )
-    _check_integral(vfield, value_col)
+    is_str = isinstance(vfield.dataType, T.StringType)
+    if not is_str:
+        _check_integral(vfield, value_col)
     gat = _arrow_field(spark, gfield)
-    out_pa = pa.schema([
-        pa.field("k", gat), pa.field("cnt", pa.int64()),
-        pa.field("s", pa.int64()), pa.field("mn", pa.int64()),
-        pa.field("mx", pa.int64()),
-    ])
+    vat = pa.string() if is_str else pa.int64()
+    out_fields = [pa.field("k", gat), pa.field("cnt", pa.int64())]
+    if not is_str:
+        out_fields.append(pa.field("s", pa.int64()))
+    out_fields += [pa.field("mn", vat), pa.field("mx", vat)]
+    out_pa = pa.schema(out_fields)
 
     def kernel(batches):
         import pyarrow.compute as pc
@@ -753,9 +759,9 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                     codes = np.full(n, -1, dtype=np.int64)
                     keys = pa.array([], type=gat)
                 if vblobs[i].is_valid:
-                    vals = decode_array(_blob_view(vblobs, i)).cast(pa.int64())
+                    vals = decode_array(_blob_view(vblobs, i)).cast(vat)
                 else:
-                    vals = pa.nulls(n, type=pa.int64())
+                    vals = pa.nulls(n, type=vat)
                 if m is not None:
                     codes = codes[m]
                     vals = vals.filter(pa.array(m))
@@ -764,7 +770,8 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                 # group ids shifted +1: 0 is the NULL group
                 t = pa.table({"g": pa.array(codes + 1), "v": vals})
                 agg = t.group_by("g").aggregate(
-                    [("v", "sum"), ("v", "min"), ("v", "max"), ("g", "count")]
+                    ([] if is_str else [("v", "sum")])
+                    + [("v", "min"), ("v", "max"), ("g", "count")]
                 )
                 g = agg.column("g").to_numpy(zero_copy_only=False)
                 kc = pa.concat_arrays([
@@ -772,13 +779,15 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                     keys.cast(gat).combine_chunks()
                     if isinstance(keys, pa.ChunkedArray) else keys.cast(gat),
                 ])
-                parts.append(pa.table({
+                cols = {
                     "k": kc.take(pa.array(g)),
                     "cnt": agg.column("g_count").cast(pa.int64()),
-                    "s": agg.column("v_sum").cast(pa.int64()),
-                    "mn": agg.column("v_min").cast(pa.int64()),
-                    "mx": agg.column("v_max").cast(pa.int64()),
-                }))
+                }
+                if not is_str:
+                    cols["s"] = agg.column("v_sum").cast(pa.int64())
+                cols["mn"] = agg.column("v_min").cast(vat)
+                cols["mx"] = agg.column("v_max").cast(vat)
+                parts.append(pa.table(cols))
         if not parts:
             return
         allp = pa.concat_tables(parts)
@@ -786,38 +795,46 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
         # SQL semantics — arrow hash_sum skips nulls but returns 0 (not
         # NULL) when min_count=0; min_count=1 preserves all-NULL -> NULL
         opts = pc.ScalarAggregateOptions(min_count=1)
-        merged = allp.group_by("k").aggregate([
-            ("cnt", "sum"), ("s", "sum", opts),
-            ("mn", "min", opts), ("mx", "max", opts),
-        ])
-        yield pa.RecordBatch.from_arrays(
-            [
-                merged.column("k").combine_chunks().cast(gat),
-                merged.column("cnt_sum").cast(pa.int64()).combine_chunks(),
-                merged.column("s_sum").cast(pa.int64()).combine_chunks(),
-                merged.column("mn_min").cast(pa.int64()).combine_chunks(),
-                merged.column("mx_max").cast(pa.int64()).combine_chunks(),
-            ],
-            schema=out_pa,
+        merged = allp.group_by("k").aggregate(
+            [("cnt", "sum")]
+            + ([] if is_str else [("s", "sum", opts)])
+            + [("mn", "min", opts), ("mx", "max", opts)]
         )
+        arrays = [
+            merged.column("k").combine_chunks().cast(gat),
+            merged.column("cnt_sum").cast(pa.int64()).combine_chunks(),
+        ]
+        if not is_str:
+            arrays.append(
+                merged.column("s_sum").cast(pa.int64()).combine_chunks())
+        arrays += [
+            merged.column("mn_min").cast(vat).combine_chunks(),
+            merged.column("mx_max").cast(vat).combine_chunks(),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_pa)
 
-    partial = T.StructType([
-        T.StructField("k", gfield.dataType, True),
-        T.StructField("cnt", T.LongType(), False),
-        T.StructField("s", T.LongType(), True),
-        T.StructField("mn", T.LongType(), True),
-        T.StructField("mx", T.LongType(), True),
-    ])
+    vst = vfield.dataType if is_str else T.LongType()
+    partial = T.StructType(
+        [
+            T.StructField("k", gfield.dataType, True),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+        + ([] if is_str else [T.StructField("s", T.LongType(), True)])
+        + [
+            T.StructField("mn", vst, True),
+            T.StructField("mx", vst, True),
+        ]
+    )
     partials = pruned.mapInArrow(kernel, schema=partial)
+    aggs = [F.sum("cnt").alias("cnt")]
+    if not is_str:
+        aggs.append(F.sum("s").alias(f"sum_{value_col}"))
+    aggs += [
+        F.min("mn").alias(f"min_{value_col}"),
+        F.max("mx").alias(f"max_{value_col}"),
+    ]
     return (
-        partials.groupBy("k")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("s").alias(f"sum_{value_col}"),
-            F.min("mn").alias(f"min_{value_col}"),
-            F.max("mx").alias(f"max_{value_col}"),
-        )
-        .withColumnRenamed("k", group_col)
+        partials.groupBy("k").agg(*aggs).withColumnRenamed("k", group_col)
     )
 
 

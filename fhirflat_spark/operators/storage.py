@@ -1121,6 +1121,22 @@ SQL_ENCODED_GROUP_WHERE = (
 )
 
 
+def q_encoded_group_string_agg(spark, sf_dir):
+    """String value aggregation in the encoded domain: MIN/MAX of a
+    string column per group (no SUM — only the integral path tracks
+    sums), group codes never materializing to values."""
+    from fhirflat_spark.encoded_exec import group_agg_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_agg_encoded(spark, out, "lang", "source")
+
+
+SQL_ENCODED_GROUP_STRING_AGG = (
+    "SELECT lang, COUNT(*) AS cnt, MIN(source) AS min_source, "
+    "MAX(source) AS max_source FROM documents GROUP BY lang"
+)
+
+
 def q_encoded_group_topk(spark, sf_dir):
     """Per-group heavy hitters from the encoded domain: the window ranks
     |distinct (lang, source) pairs| rows, never the table."""
@@ -1705,4 +1721,7 @@ QUERIES = {
     "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
     "encoded_topk_where": (q_encoded_topk_where, SQL_ENCODED_TOPK_WHERE),
     "merge_apply_changes": (q_merge_apply_changes, SQL_MERGE_APPLY_CHANGES),
+    "encoded_group_string_agg": (
+        q_encoded_group_string_agg, SQL_ENCODED_GROUP_STRING_AGG,
+    ),
 }

@@ -140,6 +140,42 @@ def test_group_agg_all_null_group_sum_is_null(spark, tmp_path):
     assert got["b"]["sum_val"] == 5
 
 
+def test_group_agg_string_value(spark, tmp_path):
+    """String value columns aggregate as cnt/MIN/MAX (no SUM): arrow's
+    byte-wise UTF-8 min/max equals Spark's binary collation, so the
+    partial merge is exact; NULLs skip, all-NULL groups yield NULL."""
+    from fhirflat_spark.encoded_exec import group_agg_encoded
+
+    rows = []
+    rng = np.random.default_rng(11)
+    for i in range(600):
+        g = [None, "g0", "g1"][int(rng.integers(0, 3))]
+        s = (None if rng.integers(0, 4) == 0
+             else f"v{int(rng.integers(0, 50)):02d}")
+        rows.append((i, g, s))
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING, s STRING")
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=150)
+
+    def _exp(frame):
+        return frame.groupBy("grp").agg(
+            F.count("*").alias("cnt"),
+            F.min("s").alias("min_s"),
+            F.max("s").alias("max_s"),
+        )
+
+    got = group_agg_encoded(spark, out, "grp", "s")
+    assert got.columns == ["grp", "cnt", "min_s", "max_s"]
+    assert _rows(got) == _rows(_exp(df))
+    # WHERE pushdown composes
+    got = group_agg_encoded(spark, out, "grp", "s",
+                            where=[("id", "ge", 300)])
+    assert _rows(got) == _rows(_exp(df.where("id >= 300")))
+    # the multi-column group path still requires an integral value
+    with pytest.raises(ValueError, match="integral"):
+        group_agg_encoded(spark, out, ["grp", "id"], "s")
+
+
 def test_schema_evolution_null_group(spark, tmp_path):
     """Chunks written before the column existed count as the NULL group
     (count) / NULL values (agg) — same as decode's typed null fill."""
