@@ -109,6 +109,10 @@ def main() -> None:
     mnt.add_argument("--rows-per-bucket", type=int, default=250_000)
     mnt.add_argument("--keep-snapshots", type=int, default=3)
     mnt.add_argument("--dry-run", action="store_true")
+    mnt.add_argument("--order-by", dest="order_by", default=None,
+                     help="sort-order rewrite when the policy compacts")
+    mnt.add_argument("--zorder", action="store_true",
+                     help="Morton-curve clustering over --order-by columns")
 
     snp = sub.add_parser("snapshots", help="list/rollback/expire/vacuum snapshot history")
     snp.add_argument("--out", required=True)
@@ -132,6 +136,40 @@ def main() -> None:
     trc.add_argument("--src", required=True)
     trc.add_argument("--out", required=True)
     trc.add_argument("--profile", choices=["balanced", "archive"], default="archive")
+
+    cpt = sub.add_parser(
+        "compact",
+        help="clustering rewrite into a NEW directory (crash-safe; "
+             "caller swaps after verifying) — --order-by makes it a "
+             "sort-order rewrite that restores zone selectivity, "
+             "--zorder interleaves the columns on the Morton curve",
+    )
+    cpt.add_argument("--src", required=True)
+    cpt.add_argument("--out", required=True)
+    cpt.add_argument("--rows-per-bucket", type=int, default=250_000)
+    cpt.add_argument("--profile", choices=["balanced", "archive"],
+                     default="balanced")
+    cpt.add_argument("--order-by", dest="order_by", default=None,
+                     help="comma-separated sort columns")
+    cpt.add_argument("--zorder", action="store_true",
+                     help="Morton-curve clustering over --order-by columns")
+
+    bpk = sub.add_parser(
+        "binpack",
+        help="partial IN-PLACE compaction (Iceberg rewrite_data_files "
+             "binpack): rewrite only the under-filled partitions as ONE "
+             "snapshot commit — history preserved, IO proportional to "
+             "the fragmented slice",
+    )
+    bpk.add_argument("--out", required=True)
+    bpk.add_argument("--rows-per-bucket", type=int, default=250_000)
+    bpk.add_argument("--min-fill", type=float, default=0.5,
+                     help="rewrite partitions under this fill fraction")
+    bpk.add_argument("--part-ids", default=None,
+                     help="explicit comma-separated partition ids")
+    bpk.add_argument("--order-by", dest="order_by", default=None,
+                     help="sort the rewritten slice on these columns")
+    bpk.add_argument("--dry-run", action="store_true")
 
     ddp = sub.add_parser("dedup", help="physical dedup via position deletes (no chunk rewrite)")
     ddp.add_argument("--out", required=True)
@@ -353,6 +391,7 @@ def main() -> None:
         print(json.dumps(maintain_table(
             spark, args.out, rows_per_bucket=args.rows_per_bucket,
             keep_snapshots=args.keep_snapshots, dry_run=args.dry_run,
+            order_by=_parse_columns(args.order_by), zorder=args.zorder,
         )))
     elif args.cmd == "snapshots":
         from fhirflat_spark import manifest as M
@@ -615,6 +654,31 @@ def main() -> None:
         res = transcode_table(spark, args.src, args.out, profile=args.profile)
         print(json.dumps({
             "rows": res.rows, "encoded_bytes": res.encoded_bytes,
+            "ratio": round(res.ratio, 4), "seconds": round(res.seconds, 2),
+        }))
+    elif args.cmd == "binpack":
+        from fhirflat_spark.maintenance import binpack_partitions
+
+        pids = (
+            [int(v) for v in args.part_ids.split(",") if v.strip()]
+            if args.part_ids else None
+        )
+        print(json.dumps(binpack_partitions(
+            spark, args.out, part_ids=pids,
+            rows_per_bucket=args.rows_per_bucket, min_fill=args.min_fill,
+            order_by=_parse_columns(args.order_by), dry_run=args.dry_run,
+        )))
+    elif args.cmd == "compact":
+        from fhirflat_spark.decode import compact_table
+
+        res = compact_table(
+            spark, args.src, args.out,
+            rows_per_bucket=args.rows_per_bucket, profile=args.profile,
+            order_by=_parse_columns(args.order_by), zorder=args.zorder,
+        )
+        print(json.dumps({
+            "rows": res.rows, "partitions": res.num_partitions,
+            "encoded_bytes": res.encoded_bytes,
             "ratio": round(res.ratio, 4), "seconds": round(res.seconds, 2),
         }))
 

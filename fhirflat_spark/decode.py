@@ -989,12 +989,24 @@ def codec_report(spark: SparkSession, out_dir: str) -> DataFrame:
 def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
                   rows_per_bucket: int = 250_000,
                   profile: str = "balanced",
-                  shuffle: bool | str = True):
+                  shuffle: bool | str = True,
+                  order_by: list[str] | None = None,
+                  zorder: bool = False):
     """Rewrite a fragmented dataset (e.g. after many small appends) into
     a freshly clustered one: decode everything, re-run the salted encode
     with full-size buckets, write to a NEW directory. Crash-safe by
     construction — ``dst_dir`` is complete-or-discardable and ``src_dir``
     is never touched; callers swap directories after verifying.
+
+    ``order_by`` makes it a SORT-ORDER rewrite (Iceberg
+    ``rewrite_data_files`` with a sort order): rows are range-
+    partitioned and sorted on the given columns, and the encode runs
+    layout-preserving (the ``shuffle`` arg is superseded — the sort IS
+    the layout), so partition and chunk zone maps become selective on
+    the sort key — the maintenance op that restores zone/threshold
+    pruning after many unordered appends. ``zorder=True`` interleaves
+    the columns along the Morton curve instead (multi-dimension
+    selectivity; see ``zorder.cluster_by_zorder``).
 
     Complements ``transcode_table`` (same boundaries, new codecs): this
     is the boundary/clustering rewrite. A selective variant (compact
@@ -1012,6 +1024,12 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
     from fhirflat_spark.manifest import active_delete_files
 
     summary = read_summary(spark, src_dir)
+    if zorder and not order_by:
+        raise ValueError("zorder=True needs order_by columns")
+    for c in order_by or []:
+        if c not in summary["columns"]:
+            raise ValueError(f"order_by column {c!r} not in dataset "
+                             f"columns {summary['columns']}")
     df = decode_table(spark, src_dir)
     # summary rows are PHYSICAL; with active row-level deletes the
     # rewrite legitimately holds fewer (compaction materializes the
@@ -1024,6 +1042,20 @@ def compact_table(spark: SparkSession, src_dir: str, dst_dir: str,
         if active_delete_files(src_dir)
         else summary["rows"]
     )
+    if order_by:
+        from pyspark.sql import functions as F
+
+        nparts = max(1, -(-int(expected) // int(rows_per_bucket)))
+        if zorder:
+            from fhirflat_spark.zorder import cluster_by_zorder
+
+            df = cluster_by_zorder(df, list(order_by), nparts)
+        else:
+            df = (
+                df.repartitionByRange(nparts, *order_by)
+                .sortWithinPartitions(*[F.col(c) for c in order_by])
+            )
+        shuffle = False
     res = encode_table(
         df, dst_dir, columns=summary["columns"],
         rows_per_bucket=rows_per_bucket, profile=profile, shuffle=shuffle,

@@ -1230,8 +1230,16 @@ def encode_table(
     delete_keys: tuple | None = None,
     weight_col: str | None = None,
     branch: str | None = None,
+    replace_pids: set[int] | None = None,
 ) -> EncodeResult:
     """Encode ``df`` into ``out_dir`` (chunks + manifest + summary).
+
+    ``replace_pids`` (append-only): partitions this commit REWRITES —
+    their manifest rows are dropped from the new snapshot in the same
+    atomic commit that adds the appended partitions (the Iceberg
+    ``rewrite_data_files`` shape: one snapshot swaps old files for
+    new). Their chunk dirs and fragment files stay on disk for
+    time-travel until snapshot expiry + vacuum reclaim them.
 
     ``shuffle=False`` is the layout-preserving mode: encode each input
     split in place with NO exchange — correct for any input, optimal when
@@ -1296,6 +1304,14 @@ def encode_table(
     if branch is not None and not append:
         raise ValueError("branch staging is append-only (WAP audits a "
                          "delta against an existing table)")
+    if replace_pids:
+        if not append:
+            raise ValueError("replace_pids is a rewrite COMMIT against an "
+                             "existing table; it requires append=True")
+        if branch is not None:
+            # a staged rewrite's manifest would hide main partitions from
+            # the branch view and publish_branch fast-forwards blindly
+            raise ValueError("replace_pids cannot be staged on a branch")
     if profile not in ("balanced", "archive"):
         raise ValueError(f"unknown profile {profile!r}")
     spark = df.sparkSession
@@ -1436,6 +1452,17 @@ def encode_table(
         frag_live = set(snapshot_part_ids(out_dir, head)) if head else set()
         for sv in _branch_staged_versions(out_dir):
             frag_live.update(snapshot_part_ids(out_dir, sv))
+        if replace_pids:
+            # rewrite commit: the replaced partitions leave the live
+            # manifest atomically with this append (their fragments stay
+            # on disk — retained snapshots still reference them)
+            missing = set(replace_pids) - frag_live
+            if missing:
+                raise ValueError(
+                    f"replace_pids {sorted(missing)} are not live "
+                    "partitions of the current head"
+                )
+            frag_live -= set(replace_pids)
         for name in fsio.list_files(frag_dir, suffix=".json"):
             pid = int(name[: -len(".json")])
             if pid >= part_offset and pid not in committed:
@@ -1665,6 +1692,7 @@ def append_table(
     branch: str | None = None,
     ndv_columns: list[str] | None = None,
     quantile_columns: list[str] | None = None,
+    replace_pids: set[int] | None = None,
 ) -> EncodeResult:
     """Incrementally append ``df`` to an EXISTING encoded dataset — the
     daily-ingest pattern at 100 TB: new rows become NEW partitions
@@ -1778,6 +1806,7 @@ def append_table(
         branch=branch,
         ndv_columns=ndv_columns,
         quantile_columns=quantile_columns,
+        replace_pids=replace_pids,
         # byte-weighted delta placement: the planner runs its own
         # count+sum scan; row-count stats are NOT persisted for weighted
         # appends (equivalent-row weights would pollute merged row totals)

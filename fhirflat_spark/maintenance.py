@@ -47,12 +47,125 @@ def table_health(spark: SparkSession, out_dir: str,
     }
 
 
+def binpack_partitions(spark: SparkSession, out_dir: str,
+                       part_ids: list[int] | None = None,
+                       rows_per_bucket: int = 250_000,
+                       min_fill: float = 0.5,
+                       profile: str = "balanced",
+                       order_by: list[str] | None = None,
+                       dry_run: bool = False) -> dict:
+    """Partial IN-PLACE compaction — Iceberg ``rewrite_data_files``
+    binpack: rewrite only the under-filled partitions (or an explicit
+    ``part_ids`` list) into full-size ones, committed as ONE snapshot
+    that atomically swaps the old partitions for the new. Unlike
+    ``compact_table`` (full rewrite into a new directory, history
+    reset), this
+
+    - costs IO proportional to the FRAGMENTED slice, not the table —
+      the only shape that works on a 100 TB table accreting small
+      daily appends;
+    - preserves history: the replaced partitions' chunk dirs and
+      manifest fragments stay on disk, so every retained snapshot
+      still time-travels (``expire_snapshots`` + ``vacuum`` reclaim
+      them later);
+    - materializes active row-level deletes FOR THE REWRITTEN ROWS
+      ONLY (they are decoded through the merge-on-read overlay; the
+      delete entries stay active for the untouched partitions).
+
+    Selection: partitions with fewer than ``min_fill *
+    rows_per_bucket`` physical rows. Needs at least two victims to be
+    worth a commit (one under-filled partition cannot pack tighter).
+    ``order_by`` sorts the rewritten slice (local zone selectivity;
+    for whole-table ordering use ``compact_table(order_by=...)``).
+    Concurrency: a data commit — raises ``CommitConflictError`` on a
+    race, and refuses while a WAP branch has staged history."""
+    from pyspark.sql import functions as F
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.manifest import (
+        _branch_staged_versions,
+        read_summary,
+    )
+
+    if _branch_staged_versions(out_dir):
+        # fail BEFORE writing chunk files: the final commit would raise
+        # anyway (write_manifest), leaving orphan chunk dirs behind
+        raise ValueError("branch(es) have unpublished staged commits; "
+                         "publish or drop them before binpacking")
+    summary = read_summary(spark, out_dir)
+    t = fsio.read_parquet(f"{out_dir}/manifest",
+                          columns=["part_id", "rows", "status"])
+    live = {
+        int(p): int(r)
+        for p, r, s in zip(t["part_id"].to_pylist(), t["rows"].to_pylist(),
+                           t["status"].to_pylist())
+        if s == "ok"
+    }
+    if part_ids is None:
+        victims = sorted(
+            p for p, r in live.items() if r < min_fill * rows_per_bucket
+        )
+    else:
+        victims = sorted(set(int(p) for p in part_ids))
+        unknown = [p for p in victims if p not in live]
+        if unknown:
+            raise ValueError(f"part_ids {unknown} are not live partitions")
+    for c in order_by or []:
+        if c not in summary["columns"]:
+            raise ValueError(f"order_by column {c!r} not in dataset "
+                             f"columns {summary['columns']}")
+    report = {
+        "packed": False,
+        "victim_part_ids": victims,
+        "victim_rows_physical": sum(live[p] for p in victims),
+    }
+    if len(victims) < 2:
+        return report
+    if dry_run:
+        report["would_pack"] = True
+        return report
+    df = decode_table(spark, out_dir, part_ids=victims)
+    n = df.count()  # LOGICAL rows (merge-on-read deletes applied)
+    nparts = max(1, -(-n // int(rows_per_bucket)))
+    if order_by:
+        df = (df.repartitionByRange(nparts, *order_by)
+              .sortWithinPartitions(*[F.col(c) for c in order_by]))
+    else:
+        df = df.repartition(nparts)
+    res = append_table(
+        df, out_dir, rows_per_bucket=rows_per_bucket, shuffle=False,
+        profile=profile, replace_pids=set(victims),
+        # victims' key-count stats fragments already cover these rows —
+        # an empty caller-supplied list suppresses the delta scan so
+        # merged totals don't double-count the rewrite
+        key_counts=[],
+        ndv_columns=[c for c in summary.get("ndv_columns", ())
+                     if c in df.columns],
+        quantile_columns=[c for c in summary.get("quantile_columns", ())
+                          if c in df.columns],
+    )
+    report.update({
+        "packed": True,
+        "rewritten_rows": int(n),
+        "new_partitions": int(nparts),
+        "n_partitions_after": res.num_partitions,
+        "snapshot": None,
+    })
+    from fhirflat_spark.manifest import current_snapshot
+
+    report["snapshot"] = current_snapshot(out_dir)
+    return report
+
+
 def maintain_table(spark: SparkSession, out_dir: str,
                    rows_per_bucket: int = 250_000,
                    keep_snapshots: int = 3,
                    compact_fragmentation: float = 0.5,
                    profile: str = "balanced",
-                   dry_run: bool = False) -> dict:
+                   dry_run: bool = False,
+                   order_by: list[str] | None = None,
+                   zorder: bool = False) -> dict:
     """One-call maintenance pass. Policy:
 
     - **compact** when over ``compact_fragmentation`` of partitions are
@@ -68,6 +181,10 @@ def maintain_table(spark: SparkSession, out_dir: str,
       Iceberg's `rewrite_data_files` + `expire_snapshots` makes.
     - **expire** all but the newest ``keep_snapshots`` snapshots.
     - **vacuum** chunk partitions no retained snapshot references.
+
+    ``order_by``/``zorder`` pass through to ``compact_table`` when the
+    policy compacts: the rewrite then restores sort-key clustering (and
+    with it zone/threshold pruning), not just partition fill.
 
     ``dry_run=True`` reports what would happen without touching bytes.
     Returns the health report plus the actions taken."""
@@ -120,7 +237,8 @@ def maintain_table(spark: SparkSession, out_dir: str,
         shutil.rmtree(build, ignore_errors=True)
         shutil.rmtree(parked, ignore_errors=True)
         compact_table(spark, out_dir, build,
-                      rows_per_bucket=rows_per_bucket, profile=profile)
+                      rows_per_bucket=rows_per_bucket, profile=profile,
+                      order_by=order_by, zorder=zorder)
         os.rename(local_out, parked)
         os.rename(build, local_out)
         shutil.rmtree(parked)

@@ -231,8 +231,8 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
         )
 
     ops = ["append", "sink", "upsert", "delete", "posdelete",
-           "rollback", "maintain", "wap", "tag", "apply"]
-    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2]
+           "rollback", "maintain", "wap", "tag", "apply", "binpack"]
+    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2, 2]
     trace = []
     for step in range(16):
         op = rng.choices(ops, weights)[0]
@@ -272,6 +272,19 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             for k in doomed:
                 model.pop(k, None)
             record()
+        elif op == "binpack":
+            # partial in-place compaction: model unchanged, ONE commit,
+            # history stays addressable (record() replays the CDF net —
+            # a binpack window must net to ZERO row changes and the
+            # streaming reader must refuse it loudly, never emit deltas)
+            from fhirflat_spark.maintenance import binpack_partitions
+
+            rep = binpack_partitions(
+                spark, out, rows_per_bucket=50,
+                min_fill=rng.choice([0.5, 1.0]),
+            )
+            if rep["packed"]:
+                record()
         elif op == "tag":
             name = f"t{step}"
             create_tag(out, name)
@@ -353,8 +366,12 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             else:
                 drop_branch(out, "audit")  # abandoned: model unchanged
         elif op == "maintain":
+            # sometimes the compaction is a sort-order / z-order rewrite
+            # (content must stay identical either way)
+            ob = rng.choice([None, ["doc_id"], ["lang", "doc_id"]])
             maintain_table(spark, out, rows_per_bucket=50,
-                           keep_snapshots=2)
+                           keep_snapshots=2, order_by=ob,
+                           zorder=bool(ob) and len(ob) > 1)
             # compaction swap / expiry may reset or trim history — the
             # recorded lineage is no longer addressable; re-pin
             history = [(current_snapshot(out), dict(model))]

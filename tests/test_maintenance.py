@@ -73,6 +73,67 @@ def test_maintain_compacts_expires_and_preserves_content(spark, fragmented):
     assert rep2["compacted"] is False and rep2["would_compact"] is False
 
 
+def _zone_pruned(out, col, lo, hi, dtype):
+    from fhirflat_spark.decode import _live_part_ids
+    from fhirflat_spark.manifest import prune_part_ids_by_zones
+
+    pids = _live_part_ids(out)
+    return prune_part_ids_by_zones(out, pids, [(col, lo, hi)],
+                                   {col: dtype}), pids
+
+
+def test_compact_with_sort_order_restores_zone_selectivity(spark, tmp_path):
+    """compact_table(order_by=...) is the Iceberg sort-order rewrite:
+    rows come out identical, but partition zones on the sort key become
+    disjoint — a range probe that touched every partition of the
+    append-scattered table prunes to a sliver afterwards. zorder=True
+    rides the Morton-curve clustering instead and must also round-trip
+    identically. The fixture interleaves appends by doc_id % 6 so every
+    partition's zone spans the full key range (the `fragmented` fixture
+    appends CONTIGUOUS ranges, which zones already prune)."""
+    from pyspark.sql import types as T
+
+    from fhirflat_spark.decode import compact_table, decode_table
+    from fhirflat_spark.encode import append_table, encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = docs.where(F.col("doc_id") < 600)
+    out = str(tmp_path / "scattered")
+    encode_table(src.where(F.col("doc_id") % 6 == 0), out,
+                 rows_per_bucket=5000)
+    for i in range(1, 6):
+        append_table(src.where(F.col("doc_id") % 6 == i), out,
+                     rows_per_bucket=5000)
+    before_keep, before_all = _zone_pruned(out, "doc_id", 10, 19,
+                                           T.LongType())
+    # scattered: the probe touches MANY partitions (round-robin still
+    # gives each tiny partition a sub-range zone, so a few prune)
+    assert len(before_keep) >= 5
+    dst = out + "_sorted"
+    res = compact_table(spark, out, dst, rows_per_bucket=100,
+                        order_by=["doc_id"])
+    assert res.rows == src.count()
+    dec = decode_table(spark, dst)
+    assert sorted(tuple(map(repr, r)) for r in dec.collect()) == \
+           sorted(tuple(map(repr, r)) for r in src.collect())
+    after_keep, after_all = _zone_pruned(dst, "doc_id", 10, 19,
+                                         T.LongType())
+    assert len(after_all) >= 5 and len(after_keep) == 1
+    # zorder path: identical rows, clustering on the curve
+    dz = out + "_z"
+    res = compact_table(spark, out, dz, rows_per_bucket=100,
+                        order_by=["doc_id", "n_chars"], zorder=True)
+    assert res.rows == src.count()
+    assert decode_table(spark, dz).count() == src.count()
+    zk, za = _zone_pruned(dz, "doc_id", 10, 19, T.LongType())
+    assert len(zk) < len(za)  # curve clustering prunes on dimension 1
+    # validation
+    with pytest.raises(ValueError, match="not in dataset"):
+        compact_table(spark, out, out + "_bad", order_by=["nope"])
+    with pytest.raises(ValueError, match="needs order_by"):
+        compact_table(spark, out, out + "_bad", zorder=True)
+
+
 def test_maintain_accepts_file_prefixed_path(spark, fragmented):
     """The directory swap must handle the `file:` URI form Spark paths
     often carry (os.rename needs the bare path)."""
