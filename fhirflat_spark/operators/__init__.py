@@ -63,11 +63,12 @@ _FIRST_50 = [
     "decontam_overlap", "decontam_clean_stats",
     # embedding dedup (1)
     "embedding_neardup_pairs",
-    # load-bearing repeats from earlier-checked blocks (9)
-    "tpch_q1", "broadcast_join_revenue", "ingest_mapping",
-    "sessionize", "format_dates",
-    "dedup_exact", "minhash_lsh_pairs", "near_dedup_pipeline",
-    "cosine_topk",
+    # continuation 7-8 additions never driver-checked (5)
+    "encoded_group_topk", "encoded_topk_rows", "encoded_topk_where",
+    "merge_apply_changes", "encoded_group_string_agg",
+    # load-bearing repeats from earlier-checked blocks (4)
+    "tpch_q1", "ingest_mapping",
+    "minhash_lsh_pairs", "near_dedup_pipeline",
 ]
 assert len(_FIRST_50) == 50 and len(set(_FIRST_50)) == 50
 _missing = [n for n in _FIRST_50 if n not in _ALL]
