@@ -90,6 +90,113 @@ def sample_stratified(
     return df.where(stable_uniform(key_col, seed) < rate)
 
 
+def stable_hash32(key_col: str, seed: int | str) -> Column:
+    """The raw 32-bit integer behind :func:`stable_uniform` — first 32
+    bits of sha256("{key}:{seed}") as a long in [0, 2^32). Exposed so
+    integer-threshold sampling (:func:`mix_domains`) can compare
+    against exact integer cutoffs with no float division anywhere."""
+    h = F.sha2(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")), 256
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def mixture_thresholds(
+    counts: dict[str, int], weights: dict[str, int]
+) -> dict[str, int]:
+    """Exact integer hash cutoffs for a target domain mixture.
+
+    Given per-domain row counts ``n_d`` and positive integer target
+    weights ``w_d`` (the desired output proportions), the largest
+    achievable output size without upsampling is
+    ``M = min_d floor(n_d * W / w_d)`` with ``W = sum(w)`` — the
+    domain that runs out first caps the mixture. Each domain then
+    keeps rows whose 32-bit stable hash falls below
+    ``t_d = floor(w_d * M * 2^32 / (W * n_d))``, i.e. an expected
+    ``w_d * M / W`` rows. All arithmetic is unbounded Python int —
+    exact at any table size — and the identical formula is
+    SQL-expressible (DuckDB HUGEINT), so mixture membership is
+    portable lineage exactly like :func:`stable_uniform` splits.
+
+    Raises if a weighted domain has no rows (its proportion would be
+    unachievable — an explicit signal beats an empty result)."""
+    bad = {d: w for d, w in weights.items()
+           if not isinstance(w, int) or isinstance(w, bool) or w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive ints, got {bad}")
+    missing = sorted(d for d in weights if not counts.get(d))
+    if missing:
+        raise ValueError(
+            f"weighted domain(s) {missing} have no rows; the requested "
+            "mixture is unachievable without upsampling"
+        )
+    total_w = sum(weights.values())
+    m = min(counts[d] * total_w // w for d, w in weights.items())
+    return {
+        d: (w * m << 32) // (total_w * counts[d])
+        for d, w in weights.items()
+    }
+
+
+def mix_domains(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, int],
+    key_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Resample a corpus to target domain proportions — the mixture
+    step of a training-data pipeline (e.g. re-weighting web vs books
+    vs code before tokenization). Downsampling only: the scarcest
+    weighted domain is kept whole and every other domain is thinned to
+    match, so expected output proportions equal ``weights``. Domains
+    absent from ``weights`` are dropped (that IS the mixture).
+
+    Execution shape at 100 TB: ONE map-side-combined count over the
+    domain column (|domains| rows to the driver), thresholds computed
+    exactly in Python int, then a pure per-row hash filter — a
+    plan-time CASE chain inside whole-stage codegen with no join, no
+    shuffle, no state. Determinism: membership is a pure function of
+    (key, seed, the domain count multiset), identical on any engine —
+    the DuckDB oracle recomputes count, cutoff, and hash per row.
+
+    See also :func:`temperature_weights` for deriving ``weights`` from
+    observed counts with a flattening exponent."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).count().collect()
+        if r[0] is not None
+    }
+    thresholds = mixture_thresholds(counts, weights)
+    cutoff = F.lit(-1).cast("long")  # unweighted / NULL domains drop
+    for value, t in sorted(thresholds.items()):
+        cutoff = F.when(
+            F.col(domain_col) == F.lit(value), F.lit(t).cast("long")
+        ).otherwise(cutoff)
+    return df.where(stable_hash32(key_col, seed) < cutoff)
+
+
+def temperature_weights(
+    counts: dict[str, int], alpha: float, scale: int = 1_000_000
+) -> dict[str, int]:
+    """Integer mixture weights ``w_d ∝ n_d^alpha`` — the standard
+    temperature re-weighting (alpha=1 keeps natural proportions,
+    alpha=0 is uniform, 0<alpha<1 flattens head domains and boosts the
+    tail, the multilingual-corpus recipe). Floats touch only this
+    driver-side weight derivation; the sampling itself stays exact
+    integer arithmetic in :func:`mix_domains`."""
+    if not counts:
+        raise ValueError("counts is empty")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    top = max(counts.values())
+    return {
+        d: max(1, round((n / top) ** alpha * scale))
+        for d, n in counts.items()
+        if n > 0
+    }
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -152,7 +259,57 @@ FROM kept GROUP BY 1, 2 ORDER BY lang, split
 """
 
 
+def q_domain_mixture(spark, sf_dir):
+    """Resample documents to a 1:2:2:1 en/fr/es/zh mixture (en is the
+    head domain and gets thinned ~7x; fr is the scarcest weighted
+    domain and survives whole; de is unweighted and dropped). The
+    oracle recomputes domain counts, the exact integer cutoffs, and
+    the per-row hash decision — so the feasibility bound M, the
+    floor arithmetic, and hash membership are all pinned."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mix_domains(
+        docs, "lang", {"en": 1, "fr": 2, "es": 2, "zh": 1},
+        key_col="doc_id", seed=13,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+w(lang, wt) AS (VALUES ('en', 1), ('fr', 2), ('es', 2), ('zh', 1)),
+j AS (SELECT c.lang, c.n, w.wt FROM counts c JOIN w ON c.lang = w.lang),
+m AS (SELECT min(n * 6 // wt) AS m FROM j),
+thr AS (
+  SELECT j.lang,
+         (CAST(j.wt AS HUGEINT) * m.m * 4294967296) // (6 * j.n) AS t
+  FROM j, m
+),
+kept AS (
+  SELECT d.lang, d.doc_id, d.n_chars
+  FROM documents d JOIN thr ON d.lang = thr.lang
+  WHERE CAST(('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR) || ':13'),
+                             1, 8)) AS UBIGINT) < thr.t
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "stable_sample": (q_stable_sample, SQL_STABLE_SAMPLE),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
 }

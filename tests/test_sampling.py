@@ -8,11 +8,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from fhirflat_spark.operators.sampling import (
+    mix_domains,
+    mixture_thresholds,
     sample_hash,
     sample_stratified,
     split_column,
     stable_uniform,
+    temperature_weights,
 )
 
 
@@ -103,6 +108,98 @@ def test_null_keys_never_sampled(spark):
     out = sample_hash(df, "k", 1.0 - 1e-9, seed=0).collect()
     assert None not in {r["k"] for r in out}
     assert len(out) == 2
+
+
+def _domains(spark, sizes: dict[str, int], parts=4):
+    """One row per id with a skewed domain column: domain d covers a
+    contiguous id range of len sizes[d]."""
+    rows, base = [], 0
+    for d, n in sorted(sizes.items()):
+        rows.extend((base + i, d) for i in range(n))
+        base += n
+    return spark.createDataFrame(rows, ["k", "dom"]).repartition(parts)
+
+
+def test_mixture_thresholds_exact_arithmetic():
+    # W=6, M = min(8000*6//1, 500*6//2, 900*6//2, 700*6//1) = 1500
+    counts = {"en": 8000, "fr": 500, "es": 900, "zh": 700, "de": 123}
+    thr = mixture_thresholds(counts, {"en": 1, "fr": 2, "es": 2, "zh": 1})
+    m = 1500
+    assert thr == {
+        "en": (1 * m << 32) // (6 * 8000),
+        "fr": (2 * m << 32) // (6 * 500),   # == 2^32: kept whole
+        "es": (2 * m << 32) // (6 * 900),
+        "zh": (1 * m << 32) // (6 * 700),
+    }
+    assert thr["fr"] == 1 << 32
+    assert "de" not in thr  # unweighted domain has no cutoff
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_thresholds({"en": 10}, {"en": 1, "xx": 1})
+    with pytest.raises(ValueError, match="positive ints"):
+        mixture_thresholds({"en": 10}, {"en": 0})
+    with pytest.raises(ValueError, match="positive ints"):
+        mixture_thresholds({"en": 10}, {"en": 1.5})
+
+
+def test_mix_domains_proportions_and_exhaustion(spark):
+    sizes = {"web": 20_000, "books": 1_000, "code": 4_000, "junk": 500}
+    df = _domains(spark, sizes)
+    out = mix_domains(df, "dom", {"web": 2, "books": 1, "code": 1},
+                      key_col="k", seed=5)
+    per = {r["dom"]: r["c"] for r in
+           out.groupBy("dom").agg(F.count("*").alias("c")).collect()}
+    # W=4, M = min(20000*4//2, 1000*4//1, 4000*4//1) = 4000:
+    # books is the scarcest weighted domain and survives WHOLE
+    assert per["books"] == 1000
+    # expected: web 2000 of 20000, code 1000 of 4000 (binomial ~4 sigma)
+    assert abs(per["web"] - 2000) < 180
+    assert abs(per["code"] - 1000) < 120
+    assert "junk" not in per  # unweighted domain dropped
+
+
+def test_mix_domains_deterministic_and_partition_invariant(spark):
+    df = _domains(spark, {"a": 3000, "b": 600})
+    w = {"a": 1, "b": 1}
+    got1 = set(r["k"] for r in
+               mix_domains(df, "dom", w, "k", seed=2).collect())
+    got2 = set(r["k"] for r in
+               mix_domains(df.repartition(13, "dom"), "dom", w, "k",
+                           seed=2).collect())
+    assert got1 == got2 and len(got1) > 0
+    # membership is the documented pure function of (key, seed, counts)
+    import hashlib
+    thr = mixture_thresholds({"a": 3000, "b": 600}, w)
+    rows = [(r["k"], r["dom"]) for r in df.collect()]
+    expect = {
+        k for k, d in rows if d in thr and
+        int(hashlib.sha256(f"{k}:2".encode()).hexdigest()[:8], 16) < thr[d]
+    }
+    assert got1 == expect
+
+
+def test_mix_domains_filter_stays_codegen(spark):
+    df = _domains(spark, {"a": 200, "b": 100})
+    plan = (
+        mix_domains(df, "dom", {"a": 1, "b": 1}, "k", seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Filter" in plan
+
+
+def test_temperature_weights():
+    counts = {"en": 10_000, "fr": 100, "zh": 1}
+    flat = temperature_weights(counts, 0.0)
+    assert flat == {"en": 1_000_000, "fr": 1_000_000, "zh": 1_000_000}
+    nat = temperature_weights(counts, 1.0)
+    assert nat["en"] == 1_000_000 and nat["fr"] == 10_000 and nat["zh"] == 100
+    half = temperature_weights(counts, 0.5)
+    # sqrt flattening: fr moves from 1% of en to 10% of en
+    assert half["fr"] == 100_000
+    with pytest.raises(ValueError):
+        temperature_weights({}, 0.5)
+    with pytest.raises(ValueError):
+        temperature_weights(counts, -1)
 
 
 def test_sampling_plan_is_codegen_filter(spark):
