@@ -98,11 +98,16 @@ def main() -> None:
                      help="time-travel by wall clock: epoch seconds or "
                           "ISO-8601 (resolves to the snapshot current then)")
 
-    dlt = sub.add_parser("delete", help="row-level delete by key equality (no chunk rewrite)")
+    dlt = sub.add_parser("delete", help="row-level delete by key equality "
+                         "or predicate (no chunk rewrite)")
     dlt.add_argument("--out", required=True)
-    dlt.add_argument("--column", required=True)
-    dlt.add_argument("--values", required=True,
+    dlt.add_argument("--column", help="key column (equality delete)")
+    dlt.add_argument("--values",
                      help="comma-separated key values to delete")
+    dlt.add_argument("--where", help="predicate DELETE instead: "
+                     "'n_chars<200' — entailed partitions drop "
+                     "metadata-only, straddlers get position deletes")
+    dlt.add_argument("--dry-run", action="store_true")
 
     mnt = sub.add_parser("maintain", help="policy compaction + snapshot expiry + vacuum")
     mnt.add_argument("--out", required=True)
@@ -381,10 +386,23 @@ def main() -> None:
         print(json.dumps({"rows": df.count()}))
         df.show(args.show, truncate=60)
     elif args.cmd == "delete":
-        from fhirflat_spark.manifest import delete_rows
+        if args.where:
+            if args.column or args.values:
+                raise SystemExit("--where excludes --column/--values")
+            from fhirflat_spark.maintenance import delete_where
 
-        vals = [v.strip() for v in args.values.split(",") if v.strip()]
-        print(json.dumps(delete_rows(spark, args.out, args.column, vals)))
+            print(json.dumps(delete_where(
+                spark, args.out, _parse_where(args.where),
+                dry_run=args.dry_run,
+            )))
+        else:
+            if not (args.column and args.values):
+                raise SystemExit("need --column + --values, or --where")
+            from fhirflat_spark.manifest import delete_rows
+
+            vals = [v.strip() for v in args.values.split(",") if v.strip()]
+            print(json.dumps(delete_rows(spark, args.out, args.column,
+                                         vals)))
     elif args.cmd == "maintain":
         from fhirflat_spark.maintenance import maintain_table
 

@@ -158,6 +158,171 @@ def binpack_partitions(spark: SparkSession, out_dir: str,
     return report
 
 
+def _entails_partition(pred: tuple, n_rows: int, zones: dict,
+                       nulls: dict | None) -> bool:
+    """True only when the predicate provably holds for EVERY physical
+    row of a partition from its manifest rollups alone (col_zones +
+    col_nulls) — the gate for a metadata-only partition drop. Follows
+    the manifest's stats-v2 conventions: ``nulls is None`` = untracked
+    (pre-v2) → never entailed; a column ABSENT from the nulls map is
+    all-NULL in this partition (evolved schema). Value-op comparisons
+    delegate to :func:`encoded_exec._pred_entails_chunk`, whose
+    truncated-string-zone tests each use the bound on its safe side —
+    truncation can only LOSE entailment, never fake it. Conservative
+    declines (floats, missing zones, type mismatches) fall to the exact
+    Spark scan path, so this function affects IO, never answers."""
+    from fhirflat_spark.encoded_exec import _pred_entails_chunk
+
+    col, op, _v = pred
+    if nulls is None:
+        return False
+    n_null = nulls.get(col, n_rows)
+    if op == "nu":
+        return n_null == n_rows
+    if n_null != 0:  # a NULL row fails every value predicate
+        return False
+    if op == "nn":
+        return True
+    return _pred_entails_chunk(
+        pred, {"n_rows": n_rows, "nulls": {col: 0}, "zones": zones or {}}
+    )
+
+
+def delete_where(spark: SparkSession, out_dir: str, where,
+                 dry_run: bool = False) -> dict:
+    """Predicate DELETE — ``DELETE FROM t WHERE ...`` over the where
+    mini-language (``(col, op, value)`` tuples or a conjunctive list;
+    ops eq/lt/le/gt/ge/in/sw/nu/nn), the retention-job primitive
+    (``DELETE WHERE ts < cutoff``) a 100 TB table needs. Three tiers,
+    ONE snapshot commit:
+
+    - partitions whose manifest zones/null rollups prove NO row matches
+      are untouched (zone pruning, :func:`prune_part_ids_by_zones`);
+    - partitions whose rollups prove EVERY row matches are dropped from
+      the manifest — metadata-only, zero data bytes read or written
+      (the Iceberg metadata-delete analog); their chunks/fragments stay
+      for time travel until expire + vacuum;
+    - straddling partitions are scanned (filter columns only) and their
+      matching rows become ONE positional-delete entry, applied
+      merge-on-read like ``delete_rows_at`` and materialized by the
+      next compaction.
+
+    Entailment is conservative (floats, booleans, missing stats decline
+    to the scan path, where Spark's own comparison semantics define the
+    answer exactly — NULL rows never match a value predicate, matching
+    SQL DELETE). Like ``delete_rows``, the commit auto-retries races
+    and applies to the table's current state. A window containing this
+    commit is NOT append-only: ``table_changes`` diffs the views and
+    the streaming changefeed reader raises (reconcile + restart), both
+    by design. ``dry_run=True`` reports the classification without
+    scanning or committing."""
+    import json as _json
+    import operator as _ops
+    import uuid
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encoded_exec import (
+        _normalize_where,
+        _where_exprs,
+        _where_zones,
+    )
+    from fhirflat_spark.manifest import (
+        _deletes_dir,
+        commit_partition_drop,
+        current_snapshot,
+        prune_part_ids_by_nulls,
+        prune_part_ids_by_zones,
+        read_snapshot_manifest,
+        read_summary,
+    )
+
+    preds = _normalize_where(where)
+    if not preds:
+        raise ValueError("delete_where needs at least one predicate")
+    summary = read_summary(spark, out_dir)
+    unknown = [c for c, _, _ in preds if c not in summary["columns"]]
+    if unknown:
+        raise ValueError(f"where columns {unknown} not in dataset "
+                         f"columns {summary['columns']}")
+    prev = current_snapshot(out_dir)
+    if prev is None:
+        raise ValueError(f"{out_dir} has no committed snapshot")
+    schema = T.StructType.fromJson(_json.loads(summary["spark_schema"]))
+    type_of = {f.name: f.dataType for f in schema.fields}
+    t = read_snapshot_manifest(out_dir, prev)
+    names = t.schema.names
+    meta = {}
+    for i in range(t.num_rows):
+        row = {c: t[c][i].as_py() for c in
+               ("part_id", "rows", "status")
+               if c in names}
+        if row.get("status") != "ok":
+            continue
+        zj = t["col_zones"][i].as_py() if "col_zones" in names else None
+        nj = t["col_nulls"][i].as_py() if "col_nulls" in names else None
+        meta[int(row["part_id"])] = (
+            int(row["rows"]),
+            _json.loads(zj) if zj else {},
+            _json.loads(nj) if nj is not None else None,
+        )
+    cand = prune_part_ids_by_zones(
+        out_dir, sorted(meta), _where_zones(preds), type_of
+    )
+    nullchecks = [(c, op == "nu") for c, op, _ in preds if op in ("nu", "nn")]
+    if nullchecks:
+        cand = prune_part_ids_by_nulls(out_dir, cand, nullchecks)
+    drop, scan = [], []
+    for pid in cand:
+        n_rows, zones, nulls = meta[pid]
+        if all(_entails_partition(p, n_rows, zones, nulls) for p in preds):
+            drop.append(pid)
+        else:
+            scan.append(pid)
+    report = {
+        "snapshot": None,
+        "parts_dropped": drop,
+        "rows_dropped_physical": sum(meta[p][0] for p in drop),
+        "parts_scanned": scan,
+        "n_positions": 0,
+    }
+    if dry_run:
+        report["would_commit"] = bool(drop or scan)
+        return report
+    pos_file = None
+    if scan:
+        cond = reduce(_ops.and_, _where_exprs(preds))
+        losers = (
+            decode_table(spark, out_dir,
+                         columns=sorted({c for c, _, _ in preds}),
+                         part_ids=scan, with_positions=True)
+            .where(cond)
+            .select(
+                F.col("__part_id").cast("int").alias("part_id"),
+                F.col("__chunk_seq").cast("int").alias("chunk_seq"),
+                F.col("__row_idx").cast("int").alias("row_idx"),
+            )
+            .distinct()
+        )
+        pos_file = f"w{uuid.uuid4().hex[:12]}.parquet"
+        dest = f"{_deletes_dir(out_dir)}/{pos_file}"
+        losers.write.mode("overwrite").parquet(dest)
+        n_pos = fsio.count_parquet_rows(dest)
+        if n_pos == 0:
+            fsio.delete_dir(dest)
+            pos_file = None
+        else:
+            report["n_positions"] = int(n_pos)
+    if not drop and pos_file is None:
+        return report  # nothing matched: no commit (Iceberg no-op DELETE)
+    stats = commit_partition_drop(spark, out_dir, set(drop), pos_file)
+    report["snapshot"] = stats["snapshot"]
+    return report
+
+
 def maintain_table(spark: SparkSession, out_dir: str,
                    rows_per_bucket: int = 250_000,
                    keep_snapshots: int = 3,

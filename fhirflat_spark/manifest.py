@@ -1349,6 +1349,81 @@ def delete_rows_at(spark: SparkSession, out_dir: str,
     )
 
 
+def commit_partition_drop(spark: SparkSession, out_dir: str,
+                          drop_pids: set[int],
+                          pos_delete_file: str | None = None) -> dict:
+    """Commit a PARTITION-level drop — optionally together with one
+    positional-delete entry — as ONE metadata-only snapshot: the new
+    manifest simply omits the dropped partitions (their chunk files and
+    fragments stay on disk for time travel until ``expire_snapshots`` +
+    ``vacuum``; the next append never re-merges them because its
+    fragment keep-set is head-reachable pids ∪ its own range). This is
+    the commit primitive behind ``maintenance.delete_where`` — the
+    Iceberg ``DELETE FROM t WHERE ...`` metadata-delete analog: cost is
+    the manifest, independent of table size.
+
+    Same lineage semantics as ``delete_rows``: auto-retries version
+    races (a drop applies to whatever the current state is), allowed
+    while a WAP branch has staged history (it invalidates the branch's
+    fast-forward publish, which ``publish_branch`` detects). Summary
+    physical totals are updated to the surviving manifest (the same
+    update ``rollback`` performs); key-count stats fragments keep the
+    dropped rows as an over-approximation — placement statistics are
+    sizing heuristics, never correctness inputs."""
+    import os
+
+    if not drop_pids and pos_delete_file is None:
+        raise ValueError("commit_partition_drop: nothing to commit")
+    drop_pids = {int(p) for p in drop_pids}
+    token = str(os.getpid())
+    for _ in range(10):
+        prev = current_snapshot(out_dir)
+        if prev is None:
+            raise ValueError(f"{out_dir} has no committed snapshot")
+        version = _next_version(out_dir)
+        t = read_snapshot_manifest(out_dir, prev)
+        pids = [int(p) for p in t["part_id"].to_pylist()]
+        t2 = t.filter(pa.array([p not in drop_pids for p in pids]))
+        active = active_delete_files(out_dir, prev)
+        if pos_delete_file is not None:
+            active = active + [
+                {"file": pos_delete_file, "column": None, "positional": True}
+            ]
+        t2 = _with_commit_time(_with_deletes_meta(t2, active))
+        try:
+            fsio.write_parquet_exclusive(
+                t2, snapshot_manifest_path(out_dir, version), token=token
+            )
+        except FileExistsError:
+            continue
+        _write_snapshot_deletes(out_dir, version, active, token)
+        _advance_current(out_dir, version, t2, token)
+        summary = read_summary(spark, out_dir)
+        raw = sum(t2["raw_bytes"].to_pylist())
+        enc = sum(t2["encoded_bytes"].to_pylist())
+        summary.update(
+            rows=sum(t2["rows"].to_pylist()), raw_bytes=raw,
+            encoded_bytes=enc,
+            compression_ratio=round(enc / raw, 6) if raw else 0.0,
+            num_partitions=t2.num_rows,
+            dataset_sha256=_sha_of_partition_shas(
+                t2["part_id"].to_pylist(), t2["partition_sha"].to_pylist()
+            ),
+        )
+        fsio.write_bytes_atomic(f"{out_dir}/_SUMMARY.json",
+                                json.dumps(summary, indent=2).encode(),
+                                token=token)
+        return {
+            "snapshot": version,
+            "parts_dropped": sorted(set(pids) & drop_pids),
+            "n_partitions_after": t2.num_rows,
+            "active_delete_files": len(active),
+        }
+    raise CommitConflictError(
+        f"partition drop on {out_dir} lost 10 straight commit races"
+    )
+
+
 def drop_duplicate_rows(spark: SparkSession, out_dir: str,
                         key_cols: list[str],
                         order_cols: list[str] | None = None) -> dict:

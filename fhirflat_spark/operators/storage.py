@@ -312,6 +312,64 @@ def _encoded_documents_deleted(spark, sf_dir: str) -> str:
     return _cached_dataset(spark, sf_dir, "delq", build)
 
 
+def _encoded_documents_pred_deleted(spark, sf_dir: str) -> str:
+    """Predicate-DELETE fixture: documents range-clustered on n_chars
+    (so zone rollups can entail the predicate for whole partitions),
+    then ``delete_where(n_chars < 200)`` — the retention-job shape. The
+    build asserts BOTH tiers fired: ≥1 partition dropped metadata-only
+    AND ≥1 straddler row position-deleted; a fixture that exercised
+    only one path would prove less than the operator claims."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.maintenance import delete_where
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ranged = docs.repartitionByRange(8, "n_chars").sortWithinPartitions(
+            "n_chars"
+        )
+        encode_table(ranged, path, rows_per_bucket=2000, shuffle=False)
+        rep = delete_where(spark, path, ("n_chars", "lt", 200))
+        if not rep["parts_dropped"] or rep["n_positions"] == 0:
+            raise RuntimeError(
+                f"predicate-delete fixture must exercise both the "
+                f"metadata-drop and the positional tier: {rep}"
+            )
+
+    return _cached_dataset(spark, sf_dir, "pdelq", build)
+
+
+def q_predicate_delete(spark, sf_dir):
+    """Predicate-DELETE read path: partitions fully under the threshold
+    left the manifest (metadata-only), the straddler's matching rows
+    are position-deleted merge-on-read — the oracle states the same
+    table as a plain WHERE. An over-dropped partition, a leaked row, or
+    a wrong zone bound all shift the aggregates and fail the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_pred_deleted(spark, sf_dir)
+    return (
+        decode_table(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_PREDICATE_DELETE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(n_chars) AS min_chars, max(doc_id) AS max_doc
+FROM documents
+WHERE n_chars >= 200 OR n_chars IS NULL
+GROUP BY lang ORDER BY lang
+"""
+
+
 def q_row_level_delete(spark, sf_dir):
     """Equality-delete read path (Iceberg v2 analog): the decode must
     anti-join the active delete files — the oracle states the same
@@ -1693,6 +1751,7 @@ QUERIES = {
     "schema_evolution_decode": (q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     "point_lookup_bloom": (q_point_lookup, SQL_POINT_LOOKUP),
     "row_level_delete": (q_row_level_delete, SQL_ROW_LEVEL_DELETE),
+    "predicate_delete": (q_predicate_delete, SQL_PREDICATE_DELETE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "datasource_scan": (q_datasource_scan, SQL_DATASOURCE_SCAN),
     "datasource_write_roundtrip": (q_datasource_write, SQL_DATASOURCE_WRITE),

@@ -231,8 +231,9 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
         )
 
     ops = ["append", "sink", "upsert", "delete", "posdelete",
-           "rollback", "maintain", "wap", "tag", "apply", "binpack"]
-    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2, 2]
+           "rollback", "maintain", "wap", "tag", "apply", "binpack",
+           "delwhere"]
+    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2, 2, 2]
     trace = []
     for step in range(16):
         op = rng.choices(ops, weights)[0]
@@ -324,6 +325,29 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             model.update({r[0]: r for r in up_rows})
             for d in doomed:
                 model.pop(d, None)
+            record()
+        elif op == "delwhere":
+            # predicate DELETE: metadata drops for entailed partitions +
+            # positional deletes for straddlers in ONE commit; the model
+            # applies the same predicate in Python. The CDF replay in
+            # record() exercises the view-diff path (a drop window is
+            # not append-only) and the streaming reader must refuse it.
+            from fhirflat_spark.maintenance import delete_where
+
+            pred = rng.choice([
+                ("n", "lt", rng.randrange(0, 120)),
+                ("n", "ge", rng.randrange(850, 1000)),
+                ("lang", "eq", rng.choice(["en", "de", "fr", "xx"])),
+            ])
+            delete_where(spark, out, pred)
+            col, o, v = pred
+            idx = 2 if col == "n" else 1
+            keep = {
+                "lt": lambda x: not x < v,
+                "ge": lambda x: not x >= v,
+                "eq": lambda x: x != v,
+            }[o]
+            model = {k: r for k, r in model.items() if keep(r[idx])}
             record()
         elif op == "delete":
             live = sorted(model)
