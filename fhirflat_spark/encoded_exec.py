@@ -705,12 +705,13 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                       value_col: str,
                       snapshot: int | str | None = None,
                       where=None) -> DataFrame:
-    """``SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) GROUP BY g`` with the
-    GROUP side kept in the encoded domain (codes, not values) and the
-    value column decoded once per chunk. Output columns:
-    ``group_col(s), cnt, sum_{v}, min_{v}, max_{v}``. A list of group
-    columns groups on the tuple (mixed-radix combined codes, as in
-    :func:`group_count_encoded`).
+    """``SELECT g, COUNT(*), COUNT(v), SUM(v), MIN(v), MAX(v) GROUP BY
+    g`` with the GROUP side kept in the encoded domain (codes, not
+    values) and the value column decoded once per chunk. Output columns:
+    ``group_col(s), cnt, count_{v}, sum_{v}, min_{v}, max_{v}`` —
+    ``count_{v}`` is the NON-NULL value count (AVG's denominator;
+    ``cnt`` counts rows). A list of group columns groups on the tuple
+    (mixed-radix combined codes, as in :func:`group_count_encoded`).
 
     ``value_col`` is integral — int64 partial sums stay bit-exact
     under re-aggregation (the same reason manifest col_sums track only
@@ -730,7 +731,8 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
         _check_integral(vfield, value_col)
     gat = _arrow_field(spark, gfield)
     vat = pa.string() if is_str else pa.int64()
-    out_fields = [pa.field("k", gat), pa.field("cnt", pa.int64())]
+    out_fields = [pa.field("k", gat), pa.field("cnt", pa.int64()),
+                  pa.field("vc", pa.int64())]
     if not is_str:
         out_fields.append(pa.field("s", pa.int64()))
     out_fields += [pa.field("mn", vat), pa.field("mx", vat)]
@@ -769,9 +771,13 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                         continue
                 # group ids shifted +1: 0 is the NULL group
                 t = pa.table({"g": pa.array(codes + 1), "v": vals})
+                # ("v","count") defaults to only_valid — the non-null
+                # count COUNT(v) needs (AVG's denominator); ("g","count")
+                # is the row count (group codes are never null)
                 agg = t.group_by("g").aggregate(
                     ([] if is_str else [("v", "sum")])
-                    + [("v", "min"), ("v", "max"), ("g", "count")]
+                    + [("v", "min"), ("v", "max"), ("v", "count"),
+                       ("g", "count")]
                 )
                 g = agg.column("g").to_numpy(zero_copy_only=False)
                 kc = pa.concat_arrays([
@@ -782,6 +788,7 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
                 cols = {
                     "k": kc.take(pa.array(g)),
                     "cnt": agg.column("g_count").cast(pa.int64()),
+                    "vc": agg.column("v_count").cast(pa.int64()),
                 }
                 if not is_str:
                     cols["s"] = agg.column("v_sum").cast(pa.int64())
@@ -796,13 +803,14 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
         # NULL) when min_count=0; min_count=1 preserves all-NULL -> NULL
         opts = pc.ScalarAggregateOptions(min_count=1)
         merged = allp.group_by("k").aggregate(
-            [("cnt", "sum")]
+            [("cnt", "sum"), ("vc", "sum")]
             + ([] if is_str else [("s", "sum", opts)])
             + [("mn", "min", opts), ("mx", "max", opts)]
         )
         arrays = [
             merged.column("k").combine_chunks().cast(gat),
             merged.column("cnt_sum").cast(pa.int64()).combine_chunks(),
+            merged.column("vc_sum").cast(pa.int64()).combine_chunks(),
         ]
         if not is_str:
             arrays.append(
@@ -818,6 +826,7 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
         [
             T.StructField("k", gfield.dataType, True),
             T.StructField("cnt", T.LongType(), False),
+            T.StructField("vc", T.LongType(), False),
         ]
         + ([] if is_str else [T.StructField("s", T.LongType(), True)])
         + [
@@ -826,7 +835,8 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
         ]
     )
     partials = pruned.mapInArrow(kernel, schema=partial)
-    aggs = [F.sum("cnt").alias("cnt")]
+    aggs = [F.sum("cnt").alias("cnt"),
+            F.sum("vc").alias(f"count_{value_col}")]
     if not is_str:
         aggs.append(F.sum("s").alias(f"sum_{value_col}"))
     aggs += [
@@ -835,6 +845,29 @@ def group_agg_encoded(spark: SparkSession, out_dir: str,
     ]
     return (
         partials.groupBy("k").agg(*aggs).withColumnRenamed("k", group_col)
+    )
+
+
+def group_avg_encoded(spark: SparkSession, out_dir: str,
+                      group_col: str | list[str], value_col: str,
+                      snapshot: int | str | None = None,
+                      where=None) -> DataFrame:
+    """``SELECT g, AVG(v) GROUP BY g`` from the encoded domain. Exact
+    SQL AVG semantics via the exact integer partials: the int64 SUM and
+    the non-null COUNT from :func:`group_agg_encoded` re-aggregate
+    bit-exactly, and the single final division ``sum / count`` is one
+    IEEE-754 double op — deterministic and engine-identical (unlike a
+    double RUNNING sum, whose value depends on accumulation order).
+    All-NULL groups yield NULL (NULL sum propagates through the
+    division). Output: ``group_col(s), count_{v}, avg_{v}``."""
+    agg = group_agg_encoded(spark, out_dir, group_col, value_col,
+                            snapshot=snapshot, where=where)
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    return agg.select(
+        *gcols,
+        F.col(f"count_{value_col}"),
+        (F.col(f"sum_{value_col}").cast("double")
+         / F.col(f"count_{value_col}")).alias(f"avg_{value_col}"),
     )
 
 
@@ -854,7 +887,8 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
     ats = [_arrow_field(spark, f) for f in gfields]
     kf = [pa.field(f"k{j}", at) for j, at in enumerate(ats)]
     out_pa = pa.schema(kf + [
-        pa.field("cnt", pa.int64()), pa.field("s", pa.int64()),
+        pa.field("cnt", pa.int64()), pa.field("vc", pa.int64()),
+        pa.field("s", pa.int64()),
         pa.field("mn", pa.int64()), pa.field("mx", pa.int64()),
     ])
     nk = len(gcols)
@@ -908,7 +942,7 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
                     t = pa.table({"g": pa.array(combined), "v": vals})
                     agg = t.group_by("g", use_threads=False).aggregate(
                         [("v", "sum"), ("v", "min"), ("v", "max"),
-                         ("g", "count")]
+                         ("v", "count"), ("g", "count")]
                     )
                     g = agg.column("g").to_numpy(zero_copy_only=False)
                     arrays = {}
@@ -934,7 +968,7 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
                         [f"k{j}" for j in range(nk)], use_threads=False
                     ).aggregate(
                         [("v", "sum"), ("v", "min"), ("v", "max"),
-                         ([], "count_all")]
+                         ("v", "count"), ([], "count_all")]
                     )
                     arrays = {f"k{j}": agg.column(f"k{j}")
                               for j in range(nk)}
@@ -943,6 +977,7 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
                     else agg.column("count_all")
                 )
                 arrays["cnt"] = cnt_col.cast(pa.int64())
+                arrays["vc"] = agg.column("v_count").cast(pa.int64())
                 arrays["s"] = agg.column("v_sum").cast(pa.int64())
                 arrays["mn"] = agg.column("v_min").cast(pa.int64())
                 arrays["mx"] = agg.column("v_max").cast(pa.int64())
@@ -954,13 +989,14 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
         merged = allp.group_by(
             [f"k{j}" for j in range(nk)], use_threads=False
         ).aggregate([
-            ("cnt", "sum"), ("s", "sum", opts),
+            ("cnt", "sum"), ("vc", "sum"), ("s", "sum", opts),
             ("mn", "min", opts), ("mx", "max", opts),
         ])
         yield pa.RecordBatch.from_arrays(
             [merged.column(f"k{j}").combine_chunks().cast(ats[j])
              for j in range(nk)]
             + [merged.column("cnt_sum").cast(pa.int64()).combine_chunks(),
+               merged.column("vc_sum").cast(pa.int64()).combine_chunks(),
                merged.column("s_sum").cast(pa.int64()).combine_chunks(),
                merged.column("mn_min").cast(pa.int64()).combine_chunks(),
                merged.column("mx_max").cast(pa.int64()).combine_chunks()],
@@ -971,6 +1007,7 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
         [T.StructField(f"k{j}", f.dataType, True)
          for j, f in enumerate(gfields)]
         + [T.StructField("cnt", T.LongType(), False),
+           T.StructField("vc", T.LongType(), False),
            T.StructField("s", T.LongType(), True),
            T.StructField("mn", T.LongType(), True),
            T.StructField("mx", T.LongType(), True)]
@@ -978,6 +1015,7 @@ def _group_agg_multi(spark: SparkSession, out_dir: str, gcols: list[str],
     partials = pruned.mapInArrow(kernel, schema=partial)
     merged = partials.groupBy(*[f"k{j}" for j in range(nk)]).agg(
         F.sum("cnt").alias("cnt"),
+        F.sum("vc").alias(f"count_{value_col}"),
         F.sum("s").alias(f"sum_{value_col}"),
         F.min("mn").alias(f"min_{value_col}"),
         F.max("mx").alias(f"max_{value_col}"),

@@ -1099,10 +1099,27 @@ def q_encoded_group_sum(spark, sf_dir):
 
 
 SQL_ENCODED_GROUP_SUM = (
-    "SELECT source, COUNT(*) AS cnt, "
+    "SELECT source, COUNT(*) AS cnt, COUNT(n_chars) AS count_n_chars, "
     "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
     "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
     "FROM documents GROUP BY source"
+)
+
+
+def q_encoded_group_avg(spark, sf_dir):
+    """AVG from the encoded domain: exact int64 SUM + non-null COUNT
+    partials, ONE final IEEE double division — deterministic across
+    engines, unlike order-dependent running double sums."""
+    from fhirflat_spark.encoded_exec import group_avg_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_avg_encoded(spark, out, "lang", "n_chars")
+
+
+SQL_ENCODED_GROUP_AVG = (
+    "SELECT lang, COUNT(n_chars) AS count_n_chars, "
+    "CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_n_chars "
+    "FROM documents GROUP BY lang"
 )
 
 
@@ -1133,6 +1150,7 @@ def q_encoded_group_agg_multi(spark, sf_dir):
 
 SQL_ENCODED_GROUP_AGG_MULTI = (
     "SELECT lang, source, COUNT(*) AS cnt, "
+    "COUNT(n_chars) AS count_n_chars, "
     "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
     "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
     "FROM documents GROUP BY lang, source"
@@ -1190,7 +1208,8 @@ def q_encoded_group_string_agg(spark, sf_dir):
 
 
 SQL_ENCODED_GROUP_STRING_AGG = (
-    "SELECT lang, COUNT(*) AS cnt, MIN(source) AS min_source, "
+    "SELECT lang, COUNT(*) AS cnt, COUNT(source) AS count_source, "
+    "MIN(source) AS min_source, "
     "MAX(source) AS max_source FROM documents GROUP BY lang"
 )
 
@@ -1766,6 +1785,7 @@ QUERIES = {
     ),
     "encoded_group_count": (q_encoded_group_count, SQL_ENCODED_GROUP_COUNT),
     "encoded_group_sum": (q_encoded_group_sum, SQL_ENCODED_GROUP_SUM),
+    "encoded_group_avg": (q_encoded_group_avg, SQL_ENCODED_GROUP_AVG),
     "encoded_group_count_multi": (
         q_encoded_group_count_multi, SQL_ENCODED_GROUP_COUNT_MULTI,
     ),

@@ -103,6 +103,7 @@ def _null_frame(spark):
 def _expect_agg(df, g, v):
     return df.groupBy(g).agg(
         F.count("*").alias("cnt"),
+        F.count(v).alias(f"count_{v}"),
         F.sum(v).alias(f"sum_{v}"),
         F.min(v).alias(f"min_{v}"),
         F.max(v).alias(f"max_{v}"),
@@ -160,12 +161,13 @@ def test_group_agg_string_value(spark, tmp_path):
     def _exp(frame):
         return frame.groupBy("grp").agg(
             F.count("*").alias("cnt"),
+            F.count("s").alias("count_s"),
             F.min("s").alias("min_s"),
             F.max("s").alias("max_s"),
         )
 
     got = group_agg_encoded(spark, out, "grp", "s")
-    assert got.columns == ["grp", "cnt", "min_s", "max_s"]
+    assert got.columns == ["grp", "cnt", "count_s", "min_s", "max_s"]
     assert _rows(got) == _rows(_exp(df))
     # WHERE pushdown composes
     got = group_agg_encoded(spark, out, "grp", "s",
@@ -285,6 +287,7 @@ def test_group_count_multi_radix_fallback(spark, tmp_path):
 def _expect_agg_multi(df, gcols, v):
     return df.groupBy(*gcols).agg(
         F.count("*").alias("cnt"),
+        F.count(v).alias(f"count_{v}"),
         F.sum(v).alias(f"sum_{v}"),
         F.min(v).alias(f"min_{v}"),
         F.max(v).alias(f"max_{v}"),
@@ -312,6 +315,37 @@ def test_group_agg_multi_radix_fallback(spark, tmp_path):
     slow = _group_agg_multi(spark, out, ["grp", "g2"], "val", None,
                             radix_cap=1)
     assert _rows(slow) == _rows(_expect_agg_multi(df, ["grp", "g2"], "val"))
+
+
+def test_group_avg_encoded_matches_spark(spark, tmp_path):
+    """AVG = exact int64 sum / non-null count, one final double
+    division — must equal Spark's own avg() bit-for-bit (Spark computes
+    the same exact-long-sum-then-divide), including NULL for all-NULL
+    groups and the WHERE-pushdown composition."""
+    from fhirflat_spark.encoded_exec import group_avg_encoded
+
+    df = _null_frame(spark)
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=200)
+
+    def _exp(frame, gcols):
+        return frame.groupBy(*gcols).agg(
+            F.count("val").alias("count_val"),
+            F.avg("val").alias("avg_val"),
+        )
+
+    got = group_avg_encoded(spark, out, "grp", "val")
+    assert got.columns == ["grp", "count_val", "avg_val"]
+    assert _rows(got) == _rows(_exp(df, ["grp"]))
+    # multi-column group + WHERE pushdown compose
+    df2 = df.withColumn("g2", (F.col("id") % 3).cast("string"))
+    out2 = str(tmp_path / "ds2")
+    encode_table(df2, out2, rows_per_bucket=200)
+    got = group_avg_encoded(spark, out2, ["grp", "g2"], "val",
+                            where=[("id", "ge", 300)])
+    assert _rows(got) == _rows(
+        _exp(df2.where("id >= 300"), ["grp", "g2"])
+    )
 
 
 def test_group_count_distinct(spark, tmp_path):
