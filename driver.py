@@ -181,6 +181,13 @@ def main() -> None:
     ddp.add_argument("--key", required=True, help="comma-separated duplicate-group columns")
     ddp.add_argument("--order", help="comma-separated keeper-order columns (default: physical address)")
 
+    anl = sub.add_parser("analyze", help="backfill NDV/quantile sketch "
+                         "metadata on legacy partitions (no chunk rewrite)")
+    anl.add_argument("--out", required=True)
+    anl.add_argument("--ndv", help="comma-separated columns to HLL-sketch")
+    anl.add_argument("--quantile-columns",
+                     help="comma-separated columns to DDSketch")
+
     sta = sub.add_parser("stats", help="metadata-only aggregates from the snapshot manifest (zero chunk IO)")
     sta.add_argument("--out", required=True)
     sta.add_argument("--columns", required=True,
@@ -448,6 +455,14 @@ def main() -> None:
         order = [c.strip() for c in (args.order or "").split(",") if c.strip()]
         print(json.dumps(drop_duplicate_rows(spark, args.out, keys,
                                              order_cols=order or None)))
+    elif args.cmd == "analyze":
+        from fhirflat_spark.maintenance import analyze_table
+
+        print(json.dumps(analyze_table(
+            spark, args.out,
+            ndv_columns=_parse_columns(args.ndv),
+            quantile_columns=_parse_columns(args.quantile_columns),
+        )))
     elif args.cmd == "stats":
         from fhirflat_spark.manifest import aggregate_from_metadata
         from fhirflat_spark.ndv import ndv_from_metadata

@@ -323,6 +323,231 @@ def delete_where(spark: SparkSession, out_dir: str, where,
     return report
 
 
+def analyze_table(spark: SparkSession, out_dir: str,
+                  ndv_columns: list[str] | None = None,
+                  quantile_columns: list[str] | None = None) -> dict:
+    """Backfill NDV (HLL) and quantile (DDSketch) metadata onto
+    partitions encoded before the columns were opted in — the Iceberg
+    ANALYZE / compute-table-stats analog, unlocking the 0-IO metadata
+    readers (``ndv_from_metadata`` / ``quantile_from_metadata``) on
+    legacy data WITHOUT rewriting a single chunk.
+
+    Incomplete chunks (non-null values for a requested column, no
+    sketch recorded) are scanned DISTRIBUTED and column-pruned — only
+    the requested columns' blobs decode — and sketched with the same
+    kernels encode uses, so the result is bit-identical to what
+    encode-time opt-in would have produced (both sketches are pure
+    functions of the value multiset; pytest-pinned). All-null chunks
+    are never scanned (absence is exact). Fragments are updated FIRST
+    (crash-safe: fragment stats are merge inputs for future appends —
+    extra keys without the commit just mean the next append's manifest
+    carries them), then one metadata-only snapshot commit
+    (``manifest.commit_stats_update``) publishes the merged partition
+    sketches and extends the summary's tracked-column lists so future
+    appends keep sketching.
+
+    Refuses under active row-level deletes: chunk stats are PHYSICAL
+    and the logical view diverges — the same contract the metadata
+    readers enforce. NaN/inf-poisoned quantile chunks re-scan on every
+    call and re-omit the sketch (matching encode; the reader's
+    null-count cross-check refuses service rather than lying)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fhirflat_spark import ndv as _ndv
+    from fhirflat_spark import quantiles as _q
+    from fhirflat_spark.decode import _check_version, _live_part_ids
+    from fhirflat_spark.encode import chunk_schema
+    from fhirflat_spark.manifest import (
+        _branch_staged_versions,
+        active_delete_files,
+        commit_stats_update,
+        read_summary,
+    )
+
+    ncols = list(dict.fromkeys(ndv_columns or []))
+    qcols = list(dict.fromkeys(quantile_columns or []))
+    if not ncols and not qcols:
+        raise ValueError("analyze_table needs ndv_columns and/or "
+                         "quantile_columns")
+    summary = read_summary(spark, out_dir)
+    _check_version(summary)
+    all_cols = summary["columns"]
+    schema = T.StructType.fromJson(_json.loads(summary["spark_schema"]))
+    for c in ncols:
+        if c not in all_cols:
+            raise ValueError(f"ndv column {c!r} not in dataset columns")
+        if not isinstance(schema[c].dataType,
+                          (T.StringType, T.BinaryType, T.ByteType,
+                           T.ShortType, T.IntegerType, T.LongType)):
+            raise ValueError(
+                f"ndv column {c!r} must be a string/binary/integer "
+                f"column (got {schema[c].dataType})"
+            )
+    for c in qcols:
+        if c not in all_cols:
+            raise ValueError(f"quantile column {c!r} not in dataset columns")
+        if not isinstance(schema[c].dataType,
+                          (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.FloatType, T.DoubleType)):
+            raise ValueError(
+                f"quantile column {c!r} must be a numeric column "
+                f"(got {schema[c].dataType})"
+            )
+    if active_delete_files(out_dir):
+        raise ValueError(
+            "dataset has active row-level deletes: chunk sketches are "
+            "physical while the logical view diverges — run "
+            "compact_table to materialize deletes first"
+        )
+    if _branch_staged_versions(out_dir):
+        raise ValueError("branch(es) have unpublished staged commits; "
+                         "publish or drop them before analyzing")
+    live = _live_part_ids(out_dir)
+    frag_dir = f"{out_dir}/manifest_parts"
+    frags: dict[int, list[dict]] = {}
+    # per chunk, the (col, kind) sketches still missing where values
+    # exist — the key-presence test alone can't distinguish "all-null"
+    # from "untracked", but the nulls rollup can (absent = all-null)
+    need: dict[tuple[int, int], list[tuple[str, bool, bool]]] = {}
+    affected: set[int] = set()
+    for pid in (live if live is not None else []):
+        rows = _json.loads(fsio.read_bytes(f"{frag_dir}/{pid:06d}.json"))
+        frags[pid] = rows
+        for ci, ch in enumerate(rows):
+            n = int(ch["n_rows"])
+            nulls = ch.get("nulls") or {}
+            for col, kind in [(c, "hlls") for c in ncols] + [
+                    (c, "ddqs") for c in qcols]:
+                if kind not in ch:
+                    affected.add(pid)
+                has_values = nulls.get(col, n) < n
+                if has_values and col not in ch.get(kind, {}):
+                    affected.add(pid)
+                    seq = int(ch["chunk_seq"])
+                    ent = need.setdefault((pid, seq), [])
+                    ent.append((col, kind == "hlls", kind == "ddqs"))
+    report = {"snapshot": None, "parts_updated": [],
+              "chunks_scanned": len(need)}
+    if not affected:
+        return report
+    computed: dict[tuple[int, int], dict] = {}
+    if need:
+        want: dict[str, list[bool]] = {}
+        for ents in need.values():
+            for col, wh, wq in ents:
+                cur = want.setdefault(col, [False, False])
+                cur[0] |= wh
+                cur[1] |= wq
+        scan_cols = sorted(want)
+        field_of = {c: f"__c{all_cols.index(c)}" for c in scan_cols}
+        scan_pids = sorted({p for p, _ in need})
+        chunks = (
+            spark.read.schema(chunk_schema(len(all_cols)))
+            .parquet(f"{out_dir}/chunks")
+            .where(F.col("part_id").isin(scan_pids))
+            .select(
+                "part_id", "chunk_seq",
+                *[F.col(f"payload.{field_of[c]}").alias(f"__b{j}")
+                  for j, c in enumerate(scan_cols)],
+            )
+        )
+        out_schema = T.StructType([
+            T.StructField("part_id", T.IntegerType(), False),
+            T.StructField("chunk_seq", T.IntegerType(), False),
+            T.StructField("col", T.StringType(), False),
+            T.StructField("hll", T.StringType(), True),
+            T.StructField("ddq", T.StringType(), True),
+        ])
+        wants = {c: tuple(v) for c, v in want.items()}
+
+        def kernel(batches):
+            import pyarrow as pa
+
+            from fhirflat_spark.codecs import decode_array
+            from fhirflat_spark.decode import _blob_view
+
+            for batch in batches:
+                rows = {"part_id": [], "chunk_seq": [], "col": [],
+                        "hll": [], "ddq": []}
+                pids_a = batch.column("part_id")
+                seqs_a = batch.column("chunk_seq")
+                for i in range(batch.num_rows):
+                    for j, c in enumerate(scan_cols):
+                        cell = batch.column(f"__b{j}")[i]
+                        if not cell.is_valid:
+                            continue  # evolved chunk: all-null, no sketch
+                        arr = decode_array(_blob_view(batch.column(f"__b{j}"), i))
+                        wh, wq = wants[c]
+                        regs = _ndv.hll_registers(arr) if wh else None
+                        sk = _q.ddq_sketch(arr) if wq else None
+                        if regs is None and sk is None:
+                            continue
+                        rows["part_id"].append(pids_a[i].as_py())
+                        rows["chunk_seq"].append(seqs_a[i].as_py())
+                        rows["col"].append(c)
+                        rows["hll"].append(
+                            regs.hex() if regs is not None else None)
+                        rows["ddq"].append(
+                            _json.dumps(sk, separators=(",", ":"))
+                            if sk is not None else None)
+                if rows["part_id"]:
+                    yield pa.RecordBatch.from_pydict(
+                        rows,
+                        schema=pa.schema([
+                            ("part_id", pa.int32()),
+                            ("chunk_seq", pa.int32()),
+                            ("col", pa.string()),
+                            ("hll", pa.string()),
+                            ("ddq", pa.string()),
+                        ]),
+                    )
+
+        for r in chunks.mapInArrow(kernel, schema=out_schema).collect():
+            computed.setdefault((r["part_id"], r["chunk_seq"]), {})[
+                r["col"]] = (r["hll"], r["ddq"])
+    # rewrite affected fragments: every chunk row gains the tracked
+    # kind keys (all-null chunks get empty maps — "tracked, no values",
+    # exactly what encode emits) plus the computed sketches
+    from fhirflat_spark.encode import _write_fragment
+
+    updates: dict[int, tuple[str | None, str | None]] = {}
+    from fhirflat_spark.manifest import (
+        _merge_chunk_ddqs,
+        _merge_chunk_hlls,
+    )
+
+    for pid in sorted(affected):
+        rows = frags[pid]
+        for ch in rows:
+            if ncols:
+                ch.setdefault("hlls", {})
+            if qcols:
+                ch.setdefault("ddqs", {})
+            got = computed.get((pid, int(ch["chunk_seq"])), {})
+            for col, (hx, dj) in got.items():
+                if hx is not None:
+                    ch["hlls"][col] = hx
+                if dj is not None:
+                    ch["ddqs"][col] = _json.loads(dj)
+        _write_fragment(frag_dir, pid, rows)
+        hlls = _merge_chunk_hlls(rows)
+        ddqs = _merge_chunk_ddqs(rows)
+        updates[pid] = (
+            _json.dumps(hlls, separators=(",", ":"))
+            if hlls is not None else None,
+            _json.dumps(ddqs, separators=(",", ":"))
+            if ddqs is not None else None,
+        )
+    stats = commit_stats_update(spark, out_dir, updates,
+                                ndv_columns=ncols, quantile_columns=qcols)
+    report.update(snapshot=stats["snapshot"],
+                  parts_updated=stats["parts_updated"])
+    return report
+
+
 def maintain_table(spark: SparkSession, out_dir: str,
                    rows_per_bucket: int = 250_000,
                    keep_snapshots: int = 3,

@@ -1424,6 +1424,74 @@ def commit_partition_drop(spark: SparkSession, out_dir: str,
     )
 
 
+def commit_stats_update(spark: SparkSession, out_dir: str,
+                        updates: dict[int, tuple[str | None, str | None]],
+                        ndv_columns: list[str] | None = None,
+                        quantile_columns: list[str] | None = None) -> dict:
+    """Commit refreshed per-partition sketch stats — ``updates`` maps
+    part_id → (col_hlls json, col_ddqs json) — as ONE metadata-only
+    snapshot (the commit primitive behind ``maintenance.analyze_table``).
+    Data, deletes, and partition membership are untouched, so the window
+    is append-only with zero inserts: CDF readers see an empty delta.
+    The summary's tracked-column lists are extended so future appends
+    keep sketching the analyzed columns."""
+    import os
+
+    if not updates:
+        raise ValueError("commit_stats_update: nothing to commit")
+    token = str(os.getpid())
+    for _ in range(10):
+        prev = current_snapshot(out_dir)
+        if prev is None:
+            raise ValueError(f"{out_dir} has no committed snapshot")
+        version = _next_version(out_dir)
+        t = read_snapshot_manifest(out_dir, prev)
+        names = t.schema.names
+        pids = [int(p) for p in t["part_id"].to_pylist()]
+        new_cols = {}
+        for col in ("col_hlls", "col_ddqs"):
+            j = 0 if col == "col_hlls" else 1
+            base = (t[col].to_pylist() if col in names
+                    else [None] * len(pids))
+            new_cols[col] = [
+                updates[p][j] if p in updates else v
+                for p, v in zip(pids, base)
+            ]
+        for col, vals in new_cols.items():
+            arr = pa.array(vals, type=pa.string())
+            if col in names:
+                t = t.set_column(t.schema.get_field_index(col), col, arr)
+            else:
+                t = t.append_column(col, arr)
+        active = active_delete_files(out_dir, prev)
+        t = _with_commit_time(_with_deletes_meta(t, active))
+        try:
+            fsio.write_parquet_exclusive(
+                t, snapshot_manifest_path(out_dir, version), token=token
+            )
+        except FileExistsError:
+            continue
+        _write_snapshot_deletes(out_dir, version, active, token)
+        _advance_current(out_dir, version, t, token)
+        summary = read_summary(spark, out_dir)
+        if ndv_columns:
+            summary["ndv_columns"] = sorted(
+                set(summary.get("ndv_columns", ())) | set(ndv_columns)
+            )
+        if quantile_columns:
+            summary["quantile_columns"] = sorted(
+                set(summary.get("quantile_columns", ()))
+                | set(quantile_columns)
+            )
+        fsio.write_bytes_atomic(f"{out_dir}/_SUMMARY.json",
+                                json.dumps(summary, indent=2).encode(),
+                                token=token)
+        return {"snapshot": version, "parts_updated": sorted(updates)}
+    raise CommitConflictError(
+        f"stats update on {out_dir} lost 10 straight commit races"
+    )
+
+
 def drop_duplicate_rows(spark: SparkSession, out_dir: str,
                         key_cols: list[str],
                         order_cols: list[str] | None = None) -> dict:

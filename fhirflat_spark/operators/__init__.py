@@ -66,11 +66,11 @@ _FIRST_50 = [
     # continuation 7-8 additions never driver-checked (5)
     "encoded_group_topk", "encoded_topk_rows", "encoded_topk_where",
     "merge_apply_changes", "encoded_group_string_agg",
-    # domain-mixture resampling + predicate DELETE + encoded AVG
-    # (new in round 5)
+    # domain-mixture resampling + predicate DELETE + encoded AVG +
+    # ANALYZE stats backfill (new in round 5 — every slot in this
+    # window is now an oracle no round before r5 ever gate-checked)
     "domain_mixture", "predicate_delete", "encoded_group_avg",
-    # load-bearing repeat from earlier-checked blocks (1)
-    "tpch_q1",
+    "analyze_backfill_estimate",
 ]
 assert len(_FIRST_50) == 50 and len(set(_FIRST_50)) == 50
 _missing = [n for n in _FIRST_50 if n not in _ALL]

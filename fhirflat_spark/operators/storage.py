@@ -1323,6 +1323,69 @@ ORDER BY column_name
 """
 
 
+def _encoded_documents_analyzed(spark, sf_dir: str) -> str:
+    """ANALYZE fixture: documents encoded with NO sketch columns, then
+    backfilled by ``analyze_table`` — the build asserts real work
+    happened (chunks scanned, partitions updated), so the query can
+    only pass through the backfill path."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.maintenance import analyze_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        encode_table(docs, path, rows_per_bucket=2000)
+        rep = analyze_table(spark, path,
+                            ndv_columns=["doc_id", "lang", "source"],
+                            quantile_columns=["n_chars"])
+        if not rep["parts_updated"] or rep["chunks_scanned"] == 0:
+            raise RuntimeError(f"analyze fixture did no backfill: {rep}")
+
+    return _cached_dataset(spark, sf_dir, "anlq", build)
+
+
+def q_analyze_backfill(spark, sf_dir):
+    """Stats backfill (Iceberg ANALYZE analog): sketches landed by
+    ``analyze_table`` on a table encoded without them must serve the
+    same guarantees encode-time opt-in gives — NDV within 5%, quantiles
+    within ALPHA of the exact floor-rank element. Deterministic (the
+    sketches are pure functions of the value multiset); a wrong decode,
+    hash, or merge in the backfill path flips the booleans."""
+    from fhirflat_spark.ndv import ndv_from_metadata
+    from fhirflat_spark.quantiles import ALPHA, quantile_from_metadata
+
+    out = _encoded_documents_analyzed(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for col in ("doc_id", "lang", "source"):
+        est = ndv_from_metadata(out, col)
+        if est is None:
+            raise RuntimeError(f"ndv unservable for {col!r} post-analyze")
+        exact = docs.select(col).distinct().count()
+        ok = (abs(est - exact) <= 0.05 * exact) if exact else (est == 0)
+        rows.append((f"ndv_{col}", bool(ok)))
+    n = docs.count()
+    ranked = [r[0] for r in
+              docs.select("n_chars").orderBy("n_chars").collect()]
+    for q in (0.5, 0.99):
+        est = quantile_from_metadata(out, "n_chars", q)
+        if est is None:
+            raise RuntimeError("quantile unservable post-analyze")
+        truth = ranked[int(q * (n - 1))]
+        ok = abs(est - truth) <= ALPHA * abs(truth) + 1e-9
+        rows.append((f"q{int(q * 100)}_n_chars", bool(ok)))
+    return spark.createDataFrame(
+        sorted(rows), "metric STRING, within_bound BOOLEAN"
+    )
+
+
+SQL_ANALYZE_BACKFILL = """
+SELECT metric, TRUE AS within_bound
+FROM (VALUES ('ndv_doc_id'), ('ndv_lang'), ('ndv_source'),
+             ('q50_n_chars'), ('q99_n_chars')) AS t(metric)
+ORDER BY metric
+"""
+
+
 QSK_COLS = ("doc_id", "n_chars")
 QSK_QS = (0.01, 0.25, 0.5, 0.9, 0.99)
 
@@ -1757,6 +1820,7 @@ QUERIES = {
     "wap_branch_isolation": (q_wap_branch, SQL_WAP_BRANCH),
     "runtime_semi_probe": (q_runtime_semi_probe, SQL_RUNTIME_SEMI_PROBE),
     "ndv_sketch_estimate": (q_ndv_sketch, SQL_NDV_SKETCH),
+    "analyze_backfill_estimate": (q_analyze_backfill, SQL_ANALYZE_BACKFILL),
     "quantile_sketch_estimate": (q_quantile_sketch, SQL_QSK_SKETCH),
     "physical_dedup_positional": (q_physical_dedup, SQL_PHYSICAL_DEDUP),
     "dedup_index_refresh": (q_dedup_index_refresh, _sql_dedup_index_refresh()),
