@@ -232,8 +232,8 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
 
     ops = ["append", "sink", "upsert", "delete", "posdelete",
            "rollback", "maintain", "wap", "tag", "apply", "binpack",
-           "delwhere"]
-    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2, 2, 2]
+           "delwhere", "analyze"]
+    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2, 2, 2, 1]
     trace = []
     for step in range(16):
         op = rng.choices(ops, weights)[0]
@@ -349,6 +349,32 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             }[o]
             model = {k: r for k, r in model.items() if keep(r[idx])}
             record()
+        elif op == "analyze":
+            # stats backfill mid-lifecycle: extend NDV tracking to lang
+            # with a metadata-only commit; refuses under active deletes
+            # (never lies), and a served post-backfill estimate must sit
+            # within its guarantee of the model. The CDF replay in
+            # record() must see an EMPTY window.
+            from fhirflat_spark.maintenance import analyze_table
+            from fhirflat_spark.manifest import active_delete_files
+
+            try:
+                rep = analyze_table(spark, out, ndv_columns=["lang"])
+            except ValueError:
+                assert active_delete_files(out), (
+                    f"seed={seed} step={step}: analyze refused without "
+                    "active deletes"
+                )
+                continue
+            nd = ndv_from_metadata(out, "lang")
+            if nd is not None and model:
+                exact = len({v[1] for v in model.values()})
+                assert abs(nd - exact) <= max(1, 0.05 * exact), (
+                    f"seed={seed} step={step} analyze ndv={nd} "
+                    f"exact={exact}"
+                )
+            if rep["snapshot"] is not None:
+                record()
         elif op == "delete":
             live = sorted(model)
             doomed = rng.sample(live, min(len(live), rng.randrange(5, 30)))
