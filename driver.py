@@ -181,6 +181,17 @@ def main() -> None:
     ddp.add_argument("--key", required=True, help="comma-separated duplicate-group columns")
     ddp.add_argument("--order", help="comma-separated keeper-order columns (default: physical address)")
 
+    upd = sub.add_parser("update", help="predicate UPDATE: rewrite "
+                         "matching rows in one commit (zone-pruned scan)")
+    upd.add_argument("--out", required=True)
+    upd.add_argument("--where", required=True,
+                     help="predicate, e.g. 'n_chars<200'")
+    upd.add_argument("--set", required=True, action="append",
+                     metavar="COL=EXPR",
+                     help="column assignment (repeatable), e.g. "
+                          "--set 'n_chars=n_chars+1000'")
+    upd.add_argument("--rows-per-bucket", type=int, default=250_000)
+
     anl = sub.add_parser("analyze", help="backfill NDV/quantile sketch "
                          "metadata on legacy partitions (no chunk rewrite)")
     anl.add_argument("--out", required=True)
@@ -455,6 +466,19 @@ def main() -> None:
         order = [c.strip() for c in (args.order or "").split(",") if c.strip()]
         print(json.dumps(drop_duplicate_rows(spark, args.out, keys,
                                              order_cols=order or None)))
+    elif args.cmd == "update":
+        from fhirflat_spark.maintenance import update_where
+
+        sets = {}
+        for a in args.set:
+            col, eq, expr = a.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise SystemExit(f"bad --set {a!r}: expected COL=EXPR")
+            sets[col.strip()] = expr.strip()
+        print(json.dumps(update_where(
+            spark, args.out, _parse_where(args.where), sets,
+            rows_per_bucket=args.rows_per_bucket,
+        )))
     elif args.cmd == "analyze":
         from fhirflat_spark.maintenance import analyze_table
 

@@ -1228,6 +1228,7 @@ def encode_table(
     ndv_columns: list[str] | None = None,
     quantile_columns: list[str] | None = None,
     delete_keys: tuple | None = None,
+    delete_positions: DataFrame | None = None,
     weight_col: str | None = None,
     branch: str | None = None,
     replace_pids: set[int] | None = None,
@@ -1629,6 +1630,25 @@ def encode_table(
         new_deletes = [
             {"file": dname, "column": dcol, "below_part": part_offset}
         ]
+    if delete_positions is not None:
+        # predicate UPDATE: position-delete the matched rows' old copies
+        # in the SAME snapshot commit as their rewritten images (the
+        # appended partitions sit at/above part_offset — fresh addresses
+        # a position file captured beforehand can never hit). Offset-
+        # keyed name: a retried append replaces its own positions file.
+        if not append:
+            raise ValueError("delete_positions requires append=True")
+        pname = f"w{part_offset:010d}.parquet"
+        (delete_positions
+         .select(F.col("part_id").cast("int"),
+                 F.col("chunk_seq").cast("int"),
+                 F.col("row_idx").cast("int"))
+         .distinct()
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/deletes/{pname}"))
+        new_deletes = (new_deletes or []) + [
+            {"file": pname, "column": None, "positional": True}
+        ]
     manifest_stats = write_manifest(spark, out_dir, meta_rows,
                                     new_deletes=new_deletes, branch=branch)
     if branch is not None:
@@ -1688,6 +1708,7 @@ def append_table(
     shuffle: bool | str = True,
     profile: str = "balanced",
     delete_keys: tuple | None = None,
+    delete_positions: DataFrame | None = None,
     weight_col: str | None = None,
     branch: str | None = None,
     ndv_columns: list[str] | None = None,
@@ -1803,6 +1824,7 @@ def append_table(
         bloom_columns=[c for c in summary.get("bloom_columns", ())
                        if c in df.columns],
         delete_keys=delete_keys,
+        delete_positions=delete_positions,
         branch=branch,
         ndv_columns=ndv_columns,
         quantile_columns=quantile_columns,

@@ -323,6 +323,111 @@ def delete_where(spark: SparkSession, out_dir: str, where,
     return report
 
 
+def update_where(spark: SparkSession, out_dir: str, where,
+                 set_exprs: dict[str, str],
+                 rows_per_bucket: int = 250_000,
+                 profile: str = "balanced") -> dict:
+    """Predicate UPDATE — ``UPDATE t SET col = expr WHERE ...`` as ONE
+    snapshot commit with IO proportional to the MATCHED slice, not the
+    table (the GDPR-redaction / backfill-fix shape at 100 TB):
+
+    - partitions whose manifest zones prove no row matches are never
+      read (``prune_part_ids_by_zones``);
+    - candidate partitions decode once; matching rows get their
+      ``set_exprs`` (SQL expression strings, evaluated per row by
+      Catalyst and cast back to the column's declared type — silent
+      type drift is how tables rot) and append as NEW partitions, while
+      their old copies position-delete in the SAME commit
+      (``append_table(delete_positions=)``) — a reader never sees both
+      images or neither.
+
+    Unlike the equality-keyed MERGE (``upsert_rows``/``apply_changes``)
+    this needs no key column: rows are addressed physically. NULL rows
+    never match a value predicate (SQL UPDATE semantics). The commit
+    window stays append-only (parts grow, one delete entry appends), so
+    batch CDF takes the fast path; the streaming changefeed reader
+    refuses positional deletes loudly, as documented."""
+    import json as _json
+    import operator as _ops
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import append_table
+    from fhirflat_spark.encoded_exec import (
+        _normalize_where,
+        _where_exprs,
+        _where_zones,
+    )
+    from fhirflat_spark.manifest import (
+        current_snapshot,
+        prune_part_ids_by_nulls,
+        prune_part_ids_by_zones,
+        read_snapshot_manifest,
+        read_summary,
+    )
+
+    preds = _normalize_where(where)
+    if not preds:
+        raise ValueError("update_where needs at least one predicate")
+    if not set_exprs:
+        raise ValueError("update_where needs at least one SET expression")
+    summary = read_summary(spark, out_dir)
+    cols = summary["columns"]
+    bad = [c for c, _, _ in preds if c not in cols] + \
+        [c for c in set_exprs if c not in cols]
+    if bad:
+        raise ValueError(f"columns {sorted(set(bad))} not in dataset "
+                         f"columns {cols}")
+    prev = current_snapshot(out_dir)
+    if prev is None:
+        raise ValueError(f"{out_dir} has no committed snapshot")
+    schema = T.StructType.fromJson(_json.loads(summary["spark_schema"]))
+    type_of = {f.name: f.dataType for f in schema.fields}
+    t = read_snapshot_manifest(out_dir, prev, columns=["part_id", "status"])
+    live = [int(p) for p, s in zip(t["part_id"].to_pylist(),
+                                   t["status"].to_pylist()) if s == "ok"]
+    cand = prune_part_ids_by_zones(out_dir, live, _where_zones(preds),
+                                   type_of)
+    nullchecks = [(c, op == "nu") for c, op, _ in preds if op in ("nu", "nn")]
+    if nullchecks:
+        cand = prune_part_ids_by_nulls(out_dir, cand, nullchecks)
+    report = {"snapshot": None, "rows_updated": 0,
+              "parts_scanned": len(cand), "parts_pruned": len(live) - len(cand)}
+    if not cand:
+        return report
+    cond = reduce(_ops.and_, _where_exprs(preds))
+    pos = ["__part_id", "__chunk_seq", "__row_idx"]
+    matched = (
+        decode_table(spark, out_dir, part_ids=cand, with_positions=True)
+        .where(cond)
+        .persist()
+    )
+    try:
+        n = matched.count()
+        if n == 0:
+            return report
+        positions = matched.select(
+            F.col("__part_id").alias("part_id"),
+            F.col("__chunk_seq").alias("chunk_seq"),
+            F.col("__row_idx").alias("row_idx"),
+        )
+        updated = matched.drop(*pos)
+        for c, e in set_exprs.items():
+            updated = updated.withColumn(
+                c, F.expr(e).cast(type_of[c])
+            )
+        append_table(updated.select(*cols), out_dir,
+                     rows_per_bucket=rows_per_bucket, profile=profile,
+                     delete_positions=positions)
+    finally:
+        matched.unpersist()
+    report.update(snapshot=current_snapshot(out_dir), rows_updated=int(n))
+    return report
+
+
 def analyze_table(spark: SparkSession, out_dir: str,
                   ndv_columns: list[str] | None = None,
                   quantile_columns: list[str] | None = None) -> dict:

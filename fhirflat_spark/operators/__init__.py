@@ -37,9 +37,12 @@ for mod in (relational, textops, dedup, similarity, multimodal, media, storage,
 # for the 13 entries added during round 5 (real multimodal decoders,
 # quantile sketches, IVF vector index, streaming CDF, replication, the
 # encoded-domain aggregate family) — making the union of all rounds'
-# CORRECTNESS files cover every oracle in the registry (96 queries / 92
-# oracles). The full registry is still mirrored locally every run by
-# tests/test_oracles.py regardless of position.
+# CORRECTNESS files cover every oracle in the registry. Late round-5
+# additions (predicate DELETE/UPDATE, encoded AVG, ANALYZE) then
+# displaced the remaining repeats plus encoded_group_count (a strict
+# subset of encoded_group_count_multi + encoded_group_where, which stay
+# in the window). The full registry is still mirrored locally every run
+# by tests/test_oracles.py at sf0.001 AND sf0.01 regardless of position.
 _FIRST_50 = [
     # storage engine (19)
     "metadata_only_aggregate",
@@ -53,7 +56,7 @@ _FIRST_50 = [
     "image_decode_real", "audio_decode_real", "quantile_sketch_estimate",
     "vector_index_topk", "changefeed_stream",
     "replicated_mirror", "replicated_view_mirror",
-    "encoded_group_count", "encoded_group_sum", "encoded_group_count_multi",
+    "encoded_group_sum", "encoded_group_count_multi",
     "encoded_group_agg_multi", "encoded_count_distinct",
     "encoded_group_where",
     # temporal / sampling / packing / decontam (8)
@@ -69,8 +72,8 @@ _FIRST_50 = [
     # domain-mixture resampling + predicate DELETE + encoded AVG +
     # ANALYZE stats backfill (new in round 5 — every slot in this
     # window is now an oracle no round before r5 ever gate-checked)
-    "domain_mixture", "predicate_delete", "encoded_group_avg",
-    "analyze_backfill_estimate",
+    "domain_mixture", "predicate_delete", "predicate_update",
+    "encoded_group_avg", "analyze_backfill_estimate",
 ]
 assert len(_FIRST_50) == 50 and len(set(_FIRST_50)) == 50
 _missing = [n for n in _FIRST_50 if n not in _ALL]

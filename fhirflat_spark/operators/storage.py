@@ -370,6 +370,69 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _encoded_documents_pred_updated(spark, sf_dir: str) -> str:
+    """Predicate-UPDATE fixture: range-clustered documents, then
+    ``UPDATE SET n_chars = n_chars + 1000 WHERE n_chars < 200`` — one
+    commit appending the rewritten images and position-deleting the old
+    copies. The build asserts rows were updated AND zone pruning kept
+    partitions out of the scan."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.maintenance import update_where
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ranged = docs.repartitionByRange(8, "n_chars").sortWithinPartitions(
+            "n_chars"
+        )
+        encode_table(ranged, path, rows_per_bucket=2000, shuffle=False)
+        rep = update_where(spark, path, ("n_chars", "lt", 200),
+                           {"n_chars": "n_chars + 1000"},
+                           rows_per_bucket=2000)
+        if rep["rows_updated"] == 0 or rep["parts_pruned"] == 0:
+            raise RuntimeError(
+                f"predicate-update fixture must update rows through a "
+                f"zone-pruned scan: {rep}"
+            )
+
+    return _cached_dataset(spark, sf_dir, "pupdq", build)
+
+
+def q_predicate_update(spark, sf_dir):
+    """Predicate-UPDATE read path: the decode must see each matched
+    row's NEW image exactly once (old copy position-deleted in the same
+    commit) — the oracle restates the table as a CASE expression. A
+    duplicate (delete missed), a lost update, or an over-update all
+    shift the aggregates and fail the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    out = _encoded_documents_pred_updated(spark, sf_dir)
+    return (
+        decode_table(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_PREDICATE_UPDATE = """
+WITH updated AS (
+  SELECT lang,
+         CASE WHEN n_chars < 200 THEN n_chars + 1000
+              ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM updated GROUP BY lang ORDER BY lang
+"""
+
+
 def q_row_level_delete(spark, sf_dir):
     """Equality-delete read path (Iceberg v2 analog): the decode must
     anti-join the active delete files — the oracle states the same
@@ -1835,6 +1898,7 @@ QUERIES = {
     "point_lookup_bloom": (q_point_lookup, SQL_POINT_LOOKUP),
     "row_level_delete": (q_row_level_delete, SQL_ROW_LEVEL_DELETE),
     "predicate_delete": (q_predicate_delete, SQL_PREDICATE_DELETE),
+    "predicate_update": (q_predicate_update, SQL_PREDICATE_UPDATE),
     "upsert_merge": (q_upsert_merge, SQL_UPSERT_MERGE),
     "datasource_scan": (q_datasource_scan, SQL_DATASOURCE_SCAN),
     "datasource_write_roundtrip": (q_datasource_write, SQL_DATASOURCE_WRITE),

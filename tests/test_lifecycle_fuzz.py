@@ -232,8 +232,8 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
 
     ops = ["append", "sink", "upsert", "delete", "posdelete",
            "rollback", "maintain", "wap", "tag", "apply", "binpack",
-           "delwhere", "analyze"]
-    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2, 2, 2, 1]
+           "delwhere", "analyze", "updwhere"]
+    weights = [3, 2, 3, 3, 2, 1, 1, 2, 1, 2, 2, 2, 1, 2]
     trace = []
     for step in range(16):
         op = rng.choices(ops, weights)[0]
@@ -349,6 +349,22 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             }[o]
             model = {k: r for k, r in model.items() if keep(r[idx])}
             record()
+        elif op == "updwhere":
+            # predicate UPDATE: matched rows' new images append while
+            # old copies position-delete in ONE commit; the model
+            # applies the same CASE. Window is append-only → CDF fast
+            # path; the streaming reader refuses positional deletes.
+            from fhirflat_spark.maintenance import update_where
+
+            lo = rng.randrange(0, 200)
+            rep = update_where(spark, out, ("n", "lt", lo),
+                               {"n": "n + 1000"}, rows_per_bucket=50)
+            model = {
+                k: (r[0], r[1], r[2] + 1000 if r[2] < lo else r[2])
+                for k, r in model.items()
+            }
+            if rep["snapshot"] is not None:
+                record()
         elif op == "analyze":
             # stats backfill mid-lifecycle: extend NDV tracking to lang
             # with a metadata-only commit; refuses under active deletes
