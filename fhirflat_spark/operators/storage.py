@@ -1252,7 +1252,7 @@ def q_encoded_group_where(spark, sf_dir):
 
 
 SQL_ENCODED_GROUP_WHERE = (
-    "SELECT lang, COUNT(*) AS cnt, "
+    "SELECT lang, COUNT(*) AS cnt, COUNT(n_chars) AS count_n_chars, "
     "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
     "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
     "FROM documents WHERE source = 'src1' AND n_chars >= 200 "
