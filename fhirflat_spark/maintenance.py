@@ -22,9 +22,16 @@ from fhirflat_spark import fsio
 
 def table_health(spark: SparkSession, out_dir: str,
                  rows_per_bucket: int = 250_000) -> dict:
-    """Fragmentation/retention report from metadata only (manifest +
-    snapshot listing — never the data)."""
-    from fhirflat_spark.manifest import _snapshot_versions, read_summary
+    """Fragmentation/retention/delete-overlay report from metadata only
+    (manifest + snapshot listing + delete-file FOOTERS — never the
+    data). ``delete_ratio`` over-approximates the shadowed fraction
+    (scoped equality keys may miss, positional addresses may repeat a
+    compacted-away copy) — a maintenance trigger, never an answer."""
+    from fhirflat_spark.manifest import (
+        _snapshot_versions,
+        active_delete_files,
+        read_summary,
+    )
 
     t = fsio.read_parquet(f"{out_dir}/manifest", columns=["rows", "status"])
     part_rows = [
@@ -36,6 +43,11 @@ def table_health(spark: SparkSession, out_dir: str,
     underfilled = sum(1 for r in part_rows if r < rows_per_bucket / 2)
     ideal = max(1, math.ceil(rows / rows_per_bucket))
     summary = read_summary(spark, out_dir)
+    active = active_delete_files(out_dir)
+    delete_keys = sum(
+        fsio.count_parquet_rows(f"{out_dir}/deletes/{e['file']}")
+        for e in active
+    )
     return {
         "rows": rows,
         "n_partitions": n_parts,
@@ -44,6 +56,9 @@ def table_health(spark: SparkSession, out_dir: str,
         "fragmentation": round(underfilled / n_parts, 4) if n_parts else 0.0,
         "n_snapshots": len(_snapshot_versions(out_dir)),
         "encoded_bytes": summary.get("encoded_bytes"),
+        "active_delete_files": len(active),
+        "delete_keys": int(delete_keys),
+        "delete_ratio": round(delete_keys / rows, 4) if rows else 0.0,
     }
 
 
@@ -657,6 +672,7 @@ def maintain_table(spark: SparkSession, out_dir: str,
                    rows_per_bucket: int = 250_000,
                    keep_snapshots: int = 3,
                    compact_fragmentation: float = 0.5,
+                   compact_delete_ratio: float = 0.2,
                    profile: str = "balanced",
                    dry_run: bool = False,
                    order_by: list[str] | None = None,
@@ -674,6 +690,10 @@ def maintain_table(spark: SparkSession, out_dir: str,
       instead, which is exactly Iceberg's commit). Compaction resets the
       snapshot log — history is traded for layout, the same trade
       Iceberg's `rewrite_data_files` + `expire_snapshots` makes.
+      ALSO compacts when the delete overlay grows past
+      ``compact_delete_ratio`` of the physical rows (merge-on-read
+      deletes tax every read; the rewrite materializes them and resets
+      the overlay to empty).
     - **expire** all but the newest ``keep_snapshots`` snapshots.
     - **vacuum** chunk partitions no retained snapshot references.
 
@@ -711,6 +731,14 @@ def maintain_table(spark: SparkSession, out_dir: str,
         and health["n_partitions"] >= 2 * health["ideal_partitions"]
         and health["n_partitions"] > floor
         and health["fragmentation"] > compact_fragmentation
+    ) or (
+        # delete-overlay trigger (Iceberg rewrite-on-delete-files): a
+        # merge-on-read anti-join over every read eventually costs more
+        # than one rewrite — materialize once the shadowed fraction
+        # crosses the threshold. delete_ratio over-approximates, so
+        # this fires early, never late.
+        health["n_snapshots"] > 1
+        and health["delete_ratio"] > compact_delete_ratio
     )
     report = {"health": health, "compacted": False,
               "expired_snapshots": [], "vacuumed_part_ids": [],

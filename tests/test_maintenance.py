@@ -37,6 +37,57 @@ def test_health_reports_fragmentation(spark, fragmented):
     assert h["n_snapshots"] == 6
 
 
+def test_health_reports_delete_overlay_and_maintain_materializes(
+    spark, tmp_path
+):
+    """A heavy delete overlay (merge-on-read tax) must show in health
+    and trigger the compaction policy even on a well-packed layout;
+    the rewrite materializes the deletes and empties the overlay."""
+    from fhirflat_spark.decode import decode_table
+    from fhirflat_spark.encode import append_table, encode_table
+    from fhirflat_spark.maintenance import maintain_table, table_health
+    from fhirflat_spark.manifest import delete_rows
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "ds")
+    encode_table(docs.where(F.col("doc_id") < 400), out,
+                 rows_per_bucket=200)
+    append_table(docs.where(F.col("doc_id") >= 400), out,
+                 rows_per_bucket=200)
+    h0 = table_health(spark, out, rows_per_bucket=200)
+    assert h0["delete_keys"] == 0 and h0["delete_ratio"] == 0.0
+    victims = [r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 3 == 0)
+               .select("doc_id").collect()]
+    delete_rows(spark, out, "doc_id", victims)
+    h1 = table_health(spark, out, rows_per_bucket=200)
+    assert h1["active_delete_files"] == 1
+    assert h1["delete_keys"] == len(victims)
+    assert h1["delete_ratio"] > 0.2
+    # fragmentation alone would NOT trigger on this layout
+    assert h1["fragmentation"] <= 0.5
+    rep = maintain_table(spark, out, rows_per_bucket=200,
+                         keep_snapshots=1)
+    assert rep["compacted"] is True
+    h2 = table_health(spark, out, rows_per_bucket=200)
+    assert h2["active_delete_files"] == 0 and h2["delete_ratio"] == 0.0
+    expect = sorted(
+        tuple(r) for r in
+        docs.where(~F.col("doc_id").isin(victims)).collect()
+    )
+    got = sorted(
+        tuple(r) for r in
+        decode_table(spark, out).select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    assert got == expect
+    # converged: a second pass has nothing to do
+    rep2 = maintain_table(spark, out, rows_per_bucket=200, dry_run=True)
+    assert rep2["would_compact"] is False
+
+
 def test_dry_run_touches_nothing(spark, fragmented):
     from fhirflat_spark.maintenance import maintain_table, table_health
 
