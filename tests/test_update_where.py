@@ -116,6 +116,48 @@ def test_update_where_composes_with_equality_delete(spark, clustered):
     assert _decoded(spark, out) == _rows(expect)
 
 
+def test_update_where_crash_before_commit_retries_clean(
+    spark, clustered, monkeypatch
+):
+    """A crash after the chunk write but before the manifest commit
+    leaves the table logically UNCHANGED (decode trusts the manifest,
+    not the chunks/ listing); the retry reuses the same part offset and
+    positions file (offset-keyed), so the final state has no duplicate
+    images and no leaked deletes."""
+    import fhirflat_spark.manifest as mf
+
+    out, docs = clustered
+    pre = current_snapshot(out)
+    pre_rows = _decoded(spark, out)
+
+    real = mf.write_manifest
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before commit")
+        return real(*a, **k)
+
+    monkeypatch.setattr(mf, "write_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_where(spark, out, ("n_chars", "lt", 200),
+                     {"n_chars": "n_chars + 1000"}, rows_per_bucket=2000)
+    # nothing committed: readers see the pre state
+    assert current_snapshot(out) == pre
+    assert _decoded(spark, out) == pre_rows
+    # retry converges to exactly one update per matched row
+    rep = update_where(spark, out, ("n_chars", "lt", 200),
+                       {"n_chars": "n_chars + 1000"}, rows_per_bucket=2000)
+    assert rep["rows_updated"] > 0
+    expect = docs.withColumn(
+        "n_chars",
+        F.when(F.col("n_chars") < 200, F.col("n_chars") + 1000)
+        .otherwise(F.col("n_chars")),
+    )
+    assert _decoded(spark, out) == _rows(expect)
+
+
 def test_update_where_cdf_fast_path_balances(spark, clustered):
     """The update window is append-only (parts grow + one positional
     entry): the batch CDF must report exactly n deletes (old images)
