@@ -416,6 +416,10 @@ def main() -> None:
         else:
             if not (args.column and args.values):
                 raise SystemExit("need --column + --values, or --where")
+            if args.dry_run:
+                raise SystemExit("--dry-run requires --where (equality "
+                                 "deletes have no classification to "
+                                 "preview)")
             from fhirflat_spark.manifest import delete_rows
 
             vals = [v.strip() for v in args.values.split(",") if v.strip()]

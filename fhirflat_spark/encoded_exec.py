@@ -860,6 +860,12 @@ def group_avg_encoded(spark: SparkSession, out_dir: str,
     double RUNNING sum, whose value depends on accumulation order).
     All-NULL groups yield NULL (NULL sum propagates through the
     division). Output: ``group_col(s), count_{v}, avg_{v}``."""
+    from fhirflat_spark.manifest import read_summary
+
+    summary = read_summary(spark, out_dir)
+    full = T.StructType.fromJson(json.loads(summary["spark_schema"]))
+    if value_col in {f.name for f in full.fields}:
+        _check_integral(full[value_col], value_col)  # strings have no SUM
     agg = group_agg_encoded(spark, out_dir, group_col, value_col,
                             snapshot=snapshot, where=where)
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)

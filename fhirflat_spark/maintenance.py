@@ -24,9 +24,12 @@ def table_health(spark: SparkSession, out_dir: str,
                  rows_per_bucket: int = 250_000) -> dict:
     """Fragmentation/retention/delete-overlay report from metadata only
     (manifest + snapshot listing + delete-file FOOTERS — never the
-    data). ``delete_ratio`` over-approximates the shadowed fraction
-    (scoped equality keys may miss, positional addresses may repeat a
-    compacted-away copy) — a maintenance trigger, never an answer."""
+    data). ``delete_ratio`` = delete-file rows / physical rows: exact-ish
+    for positional deletes and unique-key upserts (the engine's dominant
+    delete shapes), an UNDER-count for an equality delete on a
+    non-unique column (one key row can shadow many data rows — after
+    such a delete, compact explicitly or use a lower threshold). A
+    maintenance trigger, never an answer."""
     from fhirflat_spark.manifest import (
         _snapshot_versions,
         active_delete_files,
@@ -351,7 +354,9 @@ def update_where(spark: SparkSession, out_dir: str, where,
     - candidate partitions decode once; matching rows get their
       ``set_exprs`` (SQL expression strings, evaluated per row by
       Catalyst and cast back to the column's declared type — silent
-      type drift is how tables rot) and append as NEW partitions, while
+      type drift is how tables rot; every RHS sees the OLD row, SQL
+      UPDATE's simultaneous-assignment semantics, so
+      ``{"a": "b", "b": "a"}`` swaps) and append as NEW partitions, while
       their old copies position-delete in the SAME commit
       (``append_table(delete_positions=)``) — a reader never sees both
       images or neither.
@@ -429,12 +434,16 @@ def update_where(spark: SparkSession, out_dir: str, where,
             F.col("__chunk_seq").alias("chunk_seq"),
             F.col("__row_idx").alias("row_idx"),
         )
-        updated = matched.drop(*pos)
-        for c, e in set_exprs.items():
-            updated = updated.withColumn(
-                c, F.expr(e).cast(type_of[c])
-            )
-        append_table(updated.select(*cols), out_dir,
+        # ONE select so every RHS evaluates against the OLD row — SQL
+        # UPDATE's simultaneous assignment (a chained withColumn would
+        # leak each assignment into later RHS and make the result
+        # depend on dict order)
+        assign = {c: F.expr(e).cast(type_of[c])
+                  for c, e in set_exprs.items()}
+        updated = matched.select(
+            *[assign.get(c, F.col(c)).alias(c) for c in cols]
+        )
+        append_table(updated, out_dir,
                      rows_per_bucket=rows_per_bucket, profile=profile,
                      delete_positions=positions)
     finally:
@@ -555,15 +564,21 @@ def analyze_table(spark: SparkSession, out_dir: str,
         return report
     computed: dict[tuple[int, int], dict] = {}
     if need:
-        want: dict[str, list[bool]] = {}
-        for ents in need.values():
-            for col, wh, wq in ents:
-                cur = want.setdefault(col, [False, False])
-                cur[0] |= wh
-                cur[1] |= wq
-        scan_cols = sorted(want)
+        scan_cols = sorted({c for ents in need.values() for c, _, _ in ents})
         field_of = {c: f"__c{all_cols.index(c)}" for c in scan_cols}
         scan_pids = sorted({p for p, _ in need})
+        # per-chunk work map shipped into the kernel (metadata-sized:
+        # only chunks with missing sketches appear) so tasks decode and
+        # sketch exactly the missing (column, kind) pairs — a partition
+        # needing one column's HLL doesn't pay the other column's
+        # DDSketch, and already-sketched chunks in a scanned partition
+        # cost nothing
+        need_of: dict[tuple[int, int], dict] = {}
+        for (p, s), ents in need.items():
+            m = need_of.setdefault((int(p), int(s)), {})
+            for c, wh, wq in ents:  # a chunk may need BOTH kinds of c
+                ph, pq = m.get(c, (False, False))
+                m[c] = (ph or wh, pq or wq)
         chunks = (
             spark.read.schema(chunk_schema(len(all_cols)))
             .parquet(f"{out_dir}/chunks")
@@ -581,8 +596,6 @@ def analyze_table(spark: SparkSession, out_dir: str,
             T.StructField("hll", T.StringType(), True),
             T.StructField("ddq", T.StringType(), True),
         ])
-        wants = {c: tuple(v) for c, v in want.items()}
-
         def kernel(batches):
             import pyarrow as pa
 
@@ -595,12 +608,19 @@ def analyze_table(spark: SparkSession, out_dir: str,
                 pids_a = batch.column("part_id")
                 seqs_a = batch.column("chunk_seq")
                 for i in range(batch.num_rows):
+                    ents = need_of.get(
+                        (pids_a[i].as_py(), seqs_a[i].as_py())
+                    )
+                    if not ents:
+                        continue  # chunk already fully sketched
                     for j, c in enumerate(scan_cols):
+                        if c not in ents:
+                            continue
                         cell = batch.column(f"__b{j}")[i]
                         if not cell.is_valid:
                             continue  # evolved chunk: all-null, no sketch
                         arr = decode_array(_blob_view(batch.column(f"__b{j}"), i))
-                        wh, wq = wants[c]
+                        wh, wq = ents[c]
                         regs = _ndv.hll_registers(arr) if wh else None
                         sk = _q.ddq_sketch(arr) if wq else None
                         if regs is None and sk is None:
@@ -735,8 +755,9 @@ def maintain_table(spark: SparkSession, out_dir: str,
         # delete-overlay trigger (Iceberg rewrite-on-delete-files): a
         # merge-on-read anti-join over every read eventually costs more
         # than one rewrite — materialize once the shadowed fraction
-        # crosses the threshold. delete_ratio over-approximates, so
-        # this fires early, never late.
+        # crosses the threshold. delete_ratio counts delete-file rows
+        # (see table_health): right-sized for positional/unique-key
+        # deletes, an under-count for non-unique equality keys.
         health["n_snapshots"] > 1
         and health["delete_ratio"] > compact_delete_ratio
     )

@@ -346,6 +346,10 @@ def test_group_avg_encoded_matches_spark(spark, tmp_path):
     assert _rows(got) == _rows(
         _exp(df2.where("id >= 300"), ["grp", "g2"])
     )
+    # AVG over a string value column is refused up front (the string
+    # aggregate has no SUM), not an analysis-time unresolved column
+    with pytest.raises(ValueError, match="integral"):
+        group_avg_encoded(spark, out, "grp", "grp")
 
 
 def test_group_count_distinct(spark, tmp_path):

@@ -77,6 +77,26 @@ def test_update_where_multi_set_cross_column(spark, clustered):
     assert _decoded(spark, out) == _rows(expect)
 
 
+def test_update_where_simultaneous_assignment(spark, tmp_path):
+    """Every SET RHS must see the OLD row (SQL UPDATE): a two-column
+    swap is the discriminating case — sequential assignment would copy
+    one column into both."""
+    df = spark.createDataFrame(
+        [(i, i * 10, i * 100) for i in range(40)],
+        "k int, a bigint, b bigint",
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=20)
+    update_where(spark, out, ("k", "lt", 20), {"a": "b", "b": "a"})
+    expect = sorted(
+        (i, i * 100 if i < 20 else i * 10, i * 10 if i < 20 else i * 100)
+        for i in range(40)
+    )
+    got = sorted(tuple(r) for r in
+                 decode_table(spark, out).select("k", "a", "b").collect())
+    assert got == expect
+
+
 def test_update_where_null_rows_untouched(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, None if i % 3 == 0 else i * 10) for i in range(60)],
