@@ -30,23 +30,28 @@ def _parse_columns(spec: str | None) -> list[str] | None:
     return [c.strip() for c in spec.split(",") if c.strip()]
 
 
-def _parse_where(spec: str | None) -> list[tuple] | None:
+def _parse_where(spec: str | None) -> list | None:
     """`--where 'source=web,n_chars>=200'` → the encoded-exec where
-    mini-language (conjunctive (col, op, literal) triples; integer
-    literals auto-cast)."""
+    mini-language; comma = AND, `|` inside a term = OR
+    (`'lang=en|n_chars<100,source=web'` ⇒ (lang=en OR n_chars<100) AND
+    source=web). Integer literals auto-cast."""
     if not spec:
         return None
     import re
 
-    where = []
-    for clause in spec.split(","):
-        mm = re.fullmatch(r"\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*", clause)
+    def _pred(term: str) -> tuple:
+        mm = re.fullmatch(r"\s*(\w+)\s*(<=|>=|<|>|=)\s*(.+?)\s*", term)
         if not mm:
-            raise SystemExit(f"bad --where clause {clause!r}")
+            raise SystemExit(f"bad --where clause {term!r}")
         col, sym, lit = mm.groups()
         op = {"=": "eq", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}[sym]
         v = int(lit) if re.fullmatch(r"-?\d+", lit) else lit
-        where.append((col, op, v))
+        return (col, op, v)
+
+    where = []
+    for clause in spec.split(","):
+        branches = [_pred(t) for t in clause.split("|")]
+        where.append(branches[0] if len(branches) == 1 else branches)
     return where
 
 
@@ -284,9 +289,9 @@ def main() -> None:
                                      "sum/min/max (default: count only)")
     gby.add_argument("--snapshot", default=None)
     gby.add_argument("--where", default=None,
-                     help="conjunctive filters, e.g. "
-                          "'source=web,n_chars>=200' (ops = != is not "
-                          "supported: = < <= > >=; int literals auto-cast)")
+                     help="filters: comma = AND, | inside a term = OR, "
+                          "e.g. 'lang=en|lang=fr,n_chars>=200' "
+                          "(ops = < <= > >=; int literals auto-cast)")
     gby.add_argument("--show", type=int, default=20)
     tpk = sub.add_parser(
         "topk",
@@ -304,10 +309,11 @@ def main() -> None:
                      help="comma-separated output projection")
     tpk.add_argument("--snapshot", default=None)
     tpk.add_argument("--where", default=None,
-                     help="conjunctive filters, e.g. 'source=web,"
-                          "n_chars>=200' (= < <= > >=; int literals "
-                          "auto-cast); applied exactly, and threshold "
-                          "pruning only counts provably-matching chunks")
+                     help="filters (comma = AND, | = OR), e.g. "
+                          "'source=web,n_chars>=200' (= < <= > >=; int "
+                          "literals auto-cast); applied exactly, and "
+                          "threshold pruning only counts provably-"
+                          "matching chunks")
     app = sub.add_parser(
         "apply",
         help="single-commit CDC MERGE: a parquet batch with an op "

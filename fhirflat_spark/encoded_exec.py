@@ -138,22 +138,50 @@ def _codes_keys(blob) -> tuple[np.ndarray, pa.Array]:
 _WHERE_OPS = ("eq", "lt", "le", "gt", "ge", "in", "sw", "nu", "nn")
 
 
-def _normalize_where(where) -> list[tuple]:
+def _normalize_where(where) -> list[list[tuple]]:
+    """Normalize a where spec to CNF: a list of clauses, each clause a
+    list of ``(col, op, literal)`` predicates OR'd together; clauses
+    AND together. Accepted inputs: ``None``; one predicate tuple; a
+    list mixing predicate tuples (unit clauses) and lists/tuples OF
+    predicate tuples (disjunctive clauses). A bare predicate is
+    recognized by its first element being the column name (a str)."""
     if where is None:
         return []
-    preds = [where] if isinstance(where, tuple) else list(where)
-    out = []
-    for p in preds:
+
+    def _pred(p):
+        p = tuple(p)
         if len(p) == 2:  # (col, "nu"/"nn") null tests carry no literal
             p = (p[0], p[1], None)
+        if len(p) != 3:
+            raise ValueError(f"where predicate {p!r}: expected (col, op, "
+                             "literal)")
         col, op, v = p
         if op not in _WHERE_OPS:
             raise ValueError(f"where op {op!r}: expected one of {_WHERE_OPS}")
-        out.append((col, op, v))
-    return out
+        return (col, op, v)
+
+    def _is_pred(it):
+        return (isinstance(it, (tuple, list)) and len(it) > 0
+                and isinstance(it[0], str))
+
+    items = [where] if _is_pred(where) else list(where)
+    cnf = []
+    for it in items:
+        if _is_pred(it):
+            cnf.append([_pred(it)])
+        else:
+            clause = [_pred(p) for p in it]
+            if not clause:
+                raise ValueError("empty OR clause in where")
+            cnf.append(clause)
+    return cnf
 
 
-def _validate_where(preds: list[tuple], by_name: dict, spark) -> None:
+def _flat_preds(cnf: list[list[tuple]]) -> list[tuple]:
+    return [p for clause in cnf for p in clause]
+
+
+def _validate_where(cnf: list[list[tuple]], by_name: dict, spark) -> None:
     """Driver-side exactness gate: unlike the named source's pushed
     filters (where Spark re-applies the full predicate as a residual),
     an encoded-domain aggregate IS the final answer — so predicates are
@@ -163,7 +191,7 @@ def _validate_where(preds: list[tuple], by_name: dict, spark) -> None:
     does not coerce RAISES instead of silently keeping rows."""
     from fhirflat_spark.sources.datasource import _row_filterable
 
-    for col, op, v in preds:
+    for col, op, v in _flat_preds(cnf):
         if col not in by_name:
             raise ValueError(f"where column {col!r} not in dataset")
         if op in ("nu", "nn"):
@@ -192,27 +220,50 @@ def _validate_where(preds: list[tuple], by_name: dict, spark) -> None:
                 ) from e
 
 
-def _where_zones(preds: list[tuple]) -> list[tuple]:
-    """Conservative (col, lo, hi) zone triples for partition/chunk
-    pruning; ops that don't bound a range contribute nothing."""
-    zones = []
-    for col, op, v in preds:
-        if op == "eq":
-            zones.append((col, v, v))
-        elif op in ("lt", "le"):
-            zones.append((col, None, v))
-        elif op in ("gt", "ge"):
-            zones.append((col, v, None))
-        elif op == "in" and v is not None and len(v):
-            try:
-                zones.append((col, min(v), max(v)))
-            except TypeError:
-                pass
-        elif op == "sw":
-            from fhirflat_spark.sources.datasource import _prefix_upper
+def _zone_of(pred: tuple) -> list[tuple]:
+    """[(col, lo, hi)] range one predicate bounds, or [] when it bounds
+    none (null tests, empty IN, uncomparable literals)."""
+    col, op, v = pred
+    if op == "eq":
+        return [(col, v, v)]
+    if op in ("lt", "le"):
+        return [(col, None, v)]
+    if op in ("gt", "ge"):
+        return [(col, v, None)]
+    if op == "in" and v is not None and len(v):
+        try:
+            return [(col, min(v), max(v))]
+        except TypeError:
+            return []
+    if op == "sw":
+        from fhirflat_spark.sources.datasource import _prefix_upper
 
-            hi = _prefix_upper(v)
-            zones.append((col, v, hi))
+        return [(col, v, _prefix_upper(v))]
+    return []
+
+
+def _where_zones(cnf: list[list[tuple]]) -> list[tuple]:
+    """Conservative (col, lo, hi) zone triples for partition/chunk
+    pruning. A disjunctive clause bounds a range only when EVERY branch
+    bounds a range on the SAME column — the union range [min lo, max hi]
+    then over-approximates the clause (a nu/nn branch admits rows a
+    zone check would wrongly prune, so it voids the clause's zone)."""
+    zones = []
+    for clause in cnf:
+        per = [_zone_of(p) for p in clause]
+        if any(len(z) != 1 for z in per):
+            continue
+        triples = [z[0] for z in per]
+        if len({t[0] for t in triples}) != 1:
+            continue
+        los = [t[1] for t in triples]
+        his = [t[2] for t in triples]
+        try:
+            lo = None if any(x is None for x in los) else min(los)
+            hi = None if any(x is None for x in his) else max(his)
+        except TypeError:
+            continue
+        zones.append((triples[0][0], lo, hi))
     return zones
 
 
@@ -275,33 +326,46 @@ def _pred_entails_chunk(pred: tuple, chunk: dict) -> bool:
     return False
 
 
-def _where_exprs(preds: list[tuple]) -> list:
-    """Catalyst Column expressions for the where mini-language — used
+def _clause_entails_chunk(clause: list[tuple], chunk: dict) -> bool:
+    """A disjunctive clause provably holds for every row when ANY one
+    branch does (conservative: rows may also mix branches, which this
+    check misses — it affects pruning, never answers)."""
+    return any(_pred_entails_chunk(p, chunk) for p in clause)
+
+
+def _pred_expr(pred: tuple):
+    col, op, v = pred
+    c = F.col(col)
+    if op == "eq":
+        return c == F.lit(v)
+    if op == "lt":
+        return c < F.lit(v)
+    if op == "le":
+        return c <= F.lit(v)
+    if op == "gt":
+        return c > F.lit(v)
+    if op == "ge":
+        return c >= F.lit(v)
+    if op == "in":
+        return c.isin(list(v) if v is not None else [])
+    if op == "sw":
+        return c.startswith(v)
+    if op == "nu":
+        return c.isNull()
+    if op == "nn":
+        return c.isNotNull()
+    raise ValueError(f"where op {op!r}")
+
+
+def _where_exprs(cnf: list[list[tuple]]) -> list:
+    """One Catalyst Column per CNF clause (OR within a clause) — used
     where a Spark residual IS available (top-k scan), so, unlike
     :func:`_validate_where` consumers, any Spark-coercible literal is
     acceptable: Spark's own comparison semantics define the answer."""
-    out = []
-    for col, op, v in preds:
-        c = F.col(col)
-        if op == "eq":
-            out.append(c == F.lit(v))
-        elif op == "lt":
-            out.append(c < F.lit(v))
-        elif op == "le":
-            out.append(c <= F.lit(v))
-        elif op == "gt":
-            out.append(c > F.lit(v))
-        elif op == "ge":
-            out.append(c >= F.lit(v))
-        elif op == "in":
-            out.append(c.isin(list(v) if v is not None else []))
-        elif op == "sw":
-            out.append(c.startswith(v))
-        elif op == "nu":
-            out.append(c.isNull())
-        elif op == "nn":
-            out.append(c.isNotNull())
-    return out
+    from functools import reduce
+    from operator import or_
+
+    return [reduce(or_, (_pred_expr(p) for p in clause)) for clause in cnf]
 
 
 def _chunk_mask(fplan: dict, batch, i: int, n: int):
@@ -337,7 +401,8 @@ def _chunk_mask(fplan: dict, batch, i: int, n: int):
     mask = None
     ctxs = {}
     decoded = {}
-    for col, op, v in fplan["preds"]:
+
+    def _hit(col, op, v):
         at = fplan["arrow_of"][col]
         if col not in ctxs and col not in decoded:
             cell = batch.column(fplan["blob_of"][col])[i]
@@ -355,19 +420,25 @@ def _chunk_mask(fplan: dict, batch, i: int, n: int):
                     if decoded[col].type != at:
                         decoded[col] = decoded[col].cast(at)
         if ctxs.get(col) is not None:
-            hit = _encoded_pred_mask(ctxs[col], op, v)
-            if isinstance(hit, str):
+            h = _encoded_pred_mask(ctxs[col], op, v)
+            if isinstance(h, str):
                 raise RuntimeError(
                     f"validated literal failed to coerce on {col!r}"
                 )
         else:
-            hit = _pred_mask(decoded[col], op, v)
-            if hit is None:
+            h = _pred_mask(decoded[col], op, v)
+            if h is None:
                 raise RuntimeError(
                     f"validated literal failed to coerce on {col!r}"
                 )
-        hm = hit.to_numpy(zero_copy_only=False).astype(bool)
-        mask = hm if mask is None else (mask & hm)
+        return h.to_numpy(zero_copy_only=False).astype(bool)
+
+    for clause in fplan["preds"]:
+        cmask = None
+        for col, op, v in clause:
+            hm = _hit(col, op, v)
+            cmask = hm if cmask is None else (cmask | hm)
+        mask = cmask if mask is None else (mask & cmask)
         if not mask.any():
             return "skip"
     return mask
@@ -380,10 +451,13 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
     (pruned DataFrame with n_rows + one blob col per requested column,
     spark field per column, filter plan for ``_chunk_mask``).
 
-    ``where`` — one ``(col, op, literal)`` or a conjunctive list; ops
-    eq/lt/le/gt/ge/in/sw/nu/nn. Pushdown stacks exactly like the named
-    source: partition-level manifest zones → chunk-level zones + Bloom
-    → dictionary-domain (or decoded) row masks — except here the result
+    ``where`` — one ``(col, op, literal)``, a conjunctive list, or CNF
+    (list elements that are themselves lists of predicates OR within
+    the clause); ops eq/lt/le/gt/ge/in/sw/nu/nn. Pushdown stacks
+    exactly like the named source: partition-level manifest zones →
+    chunk-level zones + Bloom → dictionary-domain (or decoded) row
+    masks — a disjunctive clause prunes by its union range and is
+    masked branch-wise (OR of branch hits) — except here the result
     is FINAL (no Spark residual), so literals/types are validated
     up front and refused when exactness cannot be guaranteed."""
     from fhirflat_spark.decode import (
@@ -403,8 +477,9 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
     _check_version(summary)
     all_cols = summary["columns"]
     preds = _normalize_where(where)
+    flat = _flat_preds(preds)
     scan_cols = list(cols) + [
-        c for c in dict.fromkeys(p[0] for p in preds) if c not in cols
+        c for c in dict.fromkeys(p[0] for p in flat) if c not in cols
     ]
     for c in scan_cols:
         if c not in all_cols:
@@ -428,10 +503,14 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
             )
     _validate_where(preds, by_name, spark)
     zones = _where_zones(preds)
-    type_of = {p[0]: by_name[p[0]].dataType for p in preds}
+    type_of = {p[0]: by_name[p[0]].dataType for p in flat}
+    # Bloom probes come from UNIT clauses only: an OR'd eq/in cannot
+    # prune a chunk on its own branch's absence
     points = [
         (c, [v] if op == "eq" else list(v))
-        for c, op, v in preds
+        for clause in preds
+        if len(clause) == 1
+        for c, op, v in clause
         if op in ("eq", "in")
         and c in set(summary.get("bloom_columns", ()))
     ]
@@ -466,11 +545,11 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
         "points": points,
         "type_of": type_of,
         "arrow_of": {
-            p[0]: _arrow_field(spark, by_name[p[0]]) for p in preds
+            p[0]: _arrow_field(spark, by_name[p[0]]) for p in flat
         },
         "blob_of": {
             c: f"__b{scan_cols.index(c)}"
-            for c in dict.fromkeys(p[0] for p in preds)
+            for c in dict.fromkeys(p[0] for p in flat)
         },
     }
     return pruned, [by_name[c] for c in cols], fplan
@@ -1076,7 +1155,7 @@ def group_topk_encoded(spark: SparkSession, out_dir: str, group_col: str,
 
 def _topk_zone_threshold(out_dir: str, order_col: str, k: int,
                          snapshot: int | None, descending: bool,
-                         preds: list[tuple] | None = None):
+                         preds: list[list[tuple]] | None = None):
     """A sound metadata-only bound for global top-``k``: every non-null
     row in a chunk is >= its zone min (string zone mins are truncated
     PREFIXES of the true min, still valid lower bounds), so walking the
@@ -1091,12 +1170,13 @@ def _topk_zone_threshold(out_dir: str, order_col: str, k: int,
     zone (NaN-poisoned float / unsupported type / pre-zone format), any
     chunk predating stats-v2 null counts, or < k non-null rows total.
 
-    With ``preds`` (a conjunctive WHERE), only chunks where EVERY
-    predicate is metadata-entailed (:func:`_pred_entails_chunk` — all
+    With ``preds`` (a normalized CNF WHERE), only chunks where EVERY
+    clause is metadata-entailed (:func:`_clause_entails_chunk` — all
     rows provably satisfy it) may count toward the k-row guarantee;
     partially-matching chunks contribute nothing but are still scanned,
     so tau stays sound: >= k WHERE-matching rows at-or-beyond tau are
     proven to exist before anything is pruned."""
+    preds = _normalize_where(preds)  # idempotent — accepts flat or CNF
     from fhirflat_spark.decode import _live_part_ids
     from fhirflat_spark.manifest import (
         active_delete_files,
@@ -1127,7 +1207,7 @@ def _topk_zone_threshold(out_dir: str, order_col: str, k: int,
             if nonnull:
                 return None  # values exist but unbounded — unsafe
             continue
-        if preds and not all(_pred_entails_chunk(p, c) for p in preds):
+        if preds and not all(_clause_entails_chunk(cl, c) for cl in preds):
             continue  # can't prove its rows match — no guarantee credit
         bounds.append((zone[0] if descending else zone[1], nonnull))
     bounds.sort(key=lambda b: b[0], reverse=descending)
@@ -1177,7 +1257,7 @@ def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
     out_cols = list(columns) if columns is not None else list(all_cols)
     preds = _normalize_where(where)
     for c in {order_col, tiebreak_col, *out_cols,
-              *(p[0] for p in preds)}:
+              *(p[0] for p in _flat_preds(preds))}:
         if c not in all_cols:
             raise ValueError(f"column {c!r} not in dataset columns {all_cols}")
     snap = resolve_snapshot(out_dir, snapshot) if snapshot is not None else None
@@ -1199,7 +1279,8 @@ def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
     if snap is not None:
         reader = reader.option("snapshot", str(snap))
     scan_cols = list(dict.fromkeys(
-        [*out_cols, order_col, tiebreak_col, *(p[0] for p in preds)]
+        [*out_cols, order_col, tiebreak_col,
+         *(p[0] for p in _flat_preds(preds))]
     ))
     if len(scan_cols) < len(all_cols):
         reader = reader.option("columns", ",".join(scan_cols))

@@ -209,7 +209,8 @@ def _entails_partition(pred: tuple, n_rows: int, zones: dict,
 def delete_where(spark: SparkSession, out_dir: str, where,
                  dry_run: bool = False) -> dict:
     """Predicate DELETE — ``DELETE FROM t WHERE ...`` over the where
-    mini-language (``(col, op, value)`` tuples or a conjunctive list;
+    mini-language (``(col, op, value)`` tuples, a conjunctive list, or
+    CNF with list-of-predicate OR clauses;
     ops eq/lt/le/gt/ge/in/sw/nu/nn), the retention-job primitive
     (``DELETE WHERE ts < cutoff``) a 100 TB table needs. Three tiers,
     ONE snapshot commit:
@@ -261,8 +262,11 @@ def delete_where(spark: SparkSession, out_dir: str, where,
     preds = _normalize_where(where)
     if not preds:
         raise ValueError("delete_where needs at least one predicate")
+    from fhirflat_spark.encoded_exec import _flat_preds
+
     summary = read_summary(spark, out_dir)
-    unknown = [c for c, _, _ in preds if c not in summary["columns"]]
+    unknown = [c for c, _, _ in _flat_preds(preds)
+               if c not in summary["columns"]]
     if unknown:
         raise ValueError(f"where columns {unknown} not in dataset "
                          f"columns {summary['columns']}")
@@ -290,13 +294,17 @@ def delete_where(spark: SparkSession, out_dir: str, where,
     cand = prune_part_ids_by_zones(
         out_dir, sorted(meta), _where_zones(preds), type_of
     )
-    nullchecks = [(c, op == "nu") for c, op, _ in preds if op in ("nu", "nn")]
+    # null-prune only from UNIT clauses: an OR'd nu/nn can be satisfied
+    # through its sibling branch
+    nullchecks = [(c, op == "nu") for cl in preds if len(cl) == 1
+                  for c, op, _ in cl if op in ("nu", "nn")]
     if nullchecks:
         cand = prune_part_ids_by_nulls(out_dir, cand, nullchecks)
     drop, scan = [], []
     for pid in cand:
         n_rows, zones, nulls = meta[pid]
-        if all(_entails_partition(p, n_rows, zones, nulls) for p in preds):
+        if all(any(_entails_partition(p, n_rows, zones, nulls) for p in cl)
+               for cl in preds):
             drop.append(pid)
         else:
             scan.append(pid)
@@ -315,7 +323,8 @@ def delete_where(spark: SparkSession, out_dir: str, where,
         cond = reduce(_ops.and_, _where_exprs(preds))
         losers = (
             decode_table(spark, out_dir,
-                         columns=sorted({c for c, _, _ in preds}),
+                         columns=sorted({c for c, _, _
+                                         in _flat_preds(preds)}),
                          part_ids=scan, with_positions=True)
             .where(cond)
             .select(
@@ -394,9 +403,11 @@ def update_where(spark: SparkSession, out_dir: str, where,
         raise ValueError("update_where needs at least one predicate")
     if not set_exprs:
         raise ValueError("update_where needs at least one SET expression")
+    from fhirflat_spark.encoded_exec import _flat_preds
+
     summary = read_summary(spark, out_dir)
     cols = summary["columns"]
-    bad = [c for c, _, _ in preds if c not in cols] + \
+    bad = [c for c, _, _ in _flat_preds(preds) if c not in cols] + \
         [c for c in set_exprs if c not in cols]
     if bad:
         raise ValueError(f"columns {sorted(set(bad))} not in dataset "
@@ -411,7 +422,8 @@ def update_where(spark: SparkSession, out_dir: str, where,
                                    t["status"].to_pylist()) if s == "ok"]
     cand = prune_part_ids_by_zones(out_dir, live, _where_zones(preds),
                                    type_of)
-    nullchecks = [(c, op == "nu") for c, op, _ in preds if op in ("nu", "nn")]
+    nullchecks = [(c, op == "nu") for cl in preds if len(cl) == 1
+                  for c, op, _ in cl if op in ("nu", "nn")]
     if nullchecks:
         cand = prune_part_ids_by_nulls(out_dir, cand, nullchecks)
     report = {"snapshot": None, "rows_updated": 0,

@@ -58,7 +58,10 @@ _FIRST_50 = [
     "replicated_mirror", "replicated_view_mirror",
     "encoded_group_sum", "encoded_group_count_multi",
     "encoded_group_agg_multi", "encoded_count_distinct",
-    "encoded_group_where",
+    # encoded_group_where_or strictly subsumes encoded_group_where's
+    # machinery (its unit clause IS the conjunctive path), so the
+    # latter rotated below the fold when CNF support landed
+    "encoded_group_where_or",
     # temporal / sampling / packing / decontam (8)
     "asof_join_attribution", "range_join_pairs",
     "stable_sample", "stratified_split",

@@ -1260,6 +1260,31 @@ SQL_ENCODED_GROUP_WHERE = (
 )
 
 
+def q_encoded_group_where_or(spark, sf_dir):
+    """CNF WHERE in the encoded domain: a disjunctive clause evaluates
+    branch-wise against the dictionary domain (OR of row masks) and
+    prunes only by its union range, composing with a unit predicate
+    (AND). Subsumes the pure-conjunctive path — the unit clause here
+    exercises exactly encoded_group_where's machinery."""
+    from fhirflat_spark.encoded_exec import group_agg_encoded
+
+    out = _encoded_documents(spark, sf_dir)
+    return group_agg_encoded(
+        spark, out, "lang", "n_chars",
+        where=[[("source", "eq", "src1"), ("n_chars", "lt", 150)],
+               ("n_chars", "ge", 100)],
+    )
+
+
+SQL_ENCODED_GROUP_WHERE_OR = (
+    "SELECT lang, COUNT(*) AS cnt, COUNT(n_chars) AS count_n_chars, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+    "MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars "
+    "FROM documents WHERE (source = 'src1' OR n_chars < 150) "
+    "AND n_chars >= 100 GROUP BY lang"
+)
+
+
 def q_encoded_group_string_agg(spark, sf_dir):
     """String value aggregation in the encoded domain: MIN/MAX of a
     string column per group (no SUM — only the integral path tracks
@@ -1924,6 +1949,9 @@ QUERIES = {
         q_encoded_count_distinct, SQL_ENCODED_COUNT_DISTINCT,
     ),
     "encoded_group_where": (q_encoded_group_where, SQL_ENCODED_GROUP_WHERE),
+    "encoded_group_where_or": (
+        q_encoded_group_where_or, SQL_ENCODED_GROUP_WHERE_OR,
+    ),
     "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
     "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
     "encoded_topk_where": (q_encoded_topk_where, SQL_ENCODED_TOPK_WHERE),
