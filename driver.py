@@ -213,6 +213,11 @@ def main() -> None:
                      help="col:q[,col:q...] approx percentiles from DDSketch "
                           "metadata (e.g. n_chars:0.5,n_chars:0.99)")
     sta.add_argument("--snapshot", help="version, tag, or branch (default: current)")
+    sta.add_argument("--where", default=None,
+                     help="filters (comma = AND, | = OR): tiered "
+                          "COUNT/SUM — partitions whose rollups entail "
+                          "the predicate answer from metadata (zero "
+                          "chunk IO), only straddlers scan")
 
     chg = sub.add_parser("changes", help="net row-level changelog between two snapshots")
     chg.add_argument("--out", required=True)
@@ -523,6 +528,31 @@ def main() -> None:
                 out["quantile"][spec] = quantile_from_metadata(
                     args.out, col, float(qtxt), snapshot=snap
                 )
+        if args.where:
+            from fhirflat_spark.encoded_exec import count_encoded, sum_encoded
+
+            where = _parse_where(args.where)
+            wsnap = int(snap) if snap is not None and str(snap).isdigit() \
+                else snap
+            rep: dict = {}
+            filt = {
+                "count": count_encoded(spark, args.out, where=where,
+                                       snapshot=wsnap, report=rep),
+                "count_tiers": rep,
+                "sum": {},
+            }
+            for c in cols:
+                try:
+                    r2: dict = {}
+                    filt["sum"][c] = {
+                        "value": sum_encoded(spark, args.out, c,
+                                             where=where, snapshot=wsnap,
+                                             report=r2),
+                        "tiers": r2,
+                    }
+                except ValueError:
+                    filt["sum"][c] = None  # non-integral column
+            out["filtered"] = filt
         print(json.dumps(out))
     elif args.cmd == "changes":
         from pyspark.sql import functions as F

@@ -445,7 +445,7 @@ def _chunk_mask(fplan: dict, batch, i: int, n: int):
 
 
 def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
-               snapshot, where=None):
+               snapshot, where=None, only_part_ids=None):
     """Shared chunk-store scan plan: live/snapshot part pruning + nested
     payload projection of exactly the needed columns. Returns
     (pruned DataFrame with n_rows + one blob col per requested column,
@@ -524,6 +524,11 @@ def _plan_scan(spark: SparkSession, out_dir: str, cols: list[str],
         from fhirflat_spark.manifest import prune_part_ids_by_zones
 
         ids = prune_part_ids_by_zones(out_dir, ids, zones, type_of)
+    if only_part_ids is not None:
+        # caller-supplied restriction (metadata-tier split): intersect
+        # with our own pruning — may legitimately be empty
+        only = {int(p) for p in only_part_ids}
+        ids = sorted(only) if ids is None else sorted(set(ids) & only)
     field_of = {c: f"__c{i}" for i, c in enumerate(all_cols)}
     chunks = spark.read.schema(chunk_schema(len(all_cols))).parquet(
         f"{out_dir}/chunks"
@@ -1302,19 +1307,106 @@ def topk_rows_encoded(spark: SparkSession, out_dir: str, order_col: str,
     )
 
 
+def _partition_tiers(out_dir: str, preds: list[list[tuple]],
+                     snapshot: int | None):
+    """Classify the selected snapshot's partitions for a filtered
+    aggregate: returns ``(entailed, straddle, meta)`` where
+    ``entailed`` partitions' manifest rollups (col_zones + col_nulls)
+    prove EVERY physical row matches the CNF where — their contribution
+    comes from metadata with zero data IO, the filtered analog of
+    :func:`manifest.aggregate_from_metadata` — and ``straddle`` must be
+    scanned. Partitions zone-proven to have NO matching row appear in
+    neither list. ``meta[pid] = (rows, zones, nulls, sums)`` (sums may
+    be ``None``). Entailment is conservative (floats, missing stats,
+    pre-v2 partitions decline to the scan tier), so this affects IO,
+    never answers. The caller is responsible for the active-delete
+    refusal (physical rollups vs logical view)."""
+    import json as _json
+
+    from fhirflat_spark import fsio
+    from fhirflat_spark.maintenance import _entails_partition
+    from fhirflat_spark.manifest import (
+        current_snapshot,
+        prune_part_ids_by_zones,
+        read_snapshot_manifest,
+    )
+
+    ver = snapshot if snapshot is not None else current_snapshot(out_dir)
+    if ver is None:
+        return [], [], {}
+    summary = _json.loads(fsio.read_bytes(f"{out_dir}/_SUMMARY.json"))
+    full = T.StructType.fromJson(_json.loads(summary["spark_schema"]))
+    type_of = {f.name: f.dataType for f in full.fields}
+    t = read_snapshot_manifest(out_dir, ver)
+    names = t.schema.names
+    meta = {}
+    for i in range(t.num_rows):
+        if t["status"][i].as_py() != "ok":
+            continue
+        pid = int(t["part_id"][i].as_py())
+        zj = t["col_zones"][i].as_py() if "col_zones" in names else None
+        nj = t["col_nulls"][i].as_py() if "col_nulls" in names else None
+        sj = t["col_sums"][i].as_py() if "col_sums" in names else None
+        meta[pid] = (
+            int(t["rows"][i].as_py()),
+            _json.loads(zj) if zj else {},
+            _json.loads(nj) if nj is not None else None,
+            _json.loads(sj) if sj is not None else None,
+        )
+    cand = prune_part_ids_by_zones(
+        out_dir, sorted(meta), _where_zones(preds), type_of
+    )
+    entailed, straddle = [], []
+    for pid in cand:
+        n_rows, zones, nulls, _sums = meta[pid]
+        if n_rows == 0:
+            continue
+        if all(any(_entails_partition(p, n_rows, zones, nulls)
+                   for p in cl) for cl in preds):
+            entailed.append(pid)
+        else:
+            straddle.append(pid)
+    return entailed, straddle, meta
+
+
 def count_encoded(spark: SparkSession, out_dir: str, where=None,
-                  snapshot: int | str | None = None) -> int:
+                  snapshot: int | str | None = None,
+                  report: dict | None = None) -> int:
     """``SELECT COUNT(*) FROM dataset [WHERE ...]`` — with no filter
     this is pure chunk-header arithmetic (n_rows column; zero payload
     IO, like ``aggregate_from_metadata`` but snapshot-scoped through
-    the same scan plan); with a filter, only the predicate columns'
-    bytes are read and the count is the mask popcount. Returns a
+    the same scan plan); with a filter, three tiers: partitions whose
+    manifest rollups ENTAIL the predicate count from metadata (zero
+    chunk IO), zone-missed partitions contribute nothing, and only
+    straddlers read their predicate columns' bytes for the mask
+    popcount. Pass a dict as ``report`` to observe the split
+    (parts_metadata / parts_scanned / rows_metadata). Returns a
     Python int (the partial frame is |tasks| rows)."""
     pruned, _, fplan = _plan_scan(spark, out_dir, [], snapshot,
                                   where=where)
     if not fplan["preds"]:
         row = pruned.agg(F.sum("n_rows").alias("c")).collect()[0]
         return int(row["c"] or 0)
+    # _plan_scan validated everything (version, nested cols, literal
+    # exactness) and refused active deletes — the metadata tier below
+    # is only sound after that refusal
+    from fhirflat_spark.manifest import resolve_snapshot
+
+    snap = resolve_snapshot(out_dir, snapshot) if snapshot is not None \
+        else None
+    entailed, straddle, meta = _partition_tiers(
+        out_dir, fplan["preds"], snap
+    )
+    total = sum(meta[p][0] for p in entailed)
+    if report is not None:
+        report.update(
+            parts_metadata=len(entailed), parts_scanned=len(straddle),
+            rows_metadata=total,
+        )
+    if not straddle:
+        return total
+    pruned, _, fplan = _plan_scan(spark, out_dir, [], snapshot,
+                                  where=where, only_part_ids=straddle)
 
     def kernel(batches):
         total = 0
@@ -1334,19 +1426,56 @@ def count_encoded(spark: SparkSession, out_dir: str, where=None,
         kernel, schema=T.StructType([T.StructField("c", T.LongType())])
     )
     row = partials.agg(F.sum("c").alias("c")).collect()[0]
-    return int(row["c"] or 0)
+    return total + int(row["c"] or 0)
 
 
 def sum_encoded(spark: SparkSession, out_dir: str, value_col: str,
                 where=None,
-                snapshot: int | str | None = None) -> int | None:
+                snapshot: int | str | None = None,
+                report: dict | None = None) -> int | None:
     """``SELECT SUM(v) FROM dataset [WHERE ...]`` for an integral
     column — the value column decodes once per chunk (skipped entirely
     for zone/Bloom/row-mask-missed chunks), everything else stays
-    unread. Returns None for the SQL all-NULL/empty case."""
+    unread. With a filter, partitions whose manifest rollups ENTAIL the
+    predicate contribute their stats-v2 ``col_sums`` rollup with zero
+    chunk IO (demoted to the scan tier when the sum rollup is absent
+    for a partition with real values); only straddlers decode. Returns
+    None for the SQL all-NULL/empty case."""
     pruned, (vfield,), fplan = _plan_scan(spark, out_dir, [value_col],
                                           snapshot, where=where)
     _check_integral(vfield, value_col)
+    meta_total, meta_seen = 0, 0
+    if fplan["preds"]:
+        from fhirflat_spark.manifest import resolve_snapshot
+
+        snap = resolve_snapshot(out_dir, snapshot) \
+            if snapshot is not None else None
+        entailed, straddle, meta = _partition_tiers(
+            out_dir, fplan["preds"], snap
+        )
+        for pid in list(entailed):
+            n_rows, _zones, nulls, sums = meta[pid]
+            nonnull = n_rows - (nulls or {}).get(value_col, n_rows)
+            if nonnull == 0:
+                continue  # no values: contributes nothing, stays free
+            if sums is None or value_col not in sums:
+                # values exist but no sum rollup — scan this partition
+                entailed.remove(pid)
+                straddle.append(pid)
+                continue
+            meta_total += int(sums[value_col])
+            meta_seen += 1
+        if report is not None:
+            report.update(
+                parts_metadata=len(entailed), parts_scanned=len(straddle),
+                sum_metadata=meta_total if meta_seen else None,
+            )
+        if not straddle:
+            return meta_total if meta_seen else None
+        pruned, (vfield,), fplan = _plan_scan(
+            spark, out_dir, [value_col], snapshot, where=where,
+            only_part_ids=straddle,
+        )
 
     def kernel(batches):
         import pyarrow.compute as pc
@@ -1379,7 +1508,9 @@ def sum_encoded(spark: SparkSession, out_dir: str, value_col: str,
         kernel, schema=T.StructType([T.StructField("s", T.LongType())])
     )
     row = partials.agg(F.sum("s").alias("s")).collect()[0]
-    return None if row["s"] is None else int(row["s"])
+    if row["s"] is None:
+        return meta_total if meta_seen else None
+    return meta_total + int(row["s"])
 
 
 def distinct_encoded(spark: SparkSession, out_dir: str, column: str,

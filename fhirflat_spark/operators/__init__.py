@@ -56,7 +56,10 @@ _FIRST_50 = [
     "image_decode_real", "audio_decode_real", "quantile_sketch_estimate",
     "vector_index_topk", "changefeed_stream",
     "replicated_mirror", "replicated_view_mirror",
-    "encoded_group_sum", "encoded_group_count_multi",
+    # filtered_count_tiers displaced encoded_group_sum (whose single-
+    # group integral agg path is encoded_group_where_or's machinery
+    # minus the filter — still mirrored locally below the fold)
+    "filtered_count_tiers", "encoded_group_count_multi",
     "encoded_group_agg_multi", "encoded_count_distinct",
     # encoded_group_where_or strictly subsumes encoded_group_where's
     # machinery (its unit clause IS the conjunctive path), so the

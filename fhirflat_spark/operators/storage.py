@@ -1285,6 +1285,62 @@ SQL_ENCODED_GROUP_WHERE_OR = (
 )
 
 
+def _encoded_documents_ranged(spark, sf_dir: str) -> str:
+    """n_chars-range-clustered documents (no deletes): partition zone
+    rollups can ENTAIL an n_chars predicate for whole partitions, the
+    layout the filtered metadata-tier aggregates need."""
+    from fhirflat_spark.encode import encode_table
+
+    def build(path):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ranged = docs.repartitionByRange(8, "n_chars").sortWithinPartitions(
+            "n_chars"
+        )
+        encode_table(ranged, path, rows_per_bucket=2000, shuffle=False)
+
+    return _cached_dataset(spark, sf_dir, "rngq", build)
+
+
+def q_filtered_count_tiers(spark, sf_dir):
+    """Tiered filtered COUNT/SUM (the filtered analog of
+    aggregate_from_metadata): on range-clustered data, partitions whose
+    zone+null rollups ENTAIL the predicate answer from metadata with
+    zero chunk IO (count = manifest rows, sum = stats-v2 col_sums),
+    zone-missed partitions contribute nothing, and only the boundary
+    straddler scans its predicate column. The build asserts BOTH the
+    metadata and the scan tier fired — a wrong zone bound, a rollup
+    drift, or a double-counted straddler all shift cnt/sum_chars and
+    fail the hash."""
+    from fhirflat_spark.encoded_exec import count_encoded, sum_encoded
+
+    out = _encoded_documents_ranged(spark, sf_dir)
+    crep: dict = {}
+    srep: dict = {}
+    n = count_encoded(spark, out, where=("n_chars", "ge", 200),
+                      report=crep)
+    s = sum_encoded(spark, out, "n_chars", where=("n_chars", "ge", 200),
+                    report=srep)
+    if not (crep["parts_metadata"] and crep["parts_scanned"]):
+        raise RuntimeError(
+            f"filtered-count fixture must exercise both tiers: {crep}"
+        )
+    ok = bool(
+        srep["parts_metadata"] and srep["parts_scanned"]
+        and srep["sum_metadata"] is not None
+        and crep["rows_metadata"] > 0
+    )
+    return spark.createDataFrame(
+        [(int(n), int(s), ok)],
+        "cnt BIGINT, sum_chars BIGINT, tiers_split BOOLEAN",
+    )
+
+
+SQL_FILTERED_COUNT_TIERS = (
+    "SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "TRUE AS tiers_split FROM documents WHERE n_chars >= 200"
+)
+
+
 def q_encoded_group_string_agg(spark, sf_dir):
     """String value aggregation in the encoded domain: MIN/MAX of a
     string column per group (no SUM — only the integral path tracks
@@ -1951,6 +2007,9 @@ QUERIES = {
     "encoded_group_where": (q_encoded_group_where, SQL_ENCODED_GROUP_WHERE),
     "encoded_group_where_or": (
         q_encoded_group_where_or, SQL_ENCODED_GROUP_WHERE_OR,
+    ),
+    "filtered_count_tiers": (
+        q_filtered_count_tiers, SQL_FILTERED_COUNT_TIERS,
     ),
     "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
     "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
