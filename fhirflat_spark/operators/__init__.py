@@ -67,7 +67,10 @@ _FIRST_50 = [
     "encoded_group_where_or",
     # temporal / sampling / packing / decontam (8)
     "asof_join_attribution", "range_join_pairs",
-    "stable_sample", "stratified_split",
+    # training_shards displaced stable_sample (stratified_split's SQL
+    # twin recomputes the identical stable-uniform recipe, and the
+    # shard oracle pins the hash core row-for-row)
+    "training_shards", "stratified_split",
     "pack_context_bins", "chunk_windows",
     "decontam_overlap", "decontam_clean_stats",
     # embedding dedup (1)

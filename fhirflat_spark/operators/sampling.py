@@ -308,8 +308,87 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int | str = 0,
+    with_position: bool = False,
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every row a
+    ``shard`` in [0, n_shards) and (optionally) a dense 0-based
+    ``shard_pos`` giving a pseudo-random within-shard order — the
+    "shuffle the corpus once, stream shards sequentially" export every
+    training run starts from.
+
+    Both decisions are pure functions of (key, seed), no randomness
+    and no global sort: shard = stable 32-bit hash (salt ``:shard``)
+    mod n_shards; order = an INDEPENDENT hash (salt ``:order``), ties
+    broken by the key itself. Re-running on any cluster, any
+    partitioning, reproduces the identical shuffle — and an engine
+    reading the export can verify membership in SQL, like every other
+    sampling decision in this module.
+
+    Scale: shard assignment is a pure projection (codegen, no
+    exchange). ``with_position=True`` adds ROW_NUMBER over
+    (shard, order-hash) — ONE hash exchange on ``shard``; with
+    n_shards >= cluster parallelism and a uniform hash, skew is
+    bounded by hash uniformity, never by data order. NULL keys get
+    NULL shard/position (document keys, not row positions) — filter
+    them first if the corpus allows them.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = (stable_hash32(key_col, f"{seed}:shard")
+             % F.lit(int(n_shards))).cast("int")
+    out = df.withColumn("shard", shard)
+    if not with_position:
+        return out
+    from pyspark.sql import Window
+
+    okey = stable_hash32(key_col, f"{seed}:order")
+    w = (Window.partitionBy("shard")
+         .orderBy(okey.asc(), F.col(key_col).asc()))
+    pos = (F.row_number().over(w) - F.lit(1)).cast("long")
+    return out.withColumn(
+        "shard_pos",
+        F.when(F.col(key_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(pos),
+    )
+
+
+def q_training_shards(spark, sf_dir):
+    """The full shard assignment — every document's (shard, shard_pos)
+    hash-compared row-for-row against the SQL twin recomputing both
+    hashes, the modulus, and the window. A single misplaced row (wrong
+    salt, wrong tie-break, 1-based position) shifts every position
+    behind it and fails the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shuffle_shards(
+        docs, "doc_id", 16, seed=5, with_position=True
+    ).select("doc_id", "shard", "shard_pos")
+
+
+SQL_TRAINING_SHARDS = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                        || ':5:shard'), 1, 8))
+                 AS UBIGINT) % 16 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                              || ':5:shard'), 1, 8))
+                              AS UBIGINT) % 16
+            ORDER BY CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                          || ':5:order'), 1, 8))
+                          AS UBIGINT) ASC, doc_id ASC
+       ) - 1 AS BIGINT) AS shard_pos
+FROM documents
+"""
+
+
 QUERIES = {
     "stable_sample": (q_stable_sample, SQL_STABLE_SAMPLE),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "training_shards": (q_training_shards, SQL_TRAINING_SHARDS),
 }
