@@ -132,6 +132,23 @@ def _zone_bounds(arr: pa.Array):
     t = arr.type
     if arr.null_count == len(arr):
         return None
+    if (pa.types.is_timestamp(t) and t.tz is None) or \
+            pa.types.is_date32(t):
+        # NTZ timestamps / dates zone as epoch INTEGERS (micros / days
+        # — date64 would be millis, a third unit, so it stays zoneless)
+        # — JSON-safe and engine-neutral. tz-AWARE timestamps get no
+        # zone: their wall-clock reading is session state, and a
+        # session-tz literal compared against storage micros would
+        # prune wrongly.
+        if pa.types.is_timestamp(t):
+            if t.unit not in ("s", "ms", "us"):
+                return None  # ns→us truncates: no exact micros zone
+            if t.unit != "us":
+                arr = arr.cast(pa.timestamp("us"))
+            mm = pc.min_max(arr.cast(pa.int64()))
+        else:
+            mm = pc.min_max(arr.cast(pa.int32()))
+        return mm["min"].as_py(), mm["max"].as_py()
     if pa.types.is_integer(t) or pa.types.is_floating(t):
         if pa.types.is_floating(t):
             # ANY non-finite value poisons the zone: Arrow's min_max

@@ -267,7 +267,7 @@ def _where_zones(cnf: list[list[tuple]]) -> list[tuple]:
     return zones
 
 
-def _pred_entails_chunk(pred: tuple, chunk: dict) -> bool:
+def _pred_entails_chunk(pred: tuple, chunk: dict, dtype=None) -> bool:
     """True only when the predicate provably holds for EVERY row of the
     chunk from metadata alone (zone bounds + null counts). Used by the
     top-k threshold walk: a fully-entailed chunk's non-null rows all
@@ -288,6 +288,28 @@ def _pred_entails_chunk(pred: tuple, chunk: dict) -> bool:
         return False  # a NULL row fails every value predicate
     if op == "nn":
         return True
+    if dtype is not None:
+        # type-directed literal conversion: temporal predicates compare
+        # in the epoch-INT space the zones record (DateType days,
+        # TimestampNTZType micros); a literal that does not convert —
+        # incl. every session-tz TimestampType literal and a datetime
+        # against a DATE column's day-zones — DECLINES rather than
+        # comparing mismatched units
+        if isinstance(dtype, (T.DateType, T.TimestampNTZType,
+                              T.TimestampType)):
+            from fhirflat_spark.manifest import coerce_zone_bound
+
+            if op == "sw":
+                return False
+            if op == "in":
+                vals = [coerce_zone_bound(dtype, x) for x in (v or [])]
+                if not vals or any(x is None for x in vals):
+                    return False
+                v = vals
+            else:
+                v = coerce_zone_bound(dtype, v)
+                if v is None:
+                    return False
     zone = (chunk.get("zones") or {}).get(col)
     if zone is None:
         return False
@@ -326,11 +348,17 @@ def _pred_entails_chunk(pred: tuple, chunk: dict) -> bool:
     return False
 
 
-def _clause_entails_chunk(clause: list[tuple], chunk: dict) -> bool:
+def _clause_entails_chunk(clause: list[tuple], chunk: dict,
+                          type_of: dict | None = None) -> bool:
     """A disjunctive clause provably holds for every row when ANY one
     branch does (conservative: rows may also mix branches, which this
     check misses — it affects pruning, never answers)."""
-    return any(_pred_entails_chunk(p, chunk) for p in clause)
+    return any(
+        _pred_entails_chunk(
+            p, chunk, None if type_of is None else type_of.get(p[0])
+        )
+        for p in clause
+    )
 
 
 def _pred_expr(pred: tuple):
@@ -1361,7 +1389,8 @@ def _partition_tiers(out_dir: str, preds: list[list[tuple]],
         n_rows, zones, nulls, _sums = meta[pid]
         if n_rows == 0:
             continue
-        if all(any(_entails_partition(p, n_rows, zones, nulls)
+        if all(any(_entails_partition(p, n_rows, zones, nulls,
+                                      type_of.get(p[0]))
                    for p in cl) for cl in preds):
             entailed.append(pid)
         else:

@@ -177,7 +177,7 @@ def binpack_partitions(spark: SparkSession, out_dir: str,
 
 
 def _entails_partition(pred: tuple, n_rows: int, zones: dict,
-                       nulls: dict | None) -> bool:
+                       nulls: dict | None, dtype=None) -> bool:
     """True only when the predicate provably holds for EVERY physical
     row of a partition from its manifest rollups alone (col_zones +
     col_nulls) — the gate for a metadata-only partition drop. Follows
@@ -202,7 +202,8 @@ def _entails_partition(pred: tuple, n_rows: int, zones: dict,
     if op == "nn":
         return True
     return _pred_entails_chunk(
-        pred, {"n_rows": n_rows, "nulls": {col: 0}, "zones": zones or {}}
+        pred, {"n_rows": n_rows, "nulls": {col: 0}, "zones": zones or {}},
+        dtype,
     )
 
 
@@ -303,7 +304,8 @@ def delete_where(spark: SparkSession, out_dir: str, where,
     drop, scan = [], []
     for pid in cand:
         n_rows, zones, nulls = meta[pid]
-        if all(any(_entails_partition(p, n_rows, zones, nulls) for p in cl)
+        if all(any(_entails_partition(p, n_rows, zones, nulls,
+                                      type_of.get(p[0])) for p in cl)
                for cl in preds):
             drop.append(pid)
         else:

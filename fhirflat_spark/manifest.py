@@ -205,7 +205,17 @@ def _merge_chunk_ddqs(chunks: list[dict]) -> dict | None:
 def coerce_zone_bound(dt, value):
     """Coerce a zone bound / filter constant into the comparison family
     of a Spark type (zones round-trip through JSON). None = not
-    comparable → callers must keep the partition (conservative)."""
+    comparable → callers must keep the partition (conservative).
+
+    Temporal types compare in epoch-INT space (the unit the encode-time
+    zones record): DateType = days (a ``date`` literal converts; a
+    ``datetime`` literal DECLINES — its micros against day-zones would
+    prune wrongly), TimestampNTZType = micros (naive ``datetime``
+    converts — NTZ wall-clock is tz-free; aware literals and the
+    session-tz TimestampType decline entirely: their comparison family
+    is session state, not data)."""
+    import datetime as _dt
+
     from pyspark.sql import types as T
 
     try:
@@ -215,6 +225,24 @@ def coerce_zone_bound(dt, value):
             return float(value)
         if isinstance(dt, T.StringType):
             return str(value)
+        if isinstance(dt, T.DateType):
+            if isinstance(value, _dt.datetime):  # datetime IS a date —
+                return None                      # test it first
+            if isinstance(value, _dt.date):
+                return (value - _dt.date(1970, 1, 1)).days
+            if isinstance(value, int) and not isinstance(value, bool):
+                return int(value)
+            return None
+        if isinstance(dt, T.TimestampNTZType):
+            if isinstance(value, _dt.datetime):
+                if value.tzinfo is not None:
+                    return None
+                delta = value - _dt.datetime(1970, 1, 1)
+                return (delta.days * 86_400 + delta.seconds) * 1_000_000 \
+                    + delta.microseconds
+            if isinstance(value, int) and not isinstance(value, bool):
+                return int(value)
+            return None
     except (TypeError, ValueError):
         return None
     return None

@@ -60,7 +60,10 @@ _FIRST_50 = [
     # group integral agg path is encoded_group_where_or's machinery
     # minus the filter — still mirrored locally below the fold)
     "filtered_count_tiers", "encoded_group_count_multi",
-    "encoded_group_agg_multi", "encoded_count_distinct",
+    # retention_delete displaced encoded_count_distinct (a thin
+    # composition over encoded_group_count_multi's pair counts, which
+    # stays in the window; still mirrored locally below the fold)
+    "encoded_group_agg_multi", "retention_delete",
     # encoded_group_where_or strictly subsumes encoded_group_where's
     # machinery (its unit clause IS the conjunctive path), so the
     # latter rotated below the fold when CNF support landed

@@ -1341,6 +1341,69 @@ SQL_FILTERED_COUNT_TIERS = (
 )
 
 
+def _encoded_events_retained(spark, sf_dir: str) -> str:
+    """Retention-DELETE fixture: events range-clustered on their NTZ
+    timestamp, then ``DELETE WHERE ts < 2024-01-10`` — the time-based
+    retention job every 100 TB event table runs. Temporal zones record
+    epoch-micro INTEGERS, so whole expired partitions drop from the
+    manifest metadata-only; the build asserts both that tier and the
+    boundary straddler's positional tier fired."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.maintenance import delete_where
+
+    def build(path):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ranged = ev.repartitionByRange(8, "ts").sortWithinPartitions("ts")
+        encode_table(ranged, path, rows_per_bucket=2000, shuffle=False)
+        import datetime as _dt
+
+        rep = delete_where(spark, path,
+                           ("ts", "lt", _dt.datetime(2024, 1, 10)))
+        if not rep["parts_dropped"] or rep["n_positions"] == 0:
+            raise RuntimeError(
+                f"retention fixture must exercise both the metadata-drop "
+                f"and the positional tier: {rep}"
+            )
+
+    return _cached_dataset(spark, sf_dir, "retq", build)
+
+
+def q_retention_delete(spark, sf_dir):
+    """Time-based retention read path: expired partitions left the
+    manifest metadata-only (epoch-int temporal zones entail the
+    cutoff), the boundary partition's matching rows position-deleted —
+    the oracle restates the surviving table as a plain WHERE over the
+    raw events. A wrong epoch conversion, a tz leak, or an off-by-one
+    at the cutoff shifts the counts/bounds and fails the hash."""
+    from fhirflat_spark.decode import decode_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = _encoded_events_retained(spark, sf_dir)
+    return (
+        decode_table(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+            .alias("first_ts"),
+            F.max("event_id").alias("max_event"),
+            F.sum("user_id").alias("user_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_RETENTION_DELETE = """
+SELECT event_type, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       max(event_id) AS max_event,
+       CAST(sum(user_id) AS BIGINT) AS user_sum
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_encoded_group_string_agg(spark, sf_dir):
     """String value aggregation in the encoded domain: MIN/MAX of a
     string column per group (no SUM — only the integral path tracks
@@ -2011,6 +2074,7 @@ QUERIES = {
     "filtered_count_tiers": (
         q_filtered_count_tiers, SQL_FILTERED_COUNT_TIERS,
     ),
+    "retention_delete": (q_retention_delete, SQL_RETENTION_DELETE),
     "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
     "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
     "encoded_topk_where": (q_encoded_topk_where, SQL_ENCODED_TOPK_WHERE),

@@ -271,10 +271,18 @@ def _zone_keeps(stats: dict, col: str, dt, lo, hi) -> bool:
     zmax = _coerce_bound(dt, zmax)
     if zmin is None or zmax is None:
         return True
-    if lo is not None and zmax < lo:
-        return False
-    if hi is not None and zmin > hi:
-        return False
+    # the literal coerces through the same family map (temporal
+    # literals → epoch ints, matching the zone encoding); a bound that
+    # does not coerce cannot prune, not "keeps everything"
+    lo = _coerce_bound(dt, lo) if lo is not None else None
+    hi = _coerce_bound(dt, hi) if hi is not None else None
+    try:
+        if lo is not None and zmax < lo:
+            return False
+        if hi is not None and zmin > hi:
+            return False
+    except TypeError:
+        return True
     return True
 
 
