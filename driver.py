@@ -45,7 +45,21 @@ def _parse_where(spec: str | None) -> list | None:
             raise SystemExit(f"bad --where clause {term!r}")
         col, sym, lit = mm.groups()
         op = {"=": "eq", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}[sym]
-        v = int(lit) if re.fullmatch(r"-?\d+", lit) else lit
+        if len(lit) >= 2 and lit[0] == lit[-1] and lit[0] in "'\"":
+            v = lit[1:-1]  # quoted = literal string, never auto-typed
+        elif re.fullmatch(r"-?\d+", lit):
+            v = int(lit)
+        elif re.fullmatch(r"\d{4}-\d{2}-\d{2}", lit):
+            import datetime
+
+            v = datetime.date.fromisoformat(lit)
+        elif re.fullmatch(r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}(:\d{2})?",
+                          lit):
+            import datetime
+
+            v = datetime.datetime.fromisoformat(lit.replace(" ", "T"))
+        else:
+            v = lit
         return (col, op, v)
 
     where = []
@@ -296,7 +310,8 @@ def main() -> None:
     gby.add_argument("--where", default=None,
                      help="filters: comma = AND, | inside a term = OR, "
                           "e.g. 'lang=en|lang=fr,n_chars>=200' "
-                          "(ops = < <= > >=; int literals auto-cast)")
+                          "(ops = < <= > >=; int / YYYY-MM-DD[ HH:MM:SS] "
+                          "literals auto-cast, quote to force string)")
     gby.add_argument("--show", type=int, default=20)
     tpk = sub.add_parser(
         "topk",

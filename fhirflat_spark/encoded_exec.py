@@ -189,7 +189,10 @@ def _validate_where(cnf: list[list[tuple]], by_name: dict, spark) -> None:
     semantics (binary-collated strings, integers, booleans; floats
     excluded: Spark orders NaN above everything), and a literal that
     does not coerce RAISES instead of silently keeping rows."""
-    from fhirflat_spark.sources.datasource import _row_filterable
+    from fhirflat_spark.sources.datasource import (
+        _row_filterable,
+        _temporal_literal_ok,
+    )
 
     for col, op, v in _flat_preds(cnf):
         if col not in by_name:
@@ -201,13 +204,39 @@ def _validate_where(cnf: list[list[tuple]], by_name: dict, spark) -> None:
             op == "sw" and not pa.types.is_string(at)
         ):
             raise ValueError(
-                f"where on {col!r} ({at}): only string/integer/boolean "
-                "columns support exact encoded-domain predicates"
+                f"where on {col!r} ({at}): only string/integer/boolean/"
+                "date/ntz-timestamp columns support exact encoded-domain "
+                "predicates"
             )
         vals = list(v) if op == "in" else [v]
         if op == "sw":
             if not isinstance(v, str):
                 raise ValueError("sw (starts-with) needs a string literal")
+            continue
+        if pa.types.is_temporal(at):
+            # pa.scalar coercion is too permissive for temporal types
+            # (silently truncates datetime→date, accepts tz-aware) —
+            # the strict family gate is the refusal here. IN builds an
+            # arrow value-set of the column type, which (unlike the
+            # binary comparisons) cannot promote date→timestamp, so a
+            # timestamp IN-list must hold datetimes proper.
+            import datetime as _dt
+
+            for x in vals:
+                if op == "in" and pa.types.is_timestamp(at) and \
+                        not isinstance(x, _dt.datetime):
+                    raise ValueError(
+                        f"where literal {x!r}: a timestamp IN-list "
+                        "needs naive datetime literals"
+                    )
+                if not _temporal_literal_ok(at, x):
+                    raise ValueError(
+                        f"where literal {x!r} does not match {col!r}'s "
+                        f"temporal family ({at}): dates take date "
+                        "literals, NTZ timestamps take naive datetimes "
+                        "or dates — no residual exists to correct a "
+                        "coerced comparison"
+                    )
             continue
         for x in vals:
             try:

@@ -499,16 +499,41 @@ class _ReadMixin:
 
 def _row_filterable(t: pa.DataType) -> bool:
     """Types where pyarrow comparison semantics equal Spark's: binary
-    collation strings, two's-complement integers, booleans. Floats are
-    excluded (Spark: NaN > everything and NaN = NaN; IEEE: neither), and
-    date/timestamp literals arrive as Python objects whose coercion is
-    not worth the edge cases — zones already prune those at chunk level."""
+    collation strings, two's-complement integers, booleans, NTZ
+    timestamps and dates (both compare as epoch ints after arrow's
+    date→timestamp promotion, which matches Spark's — the literal
+    family is separately gated by :func:`_temporal_literal_ok`).
+    Floats are excluded (Spark: NaN > everything and NaN = NaN; IEEE:
+    neither); tz-AWARE timestamps are excluded (their comparison
+    family is session state, not data)."""
     return (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
         or pa.types.is_integer(t)
         or pa.types.is_boolean(t)
+        or (pa.types.is_timestamp(t) and t.tz is None)
+        or pa.types.is_date32(t)
     )
+
+
+def _temporal_literal_ok(t: pa.DataType, v) -> bool:
+    """Strict literal-family gate for temporal comparisons. pa.scalar
+    coercion is TOO permissive here — it silently truncates a datetime
+    to a date and accepts tz-aware datetimes — so the allowed pairs are
+    explicit: NTZ timestamp columns take naive datetimes or dates
+    (arrow promotes date → midnight timestamp exactly like Spark);
+    date columns take dates ONLY (a datetime would need the same
+    promotion of the COLUMN, which the dictionary path's typed-key
+    comparison does not guarantee — refuse, the caller falls back)."""
+    import datetime as _dt
+
+    if pa.types.is_timestamp(t):
+        if isinstance(v, _dt.datetime):
+            return v.tzinfo is None
+        return isinstance(v, _dt.date)
+    if pa.types.is_date(t):
+        return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+    return True
 
 
 _PC_OP = {
@@ -554,6 +579,11 @@ def _pred_mask(arr: pa.Array, op: str, v):
     False, matching Spark's null-rejecting WHERE semantics."""
     import pyarrow.compute as pc
 
+    if pa.types.is_temporal(arr.type):
+        vals = list(v) if op == "in" else ([] if op in ("nu", "nn")
+                                           else [v])
+        if not all(_temporal_literal_ok(arr.type, x) for x in vals):
+            return None
     try:
         if op == "nu":
             return pc.is_null(arr)

@@ -135,6 +135,73 @@ def test_date_column_delete_and_mismatch_guard(spark, tmp_path):
         df.where(F.col("d") >= F.lit(dt.date(2024, 4, 1))).count()
 
 
+def test_encoded_aggregates_on_time_windows(spark, ts_clustered):
+    """Time-window predicates run in the encoded domain: the tiered
+    COUNT answers a retention count mostly from metadata on ts-
+    clustered data, and grouped aggregates match Spark exactly."""
+    from fhirflat_spark.encoded_exec import (
+        count_encoded,
+        group_count_encoded,
+        sum_encoded,
+    )
+
+    out, df = ts_clustered
+    cutoff = dt.datetime(1970, 1, 1) + dt.timedelta(
+        seconds=1_700_000_000 + 777 * 3600
+    )
+    rep: dict = {}
+    got = count_encoded(spark, out, where=("ts", "ge", cutoff),
+                        report=rep)
+    assert got == df.where(F.col("ts") >= F.lit(cutoff)).count()
+    assert rep["parts_metadata"] > 0  # temporal zones entail partitions
+    assert sum_encoded(spark, out, "id", where=("ts", "ge", cutoff)) == \
+        df.where(F.col("ts") >= F.lit(cutoff)).agg(
+            F.sum("id")).collect()[0][0]
+    gotg = {r["k"]: r["cnt"] for r in group_count_encoded(
+        spark, out, "k", where=("ts", "ge", cutoff)).collect()}
+    expg = {r["k"]: r["cnt"] for r in
+            df.where(F.col("ts") >= F.lit(cutoff)).groupBy("k")
+            .agg(F.count("*").alias("cnt")).collect()}
+    assert gotg == expg
+    # CNF composes: (ts window OR high id) AND k filter
+    w = [[("ts", "lt", cutoff), ("id", "ge", 1990)], ("k", "eq", 3)]
+    assert count_encoded(spark, out, where=w) == df.where(
+        ((F.col("ts") < F.lit(cutoff)) | (F.col("id") >= 1990))
+        & (F.col("k") == 3)
+    ).count()
+
+
+def test_encoded_temporal_refusals(spark, ts_clustered):
+    from fhirflat_spark.encoded_exec import count_encoded
+
+    out, _df = ts_clustered
+    aware = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    with pytest.raises(ValueError, match="temporal family"):
+        count_encoded(spark, out, where=("ts", "ge", aware))
+    with pytest.raises(ValueError, match="IN-list"):
+        count_encoded(spark, out,
+                      where=("ts", "in", (dt.date(2024, 1, 1),)))
+
+
+def test_encoded_date_column_refuses_datetime(spark, tmp_path):
+    from fhirflat_spark.encoded_exec import count_encoded
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.date_add(F.lit(dt.date(2024, 1, 1)),
+                   F.col("id").cast("int")).alias("d"),
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=50)
+    with pytest.raises(ValueError, match="temporal family"):
+        count_encoded(spark, out, where=("d", "lt",
+                                         dt.datetime(2024, 2, 1)))
+    # date literals work and match Spark
+    assert count_encoded(
+        spark, out, where=("d", "lt", dt.date(2024, 2, 1))
+    ) == df.where(F.col("d") < F.lit(dt.date(2024, 2, 1))).count()
+
+
 def test_datetime_literal_on_date_column_never_entails(spark, tmp_path):
     """A datetime literal against a DATE column's day-zones must never
     compare micros to days: entailment declines, the Spark residual

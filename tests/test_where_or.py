@@ -242,3 +242,12 @@ def test_driver_parse_where_pipe():
     assert mod._parse_where("a>=5") == [("a", "ge", 5)]
     with pytest.raises(SystemExit):
         mod._parse_where("a>=5|")
+    # temporal literals auto-type; quoting forces a string
+    import datetime as dt
+
+    assert mod._parse_where("ts>=2024-01-10") == \
+        [("ts", "ge", dt.date(2024, 1, 10))]
+    assert mod._parse_where("ts<2024-01-10 12:30:00") == \
+        [("ts", "lt", dt.datetime(2024, 1, 10, 12, 30))]
+    assert mod._parse_where("s='2024-01-10'") == \
+        [("s", "eq", "2024-01-10")]
