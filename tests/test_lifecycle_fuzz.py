@@ -334,20 +334,36 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             # not append-only) and the streaming reader must refuse it.
             from fhirflat_spark.maintenance import delete_where
 
-            pred = rng.choice([
-                ("n", "lt", rng.randrange(0, 120)),
-                ("n", "ge", rng.randrange(850, 1000)),
-                ("lang", "eq", rng.choice(["en", "de", "fr", "xx"])),
-            ])
-            delete_where(spark, out, pred)
-            col, o, v = pred
-            idx = 2 if col == "n" else 1
-            keep = {
-                "lt": lambda x: not x < v,
-                "ge": lambda x: not x >= v,
-                "eq": lambda x: x != v,
-            }[o]
-            model = {k: r for k, r in model.items() if keep(r[idx])}
+            def _pred():
+                return rng.choice([
+                    ("n", "lt", rng.randrange(0, 120)),
+                    ("n", "ge", rng.randrange(850, 1000)),
+                    ("lang", "eq", rng.choice(["en", "de", "fr", "xx"])),
+                ])
+
+            # unit pred / one OR clause / CNF mixing both — the model
+            # evaluates the identical CNF in Python
+            shape = rng.randrange(3)
+            if shape == 0:
+                clauses = [[_pred()]]
+                where = clauses[0][0]
+            elif shape == 1:
+                clauses = [[_pred(), _pred()]]
+                where = [clauses[0]]
+            else:
+                clauses = [[_pred()], [_pred(), _pred()]]
+                where = [clauses[0][0], clauses[1]]
+            delete_where(spark, out, where)
+
+            def _ev(p, r):
+                col, o, v = p
+                x = r[2] if col == "n" else r[1]
+                return {"lt": x < v, "ge": x >= v, "eq": x == v}[o]
+
+            model = {
+                k: r for k, r in model.items()
+                if not all(any(_ev(p, r) for p in cl) for cl in clauses)
+            }
             record()
         elif op == "updwhere":
             # predicate UPDATE: matched rows' new images append while
@@ -357,10 +373,21 @@ def test_lifecycle_fuzz(spark, tmp_path, seed):
             from fhirflat_spark.maintenance import update_where
 
             lo = rng.randrange(0, 200)
-            rep = update_where(spark, out, ("n", "lt", lo),
+            if rng.random() < 0.5:
+                w = ("n", "lt", lo)
+
+                def _hit(r):
+                    return r[2] < lo
+            else:  # OR clause: (n < lo OR lang = L)
+                lang = rng.choice(["en", "de", "fr"])
+                w = [[("n", "lt", lo), ("lang", "eq", lang)]]
+
+                def _hit(r, _l=lang):
+                    return r[2] < lo or r[1] == _l
+            rep = update_where(spark, out, w,
                                {"n": "n + 1000"}, rows_per_bucket=50)
             model = {
-                k: (r[0], r[1], r[2] + 1000 if r[2] < lo else r[2])
+                k: (r[0], r[1], r[2] + 1000 if _hit(r) else r[2])
                 for k, r in model.items()
             }
             if rep["snapshot"] is not None:
