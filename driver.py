@@ -137,6 +137,10 @@ def main() -> None:
                      help="sort-order rewrite when the policy compacts")
     mnt.add_argument("--zorder", action="store_true",
                      help="Morton-curve clustering over --order-by columns")
+    mnt.add_argument("--expire-older-than", dest="expire_older_than",
+                     metavar="TS", default=None,
+                     help="only expire snapshots committed before TS "
+                          "(ISO datetime or epoch seconds)")
 
     snp = sub.add_parser("snapshots", help="list/rollback/expire/vacuum snapshot history")
     snp.add_argument("--out", required=True)
@@ -144,6 +148,11 @@ def main() -> None:
                      help="restore snapshot V as a new commit")
     snp.add_argument("--expire-keep", type=int, metavar="N",
                      help="drop all but the newest N snapshots")
+    snp.add_argument("--expire-older-than", dest="expire_older_than",
+                     metavar="TS",
+                     help="with --expire-keep: only expire snapshots "
+                          "committed before TS (ISO datetime or epoch "
+                          "seconds); keep-N stays the retention floor")
     snp.add_argument("--tag", metavar="NAME",
                      help="tag a snapshot (default: current; use --at V)")
     snp.add_argument("--at", type=int, metavar="V",
@@ -458,6 +467,7 @@ def main() -> None:
             spark, args.out, rows_per_bucket=args.rows_per_bucket,
             keep_snapshots=args.keep_snapshots, dry_run=args.dry_run,
             order_by=_parse_columns(args.order_by), zorder=args.zorder,
+            expire_older_than=args.expire_older_than,
         )))
     elif args.cmd == "snapshots":
         from fhirflat_spark import manifest as M
@@ -479,7 +489,12 @@ def main() -> None:
             out["dropped_branch_snapshots"] = M.drop_branch(args.out,
                                                             args.drop_branch)
         if args.expire_keep is not None:
-            out["expired"] = M.expire_snapshots(args.out, keep_last=args.expire_keep)
+            out["expired"] = M.expire_snapshots(
+                args.out, keep_last=args.expire_keep,
+                older_than=args.expire_older_than,
+            )
+        elif args.expire_older_than:
+            raise SystemExit("--expire-older-than needs --expire-keep")
         if args.vacuum:
             out["vacuumed_part_ids"] = M.vacuum(spark, args.out)
         out["snapshots"] = [

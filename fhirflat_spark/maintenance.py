@@ -710,7 +710,8 @@ def maintain_table(spark: SparkSession, out_dir: str,
                    profile: str = "balanced",
                    dry_run: bool = False,
                    order_by: list[str] | None = None,
-                   zorder: bool = False) -> dict:
+                   zorder: bool = False,
+                   expire_older_than=None) -> dict:
     """One-call maintenance pass. Policy:
 
     - **compact** when over ``compact_fragmentation`` of partitions are
@@ -728,7 +729,9 @@ def maintain_table(spark: SparkSession, out_dir: str,
       ``compact_delete_ratio`` of the physical rows (merge-on-read
       deletes tax every read; the rewrite materializes them and resets
       the overlay to empty).
-    - **expire** all but the newest ``keep_snapshots`` snapshots.
+    - **expire** all but the newest ``keep_snapshots`` snapshots
+      (``expire_older_than`` additionally restricts expiry to
+      snapshots committed before the cutoff — Iceberg's age rule).
     - **vacuum** chunk partitions no retained snapshot references.
 
     ``order_by``/``zorder`` pass through to ``compact_table`` when the
@@ -804,7 +807,7 @@ def maintain_table(spark: SparkSession, out_dir: str,
         health = table_health(spark, out_dir, rows_per_bucket=rows_per_bucket)
         report["health_after"] = health
     report["expired_snapshots"] = expire_snapshots(
-        out_dir, keep_last=keep_snapshots
+        out_dir, keep_last=keep_snapshots, older_than=expire_older_than
     )
     report["vacuumed_part_ids"] = vacuum(spark, out_dir)
     return report

@@ -1687,11 +1687,19 @@ def rollback(spark: SparkSession, out_dir: str, version: int) -> dict:
             "rows": summary["rows"], "n_partitions": t.num_rows}
 
 
-def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
+def expire_snapshots(out_dir: str, keep_last: int = 1,
+                     older_than=None) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshot manifests (the
     current snapshot and every TAGGED snapshot always survive — drop the
     tag to release it). Returns the expired versions; follow with
-    ``vacuum`` to reclaim newly-unreferenced chunk files."""
+    ``vacuum`` to reclaim newly-unreferenced chunk files.
+
+    ``older_than`` (Iceberg's age cutoff: epoch seconds, an ISO string,
+    or a datetime) RESTRICTS the count-based set — only snapshots whose
+    ``committed_at_us`` stamp is provably before the cutoff expire, and
+    ``keep_last`` remains the retention floor either way. A legacy
+    snapshot without a stamp is never age-expired (conservative: age
+    unknown ≠ old)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _snapshot_versions(out_dir)
@@ -1706,6 +1714,20 @@ def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
     expired = [
         v for v in main[:-keep_last] if v != cur and v not in protected
     ]
+    if older_than is not None:
+        import datetime as _dt
+
+        if isinstance(older_than, _dt.datetime):
+            if older_than.tzinfo is None:
+                older_than = older_than.replace(tzinfo=_dt.timezone.utc)
+            cutoff_us = int(older_than.timestamp() * 1_000_000)
+        else:
+            cutoff_us = _parse_as_of_us(older_than)
+        expired = [
+            v for v in expired
+            if (stamp := snapshot_committed_at(out_dir, v)) is not None
+            and stamp < cutoff_us
+        ]
     for v in expired:
         fsio.delete_file(snapshot_manifest_path(out_dir, v))
         fsio.delete_file(_snapshot_deletes_path(out_dir, v))

@@ -353,3 +353,36 @@ def test_tagged_snapshot_survives_expiry(spark, ds):
     assert expire_snapshots(out, keep_last=1) == [1]  # released
     versions = [r["version"] for r in list_snapshots(spark, out).collect()]
     assert versions == [2]
+
+
+def test_expire_older_than_restricts(spark, ds):
+    """Time-based expiry (Iceberg older_than): the age cutoff RESTRICTS
+    the count-based set — a snapshot committed after the cutoff
+    survives even outside the keep window; unstamped ages never
+    expire; keep_last stays the floor."""
+    import datetime as dt
+
+    from fhirflat_spark.manifest import (
+        expire_snapshots,
+        list_snapshots,
+        snapshot_committed_at,
+    )
+
+    out, _base, _delta = ds
+    t1 = snapshot_committed_at(out, 1)
+    assert t1 is not None
+    # cutoff BEFORE snapshot 1's commit: nothing is old enough
+    before = dt.datetime.fromtimestamp(
+        (t1 - 5_000_000) / 1e6, tz=dt.timezone.utc
+    )
+    assert expire_snapshots(out, keep_last=1, older_than=before) == []
+    # epoch-seconds and ISO forms parse too
+    assert expire_snapshots(out, keep_last=1,
+                            older_than=(t1 - 5_000_000) / 1e6) == []
+    # cutoff in the future: the count-based rule applies unchanged,
+    # but keep_last still floors retention
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1)
+    assert expire_snapshots(out, keep_last=2, older_than=future) == []
+    assert expire_snapshots(out, keep_last=1, older_than=future) == [1]
+    versions = [r["version"] for r in list_snapshots(spark, out).collect()]
+    assert versions == [2]
