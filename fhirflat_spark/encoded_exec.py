@@ -717,6 +717,109 @@ def group_count_encoded(spark: SparkSession, out_dir: str,
     )
 
 
+_BUCKET_US = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+# date_trunc('week') starts Monday; 1970-01-01 was a Thursday, so week
+# buckets anchor 3 days BEFORE the epoch (both Spark and DuckDB agree)
+_WEEK_ANCHOR_US = -3 * 86_400_000_000
+
+
+def group_timebucket_encoded(spark: SparkSession, out_dir: str,
+                             ts_col: str, bucket: str = "day",
+                             snapshot: int | str | None = None,
+                             where=None) -> DataFrame:
+    """``SELECT date_trunc(bucket, ts) AS bucket, COUNT(*) AS cnt FROM
+    dataset [WHERE ...] GROUP BY 1`` computed on the encoded chunks —
+    the ad-hoc time-series histogram (events per day/hour) without a
+    rollup table. Each task reads ONLY the timestamp column's chunk
+    bytes, floor-divides the epoch-micros view by the bucket width
+    (week buckets anchor to the epoch's preceding Monday, matching
+    ``date_trunc``), and emits per-bucket partials — the exchange
+    carries |tasks|×|buckets| rows at any table size. NULL timestamps
+    group under the NULL bucket (SQL ``date_trunc(NULL) = NULL``).
+
+    Restricted to TimestampNTZType columns: the session-tz
+    TimestampType truncates in wall-clock space, which is session
+    state, not data — use a rollup with an explicit zone instead.
+    ``where`` composes exactly like every other encoded aggregate
+    (zones → Bloom → row masks; ``_plan_scan``)."""
+    if bucket not in _BUCKET_US:
+        raise ValueError(
+            f"bucket {bucket!r}: expected one of {sorted(_BUCKET_US)} "
+            "(fixed-width buckets only — months vary)"
+        )
+    step = _BUCKET_US[bucket]
+    anchor = _WEEK_ANCHOR_US if bucket == "week" else 0
+    pruned, (tfield,), fplan = _plan_scan(spark, out_dir, [ts_col],
+                                          snapshot, where=where)
+    if not isinstance(tfield.dataType, T.TimestampNTZType):
+        raise ValueError(
+            f"time-bucket column {ts_col!r} "
+            f"({tfield.dataType.simpleString()}): only TIMESTAMP_NTZ "
+            "buckets are engine-neutral (session-tz timestamps truncate "
+            "in session wall-clock space)"
+        )
+    at = _arrow_field(spark, tfield)
+    out_pa = pa.schema([pa.field("b", at), pa.field("cnt", pa.int64())])
+
+    def kernel(batches):
+        from fhirflat_spark.decode import _blob_view
+
+        agg: dict[int, int] = {}
+        null_cnt = 0
+        for batch in batches:
+            nrs = batch.column("n_rows")
+            blobs = batch.column("__b0")
+            for i in range(batch.num_rows):
+                n = nrs[i].as_py()
+                m = _chunk_mask(fplan, batch, i, n)
+                if isinstance(m, str):
+                    continue
+                if not blobs[i].is_valid:  # chunk predates the column
+                    null_cnt += n if m is None else int(m.sum())
+                    continue
+                arr = decode_array(_blob_view(blobs, i))
+                if arr.type != at:
+                    arr = arr.cast(at)
+                if m is not None:
+                    arr = arr.filter(pa.array(m))
+                null_cnt += arr.null_count
+                if arr.null_count:
+                    arr = arr.drop_null()
+                if not len(arr):
+                    continue
+                micros = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                bk = np.floor_divide(micros - anchor, step) * step + anchor
+                u, c = np.unique(bk, return_counts=True)
+                for b_, c_ in zip(u.tolist(), c.tolist()):
+                    agg[b_] = agg.get(b_, 0) + int(c_)
+        if not agg and not null_cnt:
+            return
+        ks = sorted(agg)
+        kcol = pa.array(ks, type=pa.int64()).cast(at)
+        ccol = pa.array([agg[k] for k in ks], type=pa.int64())
+        if null_cnt:
+            kcol = pa.concat_arrays([kcol, pa.nulls(1, type=at)])
+            ccol = pa.concat_arrays(
+                [ccol, pa.array([null_cnt], type=pa.int64())]
+            )
+        yield pa.RecordBatch.from_arrays([kcol, ccol], schema=out_pa)
+
+    partial = T.StructType([
+        T.StructField("b", tfield.dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+    partials = pruned.mapInArrow(kernel, schema=partial)
+    return (
+        partials.groupBy("b").agg(F.sum("cnt").alias("cnt"))
+        .withColumnRenamed("b", "bucket")
+    )
+
+
 def _group_count_multi(spark: SparkSession, out_dir: str,
                        cols: list[str], snapshot,
                        radix_cap: int = 1 << 62,

@@ -55,7 +55,10 @@ _FIRST_50 = [
     # round-5 additions never driver-checked (13)
     "image_decode_real", "audio_decode_real", "quantile_sketch_estimate",
     "vector_index_topk", "changefeed_stream",
-    "replicated_mirror", "replicated_view_mirror",
+    # timebucket_counts displaced replicated_view_mirror (the filtered
+    # variant of replicated_mirror's CDF-apply machinery, which stays
+    # in the window; still mirrored locally below the fold)
+    "replicated_mirror", "timebucket_counts",
     # filtered_count_tiers displaced encoded_group_sum (whose single-
     # group integral agg path is encoded_group_where_or's machinery
     # minus the filter — still mirrored locally below the fold)

@@ -1368,6 +1368,48 @@ def _encoded_events_retained(spark, sf_dir: str) -> str:
     return _cached_dataset(spark, sf_dir, "retq", build)
 
 
+def _encoded_events_ranged(spark, sf_dir: str) -> str:
+    """Clean (no-deletes) ts-range-clustered events for the encoded
+    temporal aggregates."""
+    from fhirflat_spark.encode import encode_table
+
+    def build(path):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ranged = ev.repartitionByRange(8, "ts").sortWithinPartitions("ts")
+        encode_table(ranged, path, rows_per_bucket=2000, shuffle=False)
+
+    return _cached_dataset(spark, sf_dir, "evrq", build)
+
+
+def q_timebucket_counts(spark, sf_dir):
+    """Ad-hoc time-series histogram from the encoded domain: events per
+    day for one event type — the timestamp column's chunk bytes are the
+    only payload read, buckets form by floor-dividing the epoch-micros
+    view, and the WHERE pushes through the zone/Bloom/row-mask tower.
+    The oracle recomputes with SQL date_trunc; a wrong bucket anchor,
+    a tz leak, or a mask misalignment shifts per-day counts and fails
+    the hash."""
+    from fhirflat_spark.encoded_exec import group_timebucket_encoded
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = _encoded_events_ranged(spark, sf_dir)
+    got = group_timebucket_encoded(
+        spark, out, "ts", "day", where=("event_type", "eq", "click")
+    )
+    return got.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "cnt",
+    ).orderBy("day")
+
+
+SQL_TIMEBUCKET_COUNTS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS cnt
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY day
+"""
+
+
 def q_retention_delete(spark, sf_dir):
     """Time-based retention read path: expired partitions left the
     manifest metadata-only (epoch-int temporal zones entail the
@@ -2075,6 +2117,7 @@ QUERIES = {
         q_filtered_count_tiers, SQL_FILTERED_COUNT_TIERS,
     ),
     "retention_delete": (q_retention_delete, SQL_RETENTION_DELETE),
+    "timebucket_counts": (q_timebucket_counts, SQL_TIMEBUCKET_COUNTS),
     "encoded_group_topk": (q_encoded_group_topk, SQL_ENCODED_GROUP_TOPK),
     "encoded_topk_rows": (q_encoded_topk_rows, SQL_ENCODED_TOPK_ROWS),
     "encoded_topk_where": (q_encoded_topk_where, SQL_ENCODED_TOPK_WHERE),

@@ -223,3 +223,53 @@ def test_datetime_literal_on_date_column_never_entails(spark, tmp_path):
 
     # Spark semantics: date < 1970 datetime is false for every row
     assert decode_table(spark, out).count() == 400
+
+
+def test_timebucket_encoded_matches_date_trunc(spark, tmp_path):
+    from fhirflat_spark.encoded_exec import group_timebucket_encoded
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = df.withColumn(
+        "ts", F.when(F.col("event_id") % 50 == 0, None)
+        .otherwise(F.col("ts"))
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+                 out, rows_per_bucket=300, shuffle=False)
+
+    def rows(d):
+        return sorted(map(tuple, d.collect()), key=repr)
+
+    for b in ("minute", "hour", "day", "week"):
+        got = rows(group_timebucket_encoded(spark, out, "ts", b))
+        exp = rows(
+            df.groupBy(F.date_trunc(b, "ts").alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        assert got == exp, b
+    # WHERE composes; NULL ts rows group under the NULL bucket
+    got = rows(group_timebucket_encoded(
+        spark, out, "ts", "day", where=("event_type", "eq", "click")
+    ))
+    exp = rows(
+        df.where("event_type = 'click'")
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert got == exp
+
+
+def test_timebucket_refusals(spark, tmp_path):
+    from fhirflat_spark.encoded_exec import group_timebucket_encoded
+
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("lt"),  # session-tz
+    )
+    out = str(tmp_path / "ds")
+    encode_table(df, out, rows_per_bucket=50)
+    with pytest.raises(ValueError, match="TIMESTAMP_NTZ"):
+        group_timebucket_encoded(spark, out, "lt", "day")
+    with pytest.raises(ValueError, match="bucket"):
+        group_timebucket_encoded(spark, out, "lt", "month")
