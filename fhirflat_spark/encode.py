@@ -961,6 +961,8 @@ def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
     bucket) intersection becomes its own chunk, so unclustered inputs
     produce smaller chunks than the row shuffle's 16k-row slices — a
     documented compression-ratio trade, not a correctness one."""
+    import struct as _struct
+
     import numpy as np
     import pyarrow.compute as pc
 
@@ -968,6 +970,45 @@ def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
     base_opts = codec_opts or {}
     name_map = name_map or {c: c for c in columns}
     repo_batch_col = next((b for b, o in name_map.items() if o == "repo"), None)
+    # Slices below the stage-2 consolidation threshold are decoded and
+    # re-encoded there REGARDLESS of how well stage 1 encoded them — so
+    # running the full codec pipeline (selector trials, zstd-3, stats,
+    # sha256, blooms) on them is pure double work. Ship them as TRANSIT
+    # chunklets instead: one whole-slice Arrow-IPC blob, lz4-framed and
+    # length-prefixed, in payload.__c0 (stats == "t" marks the row for
+    # stage 2, which inlines the table instead of per-column decodes).
+    # Measured ~290 MB/s pack at ~0.53x of raw on the wire — vs the row
+    # exchange's 1.0x and the full encode's ~140 MB/s — and transit rows
+    # can never reach disk: n_rows < min_rows routes every one of them
+    # into a consolidation run by contract. Slices at/above the
+    # threshold still get the one real encode map-side and pass through
+    # stage 2 untouched. Final layout is unchanged where it matters: the
+    # consolidation merge rule is a pure function of the ordered
+    # chunklet ROW COUNTS, which this does not change.
+    min_rows = max(1, batch_rows // 4)
+    payload_type = pa.struct(
+        [(f"__c{i}", pa.binary()) for i in range(len(columns))]
+    )
+    transit_schema = pa.schema(
+        [
+            ("part_id", pa.int32()),
+            ("chunk_seq", pa.int32()),
+            ("n_rows", pa.int64()),
+            ("payload", payload_type),
+            ("stats", pa.string()),
+            ("content_sha", pa.string()),
+            ("raw_bytes", pa.int64()),
+            ("encoded_bytes", pa.int64()),
+            ("repo_min", pa.string()),
+            ("repo_max", pa.string()),
+        ]
+    )
+
+    extra_schema = pa.schema(
+        [("meta_json", pa.string()), ("src_split", pa.int32()),
+         ("local_seq", pa.int32()), ("__tok", pa.int64())]
+    )
+    full_schema = pa.schema(list(transit_schema) + list(extra_schema))
 
     def kernel(batches):
         ctx = TaskContext.get()
@@ -975,27 +1016,66 @@ def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
         parts = [b for b in batches if b.num_rows]
         if not parts:
             return
+        _lz4 = pa.Codec("lz4")  # per task: pa.Codec does not pickle
         tbl = pa.Table.from_batches(parts).combine_chunks()
-        # one vectorized sort clusters the split by (target, sort keys):
-        # each target's slice is then contiguous AND key-ordered, so the
-        # final table keeps the zone/compression locality of the sorted
-        # row-shuffle layout within each chunk
-        keys = [("__pb", "ascending")] + [
-            (c, "ascending") for c in (sort_names or [])
-        ]
-        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=keys,
-                                       null_placement="at_start"))
-        pb = tbl.column("__pb").to_numpy()
+        # group the split by target bucket with a cheap stable integer
+        # argsort (NOT a multi-key string sort: the full-split
+        # (__pb, repo, path, commit) sort_indices + take measured ~1s/4
+        # cores on 1M rows and its key ordering is thrown away for every
+        # transit chunklet anyway — consolidation re-sorts the merged
+        # run). Slices large enough to become final chunks directly get
+        # a slice-local key sort below, which equals the old global
+        # stable sort restricted to the slice.
+        pb_pre = tbl.column("__pb").to_numpy()
+        order = np.argsort(pb_pre, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        pb = pb_pre[order]
         data = tbl.drop_columns(["__pb"])
         bounds = np.flatnonzero(np.diff(pb)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(pb)]))
+        # transit rows accumulate into ONE combined output batch per
+        # task (plus one per real-encoded chunk): yielding each chunklet
+        # as its own 1-row batch costs an Arrow IPC frame per slice —
+        # splits x buckets frames on scattered inputs, measured ~1s/4
+        # cores of pure framing at 1M rows
+        t_pid: list[int] = []
+        t_rows: list[int] = []
+        t_blob: list[bytes] = []
+        t_tok: list[int] = []
+        real: list[pa.RecordBatch] = []
         for s, e in zip(starts, ends):
             g = int(pb[s])
             part_id = part_offset + g
             tok = tokens[g]
             local = 0
             sub = data.slice(s, e - s)
+            if sub.num_rows < min_rows:
+                # transit chunklet: stage 2 consolidation re-encodes it
+                # (n_rows < min_rows routes it into a run by contract)
+                sink = pa.BufferOutputStream()
+                sc = sub.combine_chunks()
+                with pa.ipc.new_stream(sink, sc.schema) as w:
+                    w.write_table(sc)
+                ipc = sink.getvalue()
+                t_pid.append(part_id)
+                t_rows.append(sub.num_rows)
+                t_blob.append(
+                    _struct.pack("<q", len(ipc))
+                    + _lz4.compress(ipc, asbytes=True)
+                )
+                t_tok.append(tok)
+                continue
+            if sort_names:
+                # slice-local key sort (stable, equals the old global
+                # (__pb, keys) stable sort restricted to this slice):
+                # these rows become final chunks as-is, so they keep the
+                # zone/compression locality of the sorted layout
+                sub = sub.take(pc.sort_indices(
+                    sub,
+                    sort_keys=[(c, "ascending") for c in sort_names],
+                    null_placement="at_start",
+                ))
             for off in range(0, sub.num_rows, batch_rows):
                 sl = sub.slice(off, batch_rows).combine_chunks()
                 for b in sl.to_batches():
@@ -1013,20 +1093,41 @@ def encoded_pack_kernel_factory(columns: list[str], tokens: list[int],
                             "local_seq": [local],
                             "__tok": [tok],
                         },
-                        schema=pa.schema(
-                            [("meta_json", pa.string()),
-                             ("src_split", pa.int32()),
-                             ("local_seq", pa.int32()),
-                             ("__tok", pa.int64())]
-                        ),
+                        schema=extra_schema,
                     )
-                    yield pa.RecordBatch.from_arrays(
+                    real.append(pa.RecordBatch.from_arrays(
                         list(out.columns) + list(extra.columns),
-                        schema=pa.schema(
-                            list(out.schema) + list(extra.schema)
-                        ),
-                    )
+                        schema=full_schema,
+                    ))
                     local += 1
+        if t_pid:
+            n_t = len(t_pid)
+            payload = pa.StructArray.from_arrays(
+                [pa.array(t_blob, pa.binary())]
+                + [pa.nulls(n_t, pa.binary())
+                   for _ in range(1, len(columns))],
+                names=[f"__c{i}" for i in range(len(columns))],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(t_pid, pa.int32()),
+                    pa.array([0] * n_t, pa.int32()),
+                    pa.array(t_rows, pa.int64()),
+                    payload,
+                    pa.array(["t"] * n_t, pa.string()),
+                    pa.array([""] * n_t, pa.string()),
+                    pa.array([0] * n_t, pa.int64()),
+                    pa.array([len(b) for b in t_blob], pa.int64()),
+                    pa.nulls(n_t, pa.string()),
+                    pa.nulls(n_t, pa.string()),
+                    pa.array(["{}"] * n_t, pa.string()),
+                    pa.array([split] * n_t, pa.int32()),
+                    pa.array([0] * n_t, pa.int32()),
+                    pa.array(t_tok, pa.int64()),
+                ],
+                schema=full_schema,
+            )
+        yield from real
 
     return kernel
 
@@ -1039,7 +1140,8 @@ def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None,
                                  batch_rows: int = 16384,
                                  bloom_columns: frozenset[str] | None = None,
                                  ndv_columns: frozenset[str] | None = None,
-                                 qsk_columns: frozenset[str] | None = None):
+                                 qsk_columns: frozenset[str] | None = None,
+                                 sort_names: list[str] | None = None):
     """Stage 2 of ``shuffle="encoded"``: renumber this partition's
     chunklets into a deterministic chunk_seq order — (src_split,
     local_seq), a pure function of the input layout — and task-commit
@@ -1067,18 +1169,34 @@ def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None,
     base_opts = codec_opts or {}
     repo_batch_col = next((b for b, o in name_map.items() if o == "repo"), None)
 
+    import struct as _struct
+
     def _decode_run(rows: pa.Table) -> pa.Table:
-        """Chunklet rows → the original data table (order-preserving)."""
-        cols: dict[str, list] = {c: [] for c in columns}
+        """Chunklet rows → the original data table (order-preserving).
+
+        Two chunklet flavors: stage-1 TRANSIT rows (stats == "t") carry
+        one lz4-framed whole-slice Arrow-IPC blob in ``__c0``; real
+        chunklets decode per column through the codec registry."""
+        _lz4 = pa.Codec("lz4")  # per call: pa.Codec does not pickle
+        tables: list[pa.Table] = []
         payload = rows.column("payload")
+        stats_col = rows.column("stats")
         for i in range(rows.num_rows):
             cell = payload[i]
-            for j, c in enumerate(columns):
-                blob = cell[f"__c{j}"]
-                cols[c].append(decode_array(memoryview(blob.as_buffer())))
-        return pa.table(
-            {c: pa.chunked_array(cols[c]).combine_chunks() for c in columns}
-        )
+            if stats_col[i].as_py() == "t":
+                buf = memoryview(cell["__c0"].as_buffer())
+                (rawsize,) = _struct.unpack_from("<q", buf, 0)
+                ipc = _lz4.decompress(buf[8:], decompressed_size=rawsize)
+                with pa.ipc.open_stream(pa.BufferReader(ipc)) as r:
+                    tables.append(r.read_all().select(columns))
+                continue
+            tables.append(pa.table({
+                c: decode_array(memoryview(cell[f"__c{j}"].as_buffer()))
+                for j, c in enumerate(columns)
+            }))
+        first = tables[0].schema
+        unified = [t if t.schema == first else t.cast(first) for t in tables]
+        return pa.concat_tables(unified).combine_chunks()
 
     def kernel(batches):
         parts = [b for b in batches if b.num_rows]
@@ -1109,6 +1227,17 @@ def encoded_merge_kernel_factory(n_cols: int, manifest_dir: str | None = None,
                 return
             sub = out_tbl.take(pa.array(run, pa.int64()))
             data = _decode_run(sub)
+            if sort_names:
+                # transit chunklets arrive bucket-grouped but key-UNSORTED
+                # (stage 1 skips the key sort for them); ordering the
+                # merged run here restores the sorted-chunk locality —
+                # tighter per-chunk zones and the compression win of
+                # clustered prefixes — at 16k-row sort cost
+                data = data.take(pc.sort_indices(
+                    data,
+                    sort_keys=[(c, "ascending") for c in sort_names],
+                    null_placement="at_start",
+                ))
             for off in range(0, data.num_rows, batch_rows):
                 sl = data.slice(off, batch_rows).combine_chunks()
                 for b in sl.to_batches():
@@ -1296,16 +1425,20 @@ def encode_table(
     stage 2 renumbers chunk_seq deterministically, CONSOLIDATES runs of
     small chunklets (decode+re-encode below batch_rows//4 rows — keeps
     footprint stable on scattered inputs), and commits the fragments.
-    Measured 3.0s vs 9.55s for the row shuffle (1M rows, local[32],
-    min-of-3 same-session) at footprint parity, because the expensive
-    work happens where the no-shuffle path already proved the input
-    conversion cheap, and the post-shuffle row↔Arrow tax shrinks to the
-    compressed bytes. At cluster scale this is also a ~4x network-byte
-    saving. Layout is a pure function of the input (same input twice =
-    same dataset checksum). Kept opt-in: the row shuffle is the
-    golden-manifest-pinned default layout, and on the scattered extreme
-    (every chunklet tiny) stage-2 consolidation re-encodes everything,
-    approaching row-shuffle wall (SCALE.md has the measured envelope).
+    Since r6 this IS what ``shuffle=True`` runs (the golden manifest
+    re-pinned to it as one deliberate format change): with the r6
+    transit chunklets (slices below the consolidation threshold ship as
+    lz4-framed whole-slice Arrow IPC instead of being fully encoded
+    twice) and the data-driven stage-2 task count (~2 per core instead
+    of one per target partition), it measured faster than the row
+    exchange at EVERY level (1M rows, min-of-3, same host: local[1]
+    17.2s vs 28.1, local[4] 5.1 vs 6.5, local[32] 2.4 vs 4.8) at
+    footprint parity, and ships ~0.3-0.5x of raw on the wire vs the
+    row exchange's 1.0x — the 100-TB lever. Layout is a pure function
+    of the input (same input twice = same dataset checksum).
+    ``shuffle="rows"`` keeps the legacy row exchange (``resume``
+    implies it: stage-1 map-side encode cannot skip already-committed
+    partitions).
 
     ``profile``: ``"balanced"`` (default — faster than a parquet/zstd
     write of the same table at near-identical footprint) or
@@ -1399,13 +1532,26 @@ def encode_table(
 
     if shuffle == "auto":
         shuffle = not detect_clustering(df, rows_per_bucket=rows_per_bucket)
+    if shuffle is True and not resume:
+        # Re-clustering shuffles default to the ENCODED exchange (r6):
+        # the one data-sized exchange carries compressed chunk bytes
+        # (~0.3-0.5x of raw) instead of raw rows, and the expensive
+        # kernel work runs where the input conversion is cheap. Measured
+        # faster at every level (1M rows, same host, min-of-3: local[1]
+        # 17.2s vs 28.1, local[4] 5.1 vs 6.5, local[32] 2.4 vs 4.8) and
+        # ~2-3x fewer wire bytes at cluster scale. ``shuffle="rows"``
+        # keeps the legacy row exchange; ``resume`` implies it (stage-1
+        # map-side encode cannot skip already-committed partitions).
+        shuffle = "encoded"
+    elif shuffle == "rows":
+        shuffle = True
     blob_mode = shuffle == "blob"
     encoded_mode = shuffle == "encoded"
     if encoded_mode and resume:
         # stage-1 encodes map-side with no knowledge of which FINAL
         # partitions already committed — a resume cannot skip work here
         raise ValueError('resume is not supported with shuffle="encoded"; '
-                         "re-run the encode (or use the row shuffle)")
+                         "re-run the encode (or use shuffle=\"rows\")")
 
     skip: frozenset[int] = frozenset()
     frag_live: set[int] | None = None  # append: head-reachable pid filter
@@ -1509,7 +1655,18 @@ def encode_table(
             *[F.col(f"`{c}`").alias(s) for s, c in zip(safe_names, columns)],
             "__pb",
         )
-        tokens = partition_tokens(P)
+        # Stage 2 derives part_id from the DATA (the merge kernel segments
+        # its input by part_id and flushes fragments per part), so unlike
+        # the row path its task count is free: run ~2 tasks per core
+        # instead of one per target partition. At P ≫ cores the per-task
+        # costs (python worker round-trip, scheduling, shuffle-block
+        # granularity — guide §2.2) otherwise dominate the merge stage;
+        # grouping bucket g → task g % n2 spreads each hot key's buckets
+        # evenly. Pure execution-level grouping: chunk layout, fragments
+        # and part ids are identical for any n2.
+        n2 = max(1, min(P, spark.sparkContext.defaultParallelism * 2))
+        toks2 = partition_tokens(n2)
+        tokens = [toks2[g % n2] for g in range(P)]
         sort_names = [
             s for s, c in zip(safe_names, columns)
             if c in ("repo", "path", "commit")
@@ -1530,13 +1687,13 @@ def encode_table(
             ),
             schema=encoded_shuffle_schema(len(columns)),
         )
-        chunks = stage1.repartition(P, F.col("__tok")).mapInArrow(
+        chunks = stage1.repartition(n2, F.col("__tok")).mapInArrow(
             encoded_merge_kernel_factory(
                 len(columns), manifest_dir=frag_dir, columns=safe_names,
                 codec_overrides=codec_overrides, name_map=name_map,
                 codec_opts=codec_opts, batch_rows=batch_rows,
                 bloom_columns=bloom_set, ndv_columns=ndv_set,
-                qsk_columns=qsk_set,
+                qsk_columns=qsk_set, sort_names=sort_names,
             ),
             schema=chunk_schema(len(columns)),
         )
