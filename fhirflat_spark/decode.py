@@ -527,6 +527,23 @@ def read_parts_arrow(out_dir: str, part_ids: list[int],
             "dataset has active row-level deletes: read_parts_arrow "
             "reads physical chunks — use decode_table(part_ids=...)"
         )
+    # r6 (ADVICE): a stale part id — its partition replaced by binpack/
+    # delete_where but the chunk dir not yet vacuumed — would silently
+    # return superseded rows, and a vacuumed dir would surface as
+    # FileNotFoundError instead of a routable error. Validate against
+    # the LIVE manifest so callers (e.g. a stale vector index) get a
+    # ValueError they already treat as "defer to the Spark path".
+    from fhirflat_spark.manifest import current_snapshot, snapshot_part_ids
+
+    head = current_snapshot(out_dir)
+    live = set(snapshot_part_ids(out_dir, head)) if head else set()
+    stale = [p for p in part_ids if p not in live]
+    if stale:
+        raise ValueError(
+            f"part_ids {sorted(stale)} are not live partitions of the "
+            "current snapshot (replaced or vacuumed) — refresh the "
+            "index or use decode_table"
+        )
     all_cols = summary["columns"]
     for c in columns:
         if c not in all_cols:

@@ -145,6 +145,26 @@ def binpack_partitions(spark: SparkSession, out_dir: str,
         return report
     df = decode_table(spark, out_dir, part_ids=victims)
     n = df.count()  # LOGICAL rows (merge-on-read deletes applied)
+    if n == 0:
+        # r6 (ADVICE): every victim row is delete-shadowed — there is
+        # nothing to rewrite, so appending an empty frame with
+        # replace_pids would lean on the empty-encode path actually
+        # committing. Drop the victims metadata-only instead (the same
+        # commit primitive delete_where uses); chunks/fragments stay
+        # for time travel until expiry + vacuum.
+        from fhirflat_spark.manifest import commit_partition_drop
+
+        commit_partition_drop(spark, out_dir, set(victims))
+        from fhirflat_spark.manifest import current_snapshot
+
+        report.update({
+            "packed": True,
+            "rewritten_rows": 0,
+            "new_partitions": 0,
+            "n_partitions_after": len(live) - len(victims),
+            "snapshot": current_snapshot(out_dir),
+        })
+        return report
     nparts = max(1, -(-n // int(rows_per_bucket)))
     if order_by:
         df = (df.repartitionByRange(nparts, *order_by)

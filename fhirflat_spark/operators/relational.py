@@ -586,14 +586,29 @@ ORDER BY l_returnflag, l_linestatus
 #     engine extension; SURVEY §2.8)
 
 def q_window_top_order(spark, sf_dir):
-    from pyspark.sql import Window as W
-
+    # r6 perf rewrite (same result set, proven against the unchanged
+    # row_number oracle): "the rn=1 row per customer under ORDER BY
+    # o_totalprice DESC, o_orderkey ASC" IS "the max of
+    # struct(o_totalprice, -o_orderkey) per customer" — struct ordering
+    # is lexicographic, so max picks the highest price and breaks ties
+    # on the smallest orderkey. The window form cost two full sorts of
+    # the table plus an exchange of every row; the aggregate form is a
+    # partial (map-side) HashAggregate + one exchange of one row per
+    # (task, customer) — guide §2.3 "aggregate before you shuffle".
     orders = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            (-F.col("o_orderkey")).alias("nk"),
+        )
+    ).alias("t")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+        orders.groupBy("o_custkey").agg(top)
+        .select(
+            "o_custkey",
+            (-F.col("t.nk")).alias("o_orderkey"),
+            F.round("t.p", 2).alias("top_price"),
+        )
         .orderBy("o_custkey")
     )
 

@@ -286,16 +286,24 @@ def _search_driver_side(spark, table_dir, parts, id_col, vector_col,
 
     try:
         t = read_parts_arrow(table_dir, parts, [id_col, vector_col])
-    except ValueError:
-        return None  # active deletes: merge-on-read is Spark-side
+    except (ValueError, FileNotFoundError):
+        # active deletes, stale/vacuumed part ids: Spark path decides
+        return None
     vecs = t.column(vector_col).combine_chunks()
     ids_arr = t.column(id_col).combine_chunks()
     if vecs.null_count or ids_arr.null_count:
         return None
     q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
-    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    if flat.size != t.num_rows * q.size:
+    # r6 (ADVICE): gate on PER-ROW lengths, not the aggregate element
+    # count — compensating ragged rows (one short, one long) pass the
+    # aggregate check and silently misalign every later cosine
+    import pyarrow.compute as pc
+
+    if t.num_rows and not pc.all(
+        pc.equal(pc.list_value_length(vecs), len(q))
+    ).as_py():
         return None  # ragged vectors
+    flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     V = flat.reshape(t.num_rows, q.size)
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = (V @ q) / (np.sqrt((V * V).sum(axis=1)) * np.sqrt(q @ q))

@@ -153,3 +153,41 @@ def test_binpack_with_order_by_sorts_the_slice(spark, fragged):
     keep = prune_part_ids_by_zones(out, pids, [("doc_id", 340, 355)],
                                    {"doc_id": T.LongType()})
     assert len([p for p in keep if p in new_pids]) <= 1
+
+
+def test_binpack_all_victim_rows_deleted_drops_metadata_only(spark, tmp_path):
+    """r6 (ADVICE): when every victim row is delete-shadowed, binpack
+    must still drop the victims (metadata-only partition drop) instead
+    of relying on an empty append committing — and the report must not
+    claim a rewrite."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "source", "n_chars")
+    out = str(tmp_path / "ds")
+    encode_table(docs.where(F.col("doc_id") < 300), out,
+                 rows_per_bucket=300)
+    # two tiny appends -> two underfilled victim partitions
+    append_table(docs.where(F.col("doc_id").between(300, 329)), out,
+                 rows_per_bucket=300)
+    append_table(docs.where(F.col("doc_id").between(330, 359)), out,
+                 rows_per_bucket=300)
+    # shadow EVERY row with a row-level delete (victims = all
+    # partitions on this keyless layout, so the logical victim count
+    # must be exactly zero)
+    delete_rows(
+        spark, out, "doc_id",
+        docs.where(F.col("doc_id") < 360).select("doc_id"),
+    )
+    pre_rows = _rows(spark, out)
+    pre_snap = current_snapshot(out)
+    rep = binpack_partitions(spark, out, rows_per_bucket=300)
+    assert rep["packed"] is True
+    assert rep["rewritten_rows"] == 0 and rep["new_partitions"] == 0
+    assert len(rep["victim_part_ids"]) >= 2
+    assert current_snapshot(out) == pre_snap + 1
+    # victims are gone from the live manifest; content unchanged
+    from fhirflat_spark.manifest import snapshot_part_ids
+
+    live = set(snapshot_part_ids(out, current_snapshot(out)))
+    assert not (live & set(rep["victim_part_ids"]))
+    assert _rows(spark, out) == pre_rows

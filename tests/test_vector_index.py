@@ -236,3 +236,50 @@ def test_refresh_detects_history_reset(spark, emb, tmp_path):
                          exclude_id=20).collect()
     want = _brute_topk(spark, store, q, 5, exclude=20)
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_read_parts_arrow_rejects_stale_part_ids(spark, tmp_path):
+    """r6 (ADVICE): a part id replaced by a rewrite commit is no longer
+    live — read_parts_arrow must raise (routable ValueError) instead of
+    silently returning the superseded rows."""
+    import pytest as _pytest
+
+    from fhirflat_spark.datagen import gen_spark
+    from fhirflat_spark.decode import read_parts_arrow
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.manifest import current_snapshot, snapshot_part_ids
+
+    out = str(tmp_path / "src")
+    encode_table(gen_spark(spark, 1200, seed=5), out, rows_per_bucket=200)
+    live = sorted(snapshot_part_ids(out, current_snapshot(out)))
+    # sanity: live read works
+    t = read_parts_arrow(out, [live[0]], ["repo"])
+    assert t.num_rows > 0
+    missing = max(live) + 1000
+    with _pytest.raises(ValueError, match="not live"):
+        read_parts_arrow(out, [missing], ["repo"])
+
+
+def test_driver_search_defers_on_compensating_ragged_vectors(spark, tmp_path):
+    """r6 (ADVICE): one-short + one-long vectors pass an aggregate
+    element-count gate; the per-row offsets gate must defer to the
+    Spark path (return None) instead of misaligning the reshape."""
+    from fhirflat_spark.encode import encode_table
+    from fhirflat_spark.vector_index import _search_driver_side
+    from fhirflat_spark.manifest import current_snapshot, snapshot_part_ids
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0]),            # one short
+        (2, [0.0, 0.0, 1.0, 1.0]),  # one long — total count compensates
+        (3, [1.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = str(tmp_path / "vds")
+    encode_table(df, out, rows_per_bucket=10)
+    parts = sorted(snapshot_part_ids(out, current_snapshot(out)))
+    got = _search_driver_side(
+        spark, out, parts, "vec_id", "embedding",
+        [1.0, 0.0, 0.0], top_k=2, exclude_id=None,
+    )
+    assert got is None
