@@ -748,11 +748,19 @@ def plan_partition_ids(df: DataFrame, rows_per_bucket: int = 250_000,
     if salt_col is None:
         n = df.count()
         P = num_partitions or max(math.ceil(n / rows_per_bucket), default_par)
-        # no skew key: spread rows round-robin over targets, map-side
-        return df.withColumn(
-            "__pb",
-            F.pmod(F.xxhash64(*[_bq(c) for c in df.columns[:3]]), F.lit(P)).cast("int"),
-        ), P
+        # no skew key: spread rows round-robin over targets, map-side.
+        # r6: per-split round-robin via the monotonic-id row counter
+        # (lower 33 bits = row index within the split), offset by the
+        # split id — NOT a content hash, whose binomial spread leaves
+        # partitions 5-10% under target and flags a freshly packed
+        # layout as fragmented (table_health min_fill boundary). Equal
+        # counts per target, matching plan_salted's repartition(P)
+        # round-robin; deterministic given the input's split structure,
+        # which is the same guarantee the row path's round-robin has.
+        rr = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        ) + F.spark_partition_id()
+        return df.withColumn("__pb", F.pmod(rr, F.lit(P)).cast("int")), P
 
     pre = _salted_prelude(df, rows_per_bucket, num_partitions, salt_col,
                           key_counts, weight_col=weight_col)
