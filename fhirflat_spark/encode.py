@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
 import time
 from dataclasses import dataclass
 
@@ -472,6 +473,18 @@ def _bq(c: str):  # flat tables may carry dotted names (period.start)
     return F.col(f"`{c}`")
 
 
+# Driver-side salting-stats ceiling: the placement scan keeps at most this
+# many exact per-key entries on the driver; key spaces above it keep the
+# heaviest ``cap`` keys exact and fold every other key's rows into the
+# "o:" fallback bucket (sized from the measured remainder mass). Bounds
+# driver memory at O(cap) instead of O(#distinct keys) — at 10^8 repos the
+# uncapped collect was the one driver-memory seam in the encode plan.
+# Env-tunable for cluster profiles; the local default sits far above every
+# test/bench key space, so sub-cap behavior is bit-identical to the
+# uncapped plan (same collect result, same placement).
+SALT_STATS_CAP = int(os.environ.get("SPARK_GRAFT_SALT_STATS_CAP", "4096"))
+
+
 def _salted_prelude(df: DataFrame, rows_per_bucket: int,
                     num_partitions: int | None, salt_col: str | None,
                     key_counts: list[tuple] | None,
@@ -509,6 +522,12 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
     # ``key_counts`` lets callers supply maintained table statistics
     # (the Iceberg partition-stats pattern) instead of rescanning.
     caller_counts = key_counts is not None
+    # ``capped``: the self-collected stats hit SALT_STATS_CAP — only the
+    # heaviest ``cap`` keys were kept exact; ``rest_equiv`` is the folded
+    # remainder mass (equivalent rows) that sizes the "o:" fallback bucket.
+    capped = False
+    rest_equiv = 0
+    cap = SALT_STATS_CAP
     if key_counts is None and weight_col is not None:
         # byte-weighted placement: bucket allocation follows each key's
         # PAYLOAD BYTES, not its row count. Row counts under-provision a
@@ -517,13 +536,29 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
         # counting cannot see. Weights are rescaled to "equivalent rows"
         # (key_bytes × total_rows / total_bytes) so ``rows_per_bucket``
         # keeps its meaning and total bucket count stays comparable.
-        # Same single pruned scan (count + sum(length) partials).
-        agg = df.groupBy("__skey").agg(
+        # Same single pruned scan (count + sum(length) partials); the
+        # driver keeps only the top-``cap`` heaviest keys (deterministic:
+        # weight desc, count desc, key) — a second aggregate job computes
+        # the remainder mass only when the cap actually triggers.
+        cnt = df.groupBy("__skey").agg(
             F.count("*").alias("count"),
             F.coalesce(F.sum(F.length(_bq(weight_col))), F.lit(0)).alias("wbytes"),
-        ).collect()
-        total_rows = sum(r["count"] for r in agg) or 1
-        total_bytes = sum(r["wbytes"] for r in agg)
+        )
+        agg = (cnt.orderBy(F.desc("wbytes"), F.desc("count"), "__skey")
+               .limit(cap + 1).collect())
+        if len(agg) > cap:
+            capped = True
+            agg = agg[:cap]
+            tot = cnt.agg(F.sum("count").alias("r"),
+                          F.sum("wbytes").alias("b")).collect()[0]
+            total_rows = int(tot["r"] or 0) or 1
+            total_bytes = int(tot["b"] or 0)
+            rest_rows = total_rows - sum(r["count"] for r in agg)
+            rest_bytes = total_bytes - sum(r["wbytes"] for r in agg)
+        else:
+            total_rows = sum(r["count"] for r in agg) or 1
+            total_bytes = sum(r["wbytes"] for r in agg)
+            rest_rows = rest_bytes = 0
         if total_bytes > 0:
             key_counts = [
                 # all-NULL-payload keys fall back to their row count
@@ -531,12 +566,21 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
                  if r["wbytes"] > 0 else r["count"])
                 for r in agg
             ]
+            rest_equiv = (max(1, round(rest_bytes * total_rows / total_bytes))
+                          if rest_bytes > 0 else rest_rows)
         else:  # weight column empty/NULL everywhere: behave like rows
             key_counts = [(r[0], r["count"]) for r in agg]
+            rest_equiv = rest_rows
     elif key_counts is None:
-        key_counts = [
-            (r[0], r["count"]) for r in df.groupBy("__skey").count().collect()
-        ]
+        cnt = df.groupBy("__skey").count()
+        rows = (cnt.orderBy(F.desc("count"), "__skey")
+                .limit(cap + 1).collect())
+        if len(rows) > cap:
+            capped = True
+            rows = rows[:cap]
+            total_rows = int(cnt.agg(F.sum("count")).collect()[0][0] or 0)
+            rest_equiv = total_rows - sum(r["count"] for r in rows)
+        key_counts = [(r[0], r["count"]) for r in rows]
     else:
         # dedupe/aggregate by the STRINGIFIED key: duplicate caller keys (or
         # mixed-type keys whose string forms collide, int 1 vs '1') would
@@ -562,7 +606,22 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
     # so existing keys keep their bucket/partition assignment). Carved
     # OUT of num_partitions, not added on top, so an explicit partition
     # count is honored exactly.
-    nb_other = max(1, (num_partitions or default_par) // 8) if caller_counts else 0
+    if caller_counts:
+        nb_other = max(1, (num_partitions or default_par) // 8)
+    elif capped:
+        # fallback bucket sized from the MEASURED remainder mass (unlike
+        # the caller-stats path, the capped scan knows it exactly)
+        if num_partitions:
+            total_all = sum(c for _, c in key_counts) + rest_equiv
+            nb_other = min(
+                max(1, round(num_partitions * rest_equiv / max(1, total_all))),
+                max(1, num_partitions - 1),
+            )
+        else:
+            nb_other = max(1, math.ceil(rest_equiv / rows_per_bucket))
+        nb_other = min(nb_other, (1 << _NB_BITS) - 1)
+    else:
+        nb_other = 0
     alloc_target = (num_partitions - nb_other) if num_partitions else None
     # bucket allocation: proportional when a target partition count is
     # given (sum == alloc_target exactly), else ceil(count / rows_per_bucket)
@@ -580,14 +639,14 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
         bucket_rows = [
             (k, max(1, math.ceil(c / rows_per_bucket))) for k, c in key_counts
         ]
-    if caller_counts:
+    if nb_other:
         bucket_rows.append(("o:", nb_other))
     P = int(sum(b for _, b in bucket_rows))
 
     def _with_buckets(frame: DataFrame) -> DataFrame:
         buckets = spark.createDataFrame(bucket_rows, ["__skey", "n_buckets"])
         joined = frame.join(F.broadcast(buckets), "__skey", "left")
-        if caller_counts:
+        if caller_counts or capped:
             joined = joined.withColumn(
                 "__skey",
                 F.when(F.col("n_buckets").isNull(), F.lit("o:")).otherwise(F.col("__skey")),
@@ -609,6 +668,7 @@ def _salted_prelude(df: DataFrame, rows_per_bucket: int,
         "with_buckets": _with_buckets,
         "hash_cols": hash_cols,
         "caller_counts": caller_counts,
+        "capped": capped,
         "key_counts_sentinel": key_counts,
     }
 
@@ -617,6 +677,7 @@ def _capture_plan_stats(stats_out, pre):
     if stats_out is not None:
         stats_out["key_counts"] = pre["key_counts_sentinel"]
         stats_out["caller_counts"] = pre.get("caller_counts", False)
+        stats_out["capped"] = pre.get("capped", False)
 
 
 # key-count ceiling for the literal-map placement fast path: below it the
@@ -694,7 +755,8 @@ def plan_salted(df: DataFrame, rows_per_bucket: int = 250_000,
 
     if len(bucket_rows) <= LITERAL_MAP_MAX_KEYS:
         # literal-map fast path: placement is a pure projection (codegen)
-        g = _g_expr_literal(bucket_rows, pre["hash_cols"], pre["caller_counts"])
+        g = _g_expr_literal(bucket_rows, pre["hash_cols"],
+                            pre["caller_counts"] or pre["capped"])
         # cast to long BEFORE the exchange hashes it: partition_tokens
         # targets Murmur3.hashLong, and an array<int> literal would make
         # HashPartitioning use hashInt — landing buckets on wrong partitions
@@ -772,7 +834,8 @@ def plan_partition_ids(df: DataFrame, rows_per_bucket: int = 250_000,
     df, orig_cols = pre["df"], pre["orig_cols"]
 
     if len(bucket_rows) <= LITERAL_MAP_MAX_KEYS:
-        g = _g_expr_literal(bucket_rows, pre["hash_cols"], pre["caller_counts"])
+        g = _g_expr_literal(bucket_rows, pre["hash_cols"],
+                            pre["caller_counts"] or pre["capped"])
         out = df.withColumn("__pb", g)
     elif len(bucket_rows) > 200_000:
         # hash placement fallback (mirrors plan_salted): partition index =
@@ -1993,9 +2056,16 @@ def append_table(
     offset = (top + 1) if top is not None else 0
     delta_stats: list[tuple] | None = None
     if key_counts is None and "repo" in df.columns and weight_col is None:
-        delta_stats = [
-            (r[0], r["count"]) for r in df.groupBy("repo").count().collect()
-        ]
+        # same driver-memory ceiling as the placement scan: keep the
+        # top-``SALT_STATS_CAP`` heaviest delta keys exact (deterministic
+        # order); tail keys place via the planner's "o:" fallback bucket
+        # and the persisted delta stats stay O(cap), not O(#keys)
+        rows = (df.groupBy("repo").count()
+                .orderBy(F.desc("count"), F.col("`repo`"))
+                .limit(SALT_STATS_CAP + 1).collect())
+        if len(rows) > SALT_STATS_CAP:
+            rows = rows[:SALT_STATS_CAP]
+        delta_stats = [(r[0], r["count"]) for r in rows]
         key_counts = delta_stats
     res = encode_table(
         df, out_dir, rows_per_bucket=rows_per_bucket,
